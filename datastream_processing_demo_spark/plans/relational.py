@@ -1,0 +1,326 @@
+"""Relational core: projection, filter, scalar function families, casts.
+
+Covers SURVEY.md §2.2 rows: projection / filter / string fns / date fns /
+math fns / conditional / cast. These generalize the reference's operators
+P1-P7 (DataStreamProcessingJob.java:44-63: passthrough projection, length
+filter, substring projection, equality predicate, string<->long casts,
+derived arithmetic column) from one hardcoded message format to a full
+scalar-expression surface.
+
+Scale notes: every query here is a narrow (shuffle-free) scan->project->
+filter pipeline except the flagship aggregate; filters and column
+projections compile to parquet PushedFilters/ReadSchema, so at 100 TB the
+scan reads only the referenced columns and skips row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import exact_avg, exact_sum, oracle_exact_avg, oracle_exact_sum, t
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (scan, pushed filter, projection
+# arithmetic, partial+final hash aggregate, sort). SURVEY.md §7.2.
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "2000-09-02"
+
+
+@query(
+    "q1_pricing_summary", "relational",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           {oracle_exact_sum('l_extendedprice', 2)} AS sum_base_price,
+           {oracle_exact_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {oracle_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           {oracle_exact_avg('l_extendedprice', 2)} AS avg_price,
+           {oracle_exact_avg('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-shaped pricing summary report",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(charge, 6).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection: select / rename / derived expressions (reference P1/P3/P6).
+# Per-row double arithmetic is bit-identical across engines — no rounding.
+# ---------------------------------------------------------------------------
+
+@query(
+    "proj_derived_exprs", "relational",
+    oracle="""
+    SELECT l_orderkey, l_linenumber AS line_no,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity * 2.0 + 1.0 AS qty_scaled
+    FROM lineitem
+    """,
+    description="column select/rename + derived arithmetic expressions",
+)
+def proj_derived_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("line_no"),
+        disc_price.alias("disc_price"),
+        (disc_price * (1 + F.col("l_tax"))).alias("charge"),
+        (F.col("l_quantity") * 2.0 + 1.0).alias("qty_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter: comparison, boolean logic, IN, BETWEEN, LIKE, null-safe equality
+# (reference P2/P4 generalized).
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_predicates", "relational",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 100000 AND 300000
+      AND (o_orderstatus = 'O' OR o_orderstatus = 'F')
+      AND o_orderpriority LIKE '%-%'
+      AND NOT (o_custkey IS NULL)
+      AND o_orderstatus IS NOT DISTINCT FROM o_orderstatus
+    """,
+    description="comparison/boolean/IN/BETWEEN/LIKE/null-safe-eq predicates",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .filter(F.col("o_totalprice").between(100000, 300000))
+        .filter((F.col("o_orderstatus") == "O") | (F.col("o_orderstatus") == "F"))
+        .filter(F.col("o_orderpriority").like("%-%"))
+        .filter(~F.col("o_custkey").isNull())
+        .filter(F.col("o_orderstatus").eqNullSafe(F.col("o_orderstatus")))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# String functions (reference P3's substring/trim generalized).
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_string", "relational",
+    oracle=r"""
+    SELECT p_partkey,
+           substring(p_name, 1, 5) AS name_head,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           length(p_name) AS name_len,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           lpad(p_brand, 10, '*') AS brand_pad,
+           trim(lpad(p_brand, 12, ' ')) AS brand_trim,
+           ltrim(concat('  ', p_type)) AS type_ltrim,
+           rtrim(concat(p_type, '  ')) AS type_rtrim,
+           regexp_replace(p_brand, 'Brand#', 'B') AS brand_short,
+           regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+           instr(p_name, ' ') AS first_space,
+           replace(p_name, ' ', '_') AS name_snake,
+           len(string_split(p_name, ' ')) AS n_words
+    FROM part
+    """,
+    description="substring/trim/length/case/concat/pad/regexp/instr/replace/split",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.lpad("p_brand", 10, "*").alias("brand_pad"),
+        F.trim(F.lpad("p_brand", 12, " ")).alias("brand_trim"),
+        F.ltrim(F.concat(F.lit("  "), F.col("p_type"))).alias("type_ltrim"),
+        F.rtrim(F.concat(F.col("p_type"), F.lit("  "))).alias("type_rtrim"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.instr("p_name", " ").cast("long").alias("first_space"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time functions (reference's epoch-millis handling, P6, generalized).
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_date", "relational",
+    oracle="""
+    SELECT event_id,
+           date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour_ts,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(dayofmonth(ts) AS BIGINT) AS d,
+           CAST(hour(ts) AS BIGINT) AS h,
+           epoch_ms(date_trunc('millisecond', ts)) AS ts_millis,
+           CAST(datediff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS days_since,
+           CAST(CAST(ts AS DATE) + 7 AS TIMESTAMP) AS plus_week,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_roundtrip
+    FROM events
+    """,
+    description="date_trunc/year/month/day/hour/unix_millis/datediff/date_add/to_timestamp",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.unix_millis(F.date_trunc("millisecond", F.col("ts"))).alias("ts_millis"),
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp"))
+            .cast("long").alias("days_since"),
+        F.date_add(F.col("ts"), 7).cast("timestamp").alias("plus_week"),
+        F.to_timestamp(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).alias("ts_roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math functions. Transcendentals (sqrt/ln/exp) ROUND(,6)ed: JVM Math vs
+# libm can differ in the last ulp.
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_math", "relational",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           abs(l_discount - 0.05) AS disc_dev,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(pow(l_quantity, 2.0), 6) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           sign(l_discount - 0.05) AS disc_sign,
+           CAST(((l_linenumber - 3) % 5 + 5) % 5 AS BIGINT) AS line_pmod
+    FROM lineitem
+    """,
+    description="round/floor/ceil/abs/sqrt/pow/ln/exp/sign/pmod",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.pmod(F.col("l_linenumber") - 3, F.lit(5)).cast("long").alias("line_pmod"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional expressions.
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_conditional", "relational",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'small' END AS size_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent,
+           nullif(o_orderstatus, 'O') AS status_nullif
+    FROM orders
+    """,
+    description="CASE WHEN / coalesce / nullif / if",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+         .when(F.col("o_totalprice") > 150000, "mid")
+         .otherwise("small").alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending"))
+         .alias("status_or_pending"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+         .cast("int").alias("is_urgent"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_nullif"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Casts (reference P5/P7: string<->long). Engine semantics under ANSI mode
+# (Spark 4 default): CAST of garbage throws — same behavior as the
+# reference's Long.parseLong (DataStreamProcessingJob.java:60) — and
+# try_cast is the explicit NULL-tolerant path. The oracle mirrors with
+# TRY_CAST.
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_cast", "relational",
+    oracle="""
+    SELECT event_id,
+           CAST(value AS VARCHAR) AS value_str,
+           TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip,
+           TRY_CAST(event_type AS BIGINT) AS garbage_cast,
+           CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ts_date,
+           CAST(CAST('2024-01-15 12:30:00' AS TIMESTAMP) AS VARCHAR) AS const_ts_str,
+           CAST(trunc(value) AS BIGINT) AS value_int  -- Spark double->long truncates; DuckDB rounds
+    FROM events
+    """,
+    description="scalar casts incl. garbage->NULL (P5/P7 semantics)",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("value").cast("string").alias("value_str"),
+        F.col("value").cast("string").cast("double").alias("value_roundtrip"),
+        F.col("event_type").try_cast("long").alias("garbage_cast"),
+        F.col("event_id").cast("string").cast("long").alias("id_roundtrip"),
+        F.col("ts").cast("date").cast("timestamp").alias("ts_date"),
+        F.lit("2024-01-15 12:30:00").cast("timestamp").cast("string").alias("const_ts_str"),
+        F.col("value").cast("long").alias("value_int"),
+    )
