@@ -1,1 +1,199 @@
-"""aggregates plans (filled in incrementally)."""
+"""Aggregations: groupBy agg family, global agg, rollup/cube/grouping
+sets, distinct aggs, approx aggs (SURVEY.md §2.2 aggregation rows).
+
+The reference's only aggregate is the sink-side avg over the latency
+metric (ZhiYanSink.java:100-115, A2); here aggregation is a first-class
+engine surface. All aggregates are partial+final (map-side combine) by
+construction — Spark's hash aggregate handles that; nothing here forces
+a non-combinable path.
+
+Float policy (see plans/_util.py): money sums/avgs via exact integer
+cents. stddev/variance are NOT computed by rounding the engines' own
+streaming-moment results (a rounded value can land exactly on a rounding
+boundary — observed at sf0.001); instead both sides evaluate
+(Σx² − (Σx)²/n)/(n−1) from exact integer-cents sums with the identical
+IEEE operation sequence, which is bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register_views
+from ._util import exact_avg, exact_sum, oracle_exact_avg, oracle_exact_sum, t
+from .registry import query
+
+
+@query(
+    "agg_groupby_family", "aggregates",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           {oracle_exact_sum('c_acctbal', 2)} AS sum_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           {oracle_exact_avg('c_acctbal', 2)} AS avg_bal,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           -- var/stddev from exact integer-cents sums, identical IEEE op
+           -- sequence on both engines => bit-identical (rounding the
+           -- engines' own streaming-moment results is NOT reliable)
+           sqrt((CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)
+                          * CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                 - CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                   * CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*))
+                / (COUNT(*) - 1) / 10000.0) AS stddev_bal,
+           (CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)
+                        * CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+            - CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+              * CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+              / COUNT(*))
+           / (COUNT(*) - 1) / 10000.0 AS var_bal,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    description="count/sum/min/max/avg/count-distinct/stddev/var/collect_set",
+)
+def agg_groupby_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    n = F.count(F.lit(1))
+    # sample variance from exact integer sums: (Σx² − (Σx)²/n)/(n−1),
+    # identical IEEE op sequence as the oracle => bit-identical
+    _var = ((F.sum(cents * cents).cast("double")
+             - F.sum(cents).cast("double") * F.sum(cents).cast("double") / n)
+            / (n - 1) / 10000.0)
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        exact_sum(F.col("c_acctbal"), 2).alias("sum_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        exact_avg(F.col("c_acctbal"), 2).alias("avg_bal"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.sqrt(_var).alias("stddev_bal"),
+        _var.alias("var_bal"),
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+    )
+
+
+@query(
+    "agg_global", "aggregates",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {oracle_exact_sum('l_extendedprice', 2)} AS total_price,
+           SUM(l_quantity) AS total_qty,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           SUM(l_quantity) / COUNT(*) AS avg_qty
+    FROM lineitem
+    """,
+    description="global aggregate, no grouping keys",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        exact_sum(F.col("l_extendedprice"), 2).alias("total_price"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+    )
+
+
+@query(
+    "agg_rollup", "aggregates",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="ROLLUP hierarchy totals + grouping indicators",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@query(
+    "agg_cube", "aggregates",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {oracle_exact_sum('o_totalprice', 2)} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description="CUBE over status x priority",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets", "aggregates",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="explicit GROUPING SETS via SQL surface",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@query(
+    "agg_distinct", "aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           SUM(DISTINCT l_quantity) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="multiple DISTINCT aggregates in one grouping",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+    )
+
+
+@query(
+    "agg_approx", "aggregates",
+    oracle=None,  # approx sketches are engine-specific; property-checked in tests
+    description="approx_count_distinct (HLL) + percentile_approx; bounded-error",
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

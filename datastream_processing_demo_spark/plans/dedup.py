@@ -1,1 +1,79 @@
-"""dedup plans (filled in incrementally)."""
+"""Deduplication operators (SURVEY.md §2.2 dedup row + the LLM-pipeline
+dedup family): exact row dedup, key dedup keep-first-by-order, and — in
+the llm section below — content-hash dedup over documents.
+
+Near-dup detection (MinHash/SimHash/n-gram Jaccard) lives in text.py /
+similarity.py companions; this module is exact-match semantics.
+
+Scale notes: exact dedup is a hash aggregate (map-side combinable);
+keep-first is a window over the dedup key — both shuffle once on the
+key, no driver-side state. dropDuplicates() picks an ARBITRARY survivor
+(nondeterministic across runs/cluster layouts), so the engine's
+deterministic idiom is row_number()==1 with a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._util import t
+from .registry import query
+
+
+@query(
+    "dedup_exact_rows", "dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    description="exact row dedup (DISTINCT / dropDuplicates over projection)",
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "dedup_keep_first", "dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) x
+    WHERE rn = 1
+    """,
+    description="key dedup keeping the first row by a deterministic order",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+@query(
+    "dedup_content_hash", "dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    description="exact content dedup via hash-groupBy (keeper = min id)",
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -1,1 +1,215 @@
-"""joins plans (filled in incrementally)."""
+"""Joins: inner/left/right/full equi-joins, semi/anti, cross, theta,
+broadcast hints (SURVEY.md §2.2 join rows; the reference has no joins —
+§2.1.1 — so these are engine capability, validated purely by oracle).
+
+Scale notes (100 TB):
+- Equi-joins are declared with `df.join(on=..., how=...)` so Catalyst +
+  AQE pick broadcast vs shuffled-hash vs sort-merge from runtime stats;
+  skew-join splitting is on (session.py).
+- Dimension tables (region/nation/supplier) get explicit broadcast()
+  hints in the star-join query — at 100 TB the fact side never shuffles
+  for those joins.
+- The pure-theta join is a BroadcastNestedLoop by construction; it is
+  only ever used dimension×dimension (both sides bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import exact_sum, oracle_exact_sum, t
+from .registry import query
+
+
+@query(
+    "join_inner_3way", "joins",
+    oracle=f"""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+    description="3-way inner equi-join fact->orders->customer + agg",
+)
+def join_inner_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c = (t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_left_outer", "joins",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           COUNT(l.l_orderkey) AS n_sales,
+           coalesce(SUM(l.l_quantity), 0.0) AS total_qty
+    FROM part p
+    LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey, p.p_brand
+    """,
+    description="left outer join keeping unmatched parts (NULL-extended)",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, li = t(spark, sf_dir, "part"), t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left")
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n_sales"),
+            F.coalesce(F.sum("l_quantity"), F.lit(0.0)).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "join_right_outer", "joins",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(l.l_orderkey) AS n_lines
+    FROM lineitem l
+    RIGHT JOIN supplier s ON l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    description="right outer join with join-condition filter",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, s = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "supplier")
+    cond = (li.l_suppkey == s.s_suppkey) & (li.l_quantity > 45)
+    return (
+        li.join(s, cond, "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+
+
+@query(
+    "join_full_outer", "joins",
+    oracle="""
+    WITH co AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+         rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000)
+    SELECT coalesce(co.o_custkey, rich.c_custkey) AS custkey,
+           co.n_orders AS n_orders, rich.c_acctbal AS acctbal
+    FROM co FULL OUTER JOIN rich ON co.o_custkey = rich.c_custkey
+    """,
+    description="full outer join with NULLs on both sides",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    co = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    return (
+        co.join(rich, co.o_custkey == rich.c_custkey, "full")
+        .select(
+            F.coalesce(co.o_custkey, rich.c_custkey).alias("custkey"),
+            F.col("n_orders"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+@query(
+    "join_semi", "joins",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    description="left semi join (EXISTS)",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+             .select("c_custkey", "c_name"))
+
+
+@query(
+    "join_anti", "joins",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    description="left anti join (NOT EXISTS): customers with no urgent orders",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@query(
+    "join_cross", "joins",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    description="cross join (dimension x dimension only)",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, n = t(spark, sf_dir, "region"), t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range", "joins",
+    oracle="""
+    SELECT s1.s_suppkey AS low_supp, s2.s_suppkey AS high_supp,
+           s2.s_acctbal - s1.s_acctbal AS bal_gap
+    FROM supplier s1 JOIN supplier s2
+      ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal < s2.s_acctbal
+    """,
+    description="theta join: equi on nation + range predicate on balance",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = t(spark, sf_dir, "supplier").alias("s1")
+    s2 = t(spark, sf_dir, "supplier").alias("s2")
+    cond = (F.col("s1.s_nationkey") == F.col("s2.s_nationkey")) & \
+           (F.col("s1.s_acctbal") < F.col("s2.s_acctbal"))
+    return s1.join(s2, cond).select(
+        F.col("s1.s_suppkey").alias("low_supp"),
+        F.col("s2.s_suppkey").alias("high_supp"),
+        (F.col("s2.s_acctbal") - F.col("s1.s_acctbal")).alias("bal_gap"),
+    )
+
+
+@query(
+    "join_broadcast_star", "joins",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    description="star join with explicit broadcast hints on all dimensions",
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+             .alias("revenue"))
+    )

@@ -1,1 +1,176 @@
-"""json_array plans (filled in incrementally)."""
+"""JSON, array, and map functions (SURVEY.md §2.2 json/array/map rows).
+
+The reference treats its payload tail as an opaque JSON-ish string and
+explicitly avoids parsing it (README.md:19 advises minimizing JSON
+work); the engine makes JSON a first-class column type instead, with
+`from_json`/`get_json_object` pushed into the codegen'd projection.
+
+Float policy: higher-order folds over float arrays are ROUND(,6)ed —
+engines may reduce in different orders; element values are cast to
+double first so float32 noise doesn't exceed the rounding grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENT_PROPS_SCHEMA
+from ._util import t
+from .registry import query
+
+
+@query(
+    "json_extract", "json_array",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+           json_extract_string(props, '$.missing') AS missing_path,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events
+    """,
+    description="get_json_object / from_json(schema) / missing-path NULL",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", EVENT_PROPS_SCHEMA)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        parsed.getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.missing").alias("missing_path"),
+        F.from_json("props", EVENT_PROPS_SCHEMA).isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "json_tuple_tojson", "json_array",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           concat('{"type":"', event_type, '","k":', json_extract_string(props, '$.k'), '}')
+               AS rebuilt_json
+    FROM events
+    """,
+    description="json_tuple extraction + to_json re-serialization",
+)
+def json_tuple_tojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    # json_tuple is the multi-path extractor (UDTF-style generator)
+    extracted = e.select(
+        "event_id", "event_type",
+        F.json_tuple(F.col("props"), "k").alias("k_str"),
+    )
+    return extracted.select(
+        "event_id",
+        "k_str",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("k_str").cast("long").alias("k"),
+            )
+        ).alias("rebuilt_json"),
+    )
+
+
+@query(
+    "array_ops", "json_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           string_split(text, ' ')[1] AS first_token,
+           list_slice(string_split(text, ' '), 1, 3) AS head3,
+           list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM documents
+    """,
+    description="size/array_contains/element_at/slice/sort_array/array_distinct",
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.element_at(words, 1).alias("first_token"),
+        F.slice(words, 1, 3).alias("head3"),
+        F.array_sort(F.array_distinct(words)).alias("vocab"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+    )
+
+
+@query(
+    "array_higher_order", "json_array",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS vec_sum,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS vec_max,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS vec_sq_norm
+    FROM embeddings
+    """,
+    description="higher-order transform/filter/aggregate over float arrays",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6)
+            .alias("vec_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long")
+            .alias("n_positive"),
+        F.round(F.array_max(as_double), 6).alias("vec_max"),
+        F.round(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x), 6)
+            .alias("vec_sq_norm"),
+    )
+
+
+@query(
+    "map_ops", "json_array",
+    oracle="""
+    SELECT doc_id,
+           map_extract(m, 'lang')[1] AS lang_tag,
+           list_sort(map_keys(m)) AS tag_keys,
+           len(map_values(m)) AS n_tags
+    FROM (
+        SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
+        FROM documents
+    )
+    """,
+    description="map construction, element_at, map_keys/map_values",
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_tag"),
+        F.array_sort(F.map_keys(m)).alias("tag_keys"),
+        F.size(F.map_values(m)).cast("long").alias("n_tags"),
+    )
+
+
+@query(
+    "array_explode", "json_array",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    description="posexplode (lateral view) of split tokens",
+)
+def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    ).select("doc_id", "token", "pos")

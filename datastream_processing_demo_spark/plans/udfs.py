@@ -1,1 +1,148 @@
-"""udfs plans (filled in incrementally)."""
+"""UDF surface: Python scalar UDF, vectorized pandas UDF, grouped-agg
+pandas UDAF, mapInPandas UDTF (SURVEY.md §2.2 UDF/UDAF/UDTF rows).
+
+The reference's closest analogue is its anonymous ProcessFunction
+(DataStreamProcessingJob.java:41-66) — row-at-a-time Java. Here the
+engine's stance is the Spark one: built-ins first (everything else in
+plans/ avoids Python), and when Python is genuinely needed, Arrow-batched
+pandas UDFs, never row-at-a-time in a hot path. The row-at-a-time scalar
+UDF below exists to cover the API surface, deliberately on a small input.
+
+Scale notes: pandas UDFs stream Arrow batches per partition — constant
+memory; the grouped-agg UDAF keys on event_type (bounded cardinality),
+so no group outgrows an executor.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._util import t
+from .registry import query
+
+
+@query(
+    "udf_scalar_python", "udfs",
+    oracle="""
+    SELECT p_partkey, reverse(p_name) AS name_rev
+    FROM part
+    """,
+    description="row-at-a-time Python scalar UDF (API coverage; slow path by design)",
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = F.udf(lambda s: None if s is None else s[::-1], T.StringType())
+    return t(spark, sf_dir, "part").select(
+        "p_partkey", rev("p_name").alias("name_rev"))
+
+
+@query(
+    "udf_pandas_vectorized", "udfs",
+    oracle="""
+    SELECT event_id, value * 2.0 + 1.0 AS scaled,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+    description="Arrow-vectorized pandas UDF (the fast Python path)",
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def scale(s: pd.Series) -> pd.Series:
+        return s * 2.0 + 1.0
+
+    @F.pandas_udf(T.LongType())
+    def to_cents(s: pd.Series) -> pd.Series:
+        return (s * 100).round().astype("int64")
+
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        scale("value").alias("scaled"),
+        to_cents("value").alias("cents"),
+    )
+
+
+@query(
+    "udaf_grouped_pandas", "udfs",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    description="grouped-aggregate pandas UDAF (exact integer-cents sum)",
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def cents_total(s: pd.Series) -> float:
+        return float((s * 100).round().astype("int64").sum()) / 100.0
+
+    @F.pandas_udf(T.LongType())
+    def n_rows(s: pd.Series) -> int:
+        return len(s)
+
+    # note: grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg() — all aggregates here go through the Arrow path
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        cents_total("value").alias("total_value"),
+        n_rows("value").alias("n_events"),
+    )
+
+
+@query(
+    "udtf_map_in_pandas", "udfs",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    description="mapInPandas UDTF: 1 row in -> N rows out (tokenizer)",
+)
+def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def tokenize(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].repeat(toks.str.len()),
+                "token": [w for ws in toks for w in ws],
+            })
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100) \
+        .select("doc_id", "text")
+    return d.mapInPandas(tokenize, schema="doc_id long, token string")
+
+
+@query(
+    "udtf_apply_in_pandas", "udfs",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS user_total,
+           COUNT(*) AS n,
+           MIN(event_id) AS first_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+    description="applyInPandas grouped-map: per-group pandas DataFrame in/out",
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64").sum()
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "user_total": [float(cents) / 100.0],
+            "n": [len(pdf)],
+            "first_event_id": [pdf["event_id"].min()],
+        })
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return e.groupBy("user_id").applyInPandas(
+        summarize,
+        schema="user_id long, user_total double, n long, first_event_id long")

@@ -1,1 +1,141 @@
-"""windows plans (filled in incrementally)."""
+"""Window functions: ranking, analytic, frame aggregates, top-k per group
+(SURVEY.md §2.2 window rows; absent from the reference — §2.1.1).
+
+Determinism: every window ORDER BY ends in a unique tiebreak key so
+ranking/lag/lead are reproducible. Running/moving SUMs over doubles use
+the integer-cents trick (plans/_util.py) because engines may group
+frame additions differently (e.g. segment trees); integer adds are
+associative so any grouping agrees.
+
+Scale notes: window partitions are bounded (per supplier / per user);
+a partitionBy with a single giant key would serialize — the top-k query
+keys on suppkey precisely so partitions stay small at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._util import t
+from .registry import query
+
+
+@query(
+    "win_ranking", "windows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+    """,
+    description="row_number/rank/dense_rank/ntile with unique tiebreak",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_analytic", "windows",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           lag(value, 2, -1.0) OVER w AS prev2_or_default,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_val_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="lag/lead (with default)/first_value/last_value over frames",
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"),
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("last_val_so_far"),
+    )
+
+
+@query(
+    "win_frames", "windows",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / 100.0 AS running_total,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / 100.0
+               / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS moving_avg4,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_so_far
+    FROM events
+    """,
+    description="running sum + moving average over row frames (exact cents)",
+)
+def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    moving = w.rowsBetween(-3, W.currentRow)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id", "user_id",
+        (F.sum(cents).over(running).cast("double") / 100.0).alias("running_total"),
+        (F.sum(cents).over(moving).cast("double") / 100.0
+            / F.count(F.lit(1)).over(moving)).alias("moving_avg4"),
+        F.count(F.lit(1)).over(running).alias("n_so_far"),
+    )
+
+
+@query(
+    "win_topk_per_group", "windows",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+    FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_extendedprice DESC,
+                                           l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    ) ranked
+    WHERE rn <= 3
+    """,
+    description="top-k per group via row_number filter (the scalable top-k idiom)",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )

@@ -1,0 +1,36 @@
+"""Property checks for approximate aggregates (SURVEY.md §2.2 'semantic'
+oracle class): approx_count_distinct within HLL error bounds of the
+exact count; percentile_approx within the value range and near the true
+median."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datastream_processing_demo_spark.plans.registry import all_queries
+
+
+def test_approx_count_distinct_bounds(spark, sf_dir, oracle_con):
+    spec = all_queries()["agg_approx"]
+    got = {r["l_returnflag"]: r for r in
+           (row.asDict() for row in spec.spark(spark, sf_dir).collect())}
+    exact = oracle_con.execute("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               median(l_extendedprice) AS true_median,
+               MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    """).fetchdf().set_index("l_returnflag")
+    for flag, row in got.items():
+        n_exact = exact.loc[flag, "n_parts"]
+        # default rsd for approx_count_distinct is 5%; allow 4 sigma
+        assert abs(row["approx_parts"] - n_exact) <= max(0.20 * n_exact, 5), \
+            f"{flag}: approx {row['approx_parts']} vs exact {n_exact}"
+        assert exact.loc[flag, "lo"] <= row["approx_median_price"] <= exact.loc[flag, "hi"]
+        # percentile_approx default accuracy 10000 -> tight on 60k rows
+        rel = abs(row["approx_median_price"] - exact.loc[flag, "true_median"]) \
+            / exact.loc[flag, "true_median"]
+        assert rel < 0.05, f"{flag}: median rel err {rel}"
