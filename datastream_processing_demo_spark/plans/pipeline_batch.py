@@ -1,1 +1,112 @@
-"""pipeline_batch plans (filled in incrementally)."""
+"""Reference-pipeline parity queries (batch form, oracle-checked).
+
+These validate the exact parse/route/derive semantics of the reference's
+ProcessFunction (DataStreamProcessingJob.java:41-66) — P2 length guard,
+P3 fixed-width carve-out, P4 session routing, P5 try-cast, P6 delay
+metric, K1 error-drop — by synthesizing the fixed-width messages
+deterministically from `events` in BOTH engines (see
+streaming/messages.py for the layout and the synthesis rule) and
+comparing parsed outputs. The same parse/split code paths run in the
+real Structured Streaming pipeline (streaming/pipeline.py), which the
+streaming tests exercise; here the logic is proven value-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.messages import ORACLE_MESSAGE_VALUE_SQL, messages_from_events, parse_messages
+from ..streaming.pipeline import split_branches
+from ._util import t
+from .registry import query
+
+_ORACLE_PARSED = f"""
+    WITH msgs AS (
+        SELECT {ORACLE_MESSAGE_VALUE_SQL} AS value FROM events
+    ),
+    parsed AS (
+        SELECT trim(substring(value, 1, 16)) AS module_name,
+               TRY_CAST(trim(substring(value, 17, 16)) AS BIGINT) AS send_ts_ms,
+               substring(value, 65) AS payload,
+               value
+        FROM msgs
+        WHERE length(value) > 64
+    )
+"""
+
+
+@query(
+    "pipeline_parse_fields", "pipeline",
+    oracle=_ORACLE_PARSED + """
+    SELECT module_name, send_ts_ms, payload, length(value) AS msg_len
+    FROM parsed
+    """,
+    description="fixed-width parse: P2 length guard + P3 carve-out + P5 cast",
+)
+def pipeline_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = messages_from_events(t(spark, sf_dir, "events"))
+    parsed = parse_messages(msgs)
+    return parsed.select(
+        "module_name", "send_ts_ms", "payload",
+        F.length("value").cast("long").alias("msg_len"),
+    )
+
+
+@query(
+    "pipeline_route_session", "pipeline",
+    oracle=_ORACLE_PARSED + """
+    SELECT payload FROM parsed WHERE module_name = 'session'
+    """,
+    description="R1/P4 routing: session branch payload tails",
+)
+def pipeline_route_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = messages_from_events(t(spark, sf_dir, "events"))
+    return split_branches(msgs, now_ms=F.lit(0)).session_tails
+
+
+@query(
+    "pipeline_delay_metric", "pipeline",
+    oracle=_ORACLE_PARSED + """
+    , now_fixed AS (SELECT MAX(epoch_ms(ts)) + 60000 AS now_ms FROM events)
+    SELECT date_trunc('day', epoch_ms(send_ts_ms)) AS day,
+           COUNT(*) AS n_msgs,
+           CAST(SUM(now_ms - send_ts_ms) AS DOUBLE) / COUNT(*) AS avg_delay_ms,
+           MAX(now_ms - send_ts_ms) AS max_delay_ms
+    FROM parsed, now_fixed
+    WHERE module_name = 'session' AND send_ts_ms IS NOT NULL
+    GROUP BY date_trunc('day', epoch_ms(send_ts_ms))
+    """,
+    description="P6+A2: derived latency with frozen now + windowed avg",
+)
+def pipeline_delay_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    now_ms_value = e.agg((F.max(F.unix_millis("ts")) + 60000).alias("v")) \
+        .collect()[0]["v"]  # scalar config, not a data-path collect
+    msgs = messages_from_events(e)
+    delays = split_branches(msgs, now_ms=F.lit(now_ms_value)).delays
+    return (
+        delays.groupBy(F.date_trunc("day", F.timestamp_millis("send_ts_ms"))
+                       .alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_msgs"),
+             (F.sum("delay_ms").cast("double") / F.count(F.lit(1)))
+                 .alias("avg_delay_ms"),
+             F.max("delay_ms").alias("max_delay_ms"))
+    )
+
+
+@query(
+    "pipeline_bulk_error_drop", "pipeline",
+    oracle=_ORACLE_PARSED + """
+    SELECT payload, COUNT(*) AS n
+    FROM parsed
+    WHERE module_name = 'session' AND payload != 'error'
+    GROUP BY payload
+    """,
+    description="K1 sink error-drop (CTSDBSink.java:120-123) as explicit filter",
+)
+def pipeline_bulk_error_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = messages_from_events(t(spark, sf_dir, "events"))
+    tails = split_branches(msgs, now_ms=F.lit(0)).session_tails
+    return (tails.filter(F.col("payload") != "error")
+            .groupBy("payload").agg(F.count(F.lit(1)).alias("n")))

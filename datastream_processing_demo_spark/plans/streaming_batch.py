@@ -1,1 +1,91 @@
-"""streaming_batch plans (filled in incrementally)."""
+"""Batch-form window operators (oracle-checked value semantics for the
+streaming layer).
+
+The window logic lives in streaming/windows.py and is IDENTICAL for
+batch and streaming frames; tests/test_streaming.py proves
+stream-batch equivalence by replaying events through a file source.
+Here the batch form is proven value-exact against DuckDB (which has no
+window()/session_window(): tumbling/sliding become epoch-bucket
+arithmetic, session windows become gaps-and-islands).
+
+Spark's window() aligns to the 1970 epoch; make_timestamp(µs) keeps the
+oracle timestamps naive (DuckDB to_timestamp would produce TIMESTAMPTZ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
+from ._util import t
+from .registry import query
+
+_6H = 6 * 3600
+
+
+@query(
+    "stream_tumbling_window", "streaming",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / {_6H}) * {_6H} AS BIGINT) * 1000000)
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="tumbling event-time window (epoch-aligned) + exact sums",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(t(spark, sf_dir, "events"), width="6 hours")
+
+
+@query(
+    "stream_sliding_window", "streaming",
+    oracle=f"""
+    SELECT window_start, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM (
+        SELECT make_timestamp(
+                   (CAST(floor(epoch(ts) / {_6H}) * {_6H} AS BIGINT)
+                    - {_6H} * shift.i) * 1000000) AS window_start,
+               user_id
+        FROM events, (SELECT unnest([0, 1]) AS i) shift
+    )
+    GROUP BY window_start
+    """,
+    description="sliding window 12h/6h: each event in two windows",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(t(spark, sf_dir, "events"),
+                          width="12 hours", slide="6 hours")
+
+
+@query(
+    "stream_session_window", "streaming",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id
+    FROM islands
+    GROUP BY user_id, sess_no
+    """,
+    description="session windows (30 min gap) == gaps-and-islands in SQL",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(t(spark, sf_dir, "events"), gap="30 minutes")

@@ -1,0 +1,226 @@
+"""Structured Streaming correctness (SURVEY.md §5.2 item 3).
+
+- stream-batch equivalence: replaying events through a file-stream
+  source in bounded micro-batches produces the same windowed results as
+  the batch computation of the same logic;
+- the reference three-way-split pipeline (parse -> route -> delay ->
+  sinks) end-to-end under foreachBatch with a frozen clock;
+- stateful dedup across micro-batches (dropDuplicatesWithinWatermark);
+- checkpoint recovery: re-running with the same checkpoint processes
+  new data exactly once into the file sink.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datastream_processing_demo_spark.catalog import load_table
+from datastream_processing_demo_spark.schemas import EVENTS
+from datastream_processing_demo_spark.streaming.messages import messages_from_events
+from datastream_processing_demo_spark.streaming.pipeline import (
+    run_pipeline_stream,
+    split_branches,
+)
+from datastream_processing_demo_spark.streaming.sinks import (
+    HttpBulkWriter,
+    MetricAvgReporter,
+)
+from datastream_processing_demo_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_windows,
+    tumbling_counts,
+)
+
+N_CHUNKS = 5
+
+
+def _write_chunks(pdf, out_dir: str, n_chunks: int = N_CHUNKS) -> None:
+    """Write a pandas frame as n ts-ordered parquet files (µs timestamps,
+    so the stream source needs no nanos handling)."""
+    os.makedirs(out_dir, exist_ok=True)
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    for i in range(0, len(pdf), step):
+        table = pa.Table.from_pandas(pdf.iloc[i:i + step], preserve_index=False)
+        pq.write_table(table, os.path.join(out_dir, f"chunk-{i:06d}.parquet"),
+                       coerce_timestamps="us", allow_truncated_timestamps=True)
+
+
+@pytest.fixture(scope="module")
+def events_pdf(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").orderBy("ts", "event_id").toPandas()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+@pytest.fixture()
+def stream_dir(events_pdf, tmp_path):
+    d = str(tmp_path / "events_stream")
+    _write_chunks(events_pdf, d)
+    return d
+
+
+def _run_to_memory(stream_df, name: str, mode: str) -> None:
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(timeout=120)
+
+
+def test_stream_batch_equivalence_tumbling(spark, stream_dir):
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    _run_to_memory(tumbling_counts(src), "tumbling_stream", "complete")
+    got = spark.sql("SELECT * FROM tumbling_stream").toPandas()
+
+    batch = tumbling_counts(spark.read.schema(EVENTS).parquet(stream_dir)).toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key, ignore_index=True)
+    batch = batch.sort_values(key, ignore_index=True)
+    assert got.equals(batch), "streamed tumbling windows != batch computation"
+
+
+def test_stream_batch_equivalence_session_append(spark, events_pdf, tmp_path):
+    # sentinel event far in the future advances the watermark so append
+    # mode finalizes every real session before the stream ends
+    sentinel = events_pdf.iloc[[-1]].copy()
+    sentinel["ts"] = sentinel["ts"] + pd_timedelta_days(10)
+    sentinel["user_id"] = -1
+    sentinel["event_id"] = 10_000_000
+    d = str(tmp_path / "events_sentinel")
+    _write_chunks(events_pdf, d)
+    _write_chunks(sentinel, str(tmp_path / "sentinel_tmp"), 1)
+    os.rename(glob.glob(str(tmp_path / "sentinel_tmp" / "*.parquet"))[0],
+              os.path.join(d, "zz-sentinel.parquet"))  # lexically last
+
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    _run_to_memory(session_windows(src), "session_stream", "append")
+    got = spark.sql("SELECT * FROM session_stream WHERE user_id >= 0").toPandas()
+
+    batch = session_windows(
+        spark.read.schema(EVENTS).parquet(d).filter(F.col("user_id") >= 0)
+    ).toPandas()
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key, ignore_index=True)
+    batch = batch.sort_values(key, ignore_index=True)
+    assert got.equals(batch), "streamed session windows != batch computation"
+
+
+def pd_timedelta_days(days: int):
+    import pandas as pd
+    return pd.Timedelta(days=days)
+
+
+def test_pipeline_three_way_split_end_to_end(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    frozen_now = events.agg((F.max(F.unix_millis("ts")) + 60000).alias("v")) \
+        .collect()[0]["v"]
+
+    # materialize messages as a 2-file stream source
+    msgs_pdf = messages_from_events(events).toPandas()
+    src_dir = str(tmp_path / "msgs")
+    _write_chunks(msgs_pdf, src_dir, n_chunks=2)
+
+    main_dir = str(tmp_path / "main_out")
+    bulk_dir = str(tmp_path / "bulk_spool")
+    metric_dir = str(tmp_path / "metric_spool")
+
+    src = spark.readStream.schema("value string") \
+        .option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = run_pipeline_stream(
+        src, checkpoint_dir=str(tmp_path / "ckpt"), main_out_dir=main_dir,
+        bulk_writer=HttpBulkWriter(bulk_dir, batch_size=100),
+        metric_reporter=MetricAvgReporter(metric_dir),
+        now_ms=F.lit(frozen_now))
+    q.awaitTermination(timeout=180)
+
+    # golden: batch evaluation of the same branches
+    golden = split_branches(messages_from_events(events), now_ms=F.lit(frozen_now))
+
+    # main branch: every message passes through exactly once
+    main_rows = spark.read.parquet(main_dir).count()
+    assert main_rows == golden.main.count() == events.count()
+
+    # bulk sink: session payloads minus the literal 'error', idempotent ids
+    docs = []
+    for path in glob.glob(os.path.join(bulk_dir, "*.ndjson")):
+        with open(path, encoding="utf-8") as f:
+            docs += [json.loads(line) for line in f if line.strip()]
+    golden_tails = sorted(
+        r["payload"] for r in golden.session_tails
+        .filter(F.col("payload") != "error").collect())
+    assert sorted(d["doc"] for d in docs) == golden_tails
+    assert len({d["_id"] for d in docs}) == len(docs), "bulk doc ids not unique"
+
+    # metric sink: per-batch avg delays combine to the golden global avg
+    metrics = [json.load(open(p, encoding="utf-8"))
+               for p in glob.glob(os.path.join(metric_dir, "*.json"))]
+    n_total = sum(m["n"] for m in metrics)
+    golden_delays = golden.delays.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("delay_ms").alias("s")).collect()[0]
+    assert n_total == golden_delays["n"]
+    weighted = sum(m["avg_delay_ms"] * m["n"] for m in metrics) / n_total
+    assert abs(weighted - golden_delays["s"] / golden_delays["n"]) < 1e-6
+
+
+def test_dedup_within_watermark(spark, events_pdf, tmp_path):
+    d = str(tmp_path / "dup_stream")
+    _write_chunks(events_pdf, d, n_chunks=2)
+    # duplicate the FIRST chunk's rows as a third file (cross-batch dups)
+    first = events_pdf.iloc[:len(events_pdf) // 2]
+    _write_chunks(first, str(tmp_path / "dup_tmp"), 1)
+    os.rename(glob.glob(str(tmp_path / "dup_tmp" / "*.parquet"))[0],
+              os.path.join(d, "chunk-zz-dup.parquet"))
+
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    deduped = dedup_within_watermark(src, watermark="30 days")
+    _run_to_memory(deduped.select("event_id"), "dedup_stream", "append")
+    got = spark.sql("SELECT event_id FROM dedup_stream").toPandas()["event_id"]
+    assert len(got) == len(events_pdf)
+    assert got.is_unique
+
+
+def test_checkpoint_recovery_exactly_once_file_sink(spark, events_pdf, tmp_path):
+    src_dir = str(tmp_path / "msgs2")
+    out = {"main": str(tmp_path / "main2"), "ckpt": str(tmp_path / "ckpt2"),
+           "bulk": str(tmp_path / "bulk2"), "metric": str(tmp_path / "metric2")}
+    half = len(events_pdf) // 2
+
+    def start_and_wait():
+        src = spark.readStream.schema("value string").parquet(src_dir)
+        q = run_pipeline_stream(
+            src, checkpoint_dir=out["ckpt"], main_out_dir=out["main"],
+            bulk_writer=HttpBulkWriter(out["bulk"]),
+            metric_reporter=MetricAvgReporter(out["metric"]),
+            now_ms=F.lit(0))
+        q.awaitTermination(timeout=180)
+
+    import pandas as pd
+    first = pd.DataFrame({"value": [f"{'session':<16}{'1700000000000':<16}"
+                                    + " " * 32 + f'{{"k": {i}}}'
+                                    for i in range(half)]})
+    _write_chunks(first, src_dir, 1)
+    start_and_wait()
+    n1 = spark.read.parquet(out["main"]).count()
+    assert n1 == half
+
+    second = pd.DataFrame({"value": [f"{'other':<16}{'1700000000000':<16}"
+                                     + " " * 32 + "tail"
+                                     for _ in range(10)]})
+    _write_chunks(second, str(tmp_path / "second_tmp"), 1)
+    os.rename(glob.glob(str(tmp_path / "second_tmp" / "*.parquet"))[0],
+              os.path.join(src_dir, "zz-second.parquet"))
+    start_and_wait()
+    # restart from checkpoint: old rows NOT reprocessed, new ones appear once
+    assert spark.read.parquet(out["main"]).count() == half + 10
