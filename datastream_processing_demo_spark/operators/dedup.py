@@ -1,0 +1,177 @@
+"""Near-duplicate detection: word-shingling, exact n-gram Jaccard via an
+inverted-index self-join, MinHash signatures + LSH banding, SimHash
+(SURVEY.md §2.2 LLM-ext near-dup row).
+
+Scale design (the part that matters at 100 TB):
+- Exact pairwise Jaccard is NEVER computed all-pairs: candidate pairs
+  come from an inverted index (join on shared shingle), so cost is
+  Σ posting-list², not n². Hot shingles can be capped (df ceiling) the
+  same way search engines drop stop-shingles.
+- MinHash+LSH replaces the shingle join at extreme scale: signatures
+  are H mins per doc (one pass), banding shuffles docs by (band, band
+  hash) — candidates only collide within a bucket. H and band geometry
+  pick the similarity threshold (b bands of r rows: threshold ≈
+  (1/b)^(1/r)).
+- Everything is built-in expressions (xxhash64 is JVM/codegen);
+  no Python in any data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as an array column (distinct not applied)."""
+    words = F.split(text_col, " ")
+    n_sh = F.size(words) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exploded DISTINCT shingles per document: the inverted-index rows."""
+    return (
+        docs.select(id_col, F.explode(F.array_distinct(shingles_col(text_col, n)))
+                    .alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing >=1
+    shingle. Returns (doc_a, doc_b, common, size_a, size_b, jaccard).
+
+    Inverted-index join => only docs sharing a shingle ever meet;
+    the final jaccard is integers + one division (cross-engine exact).
+    """
+    sh = doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = (F.col("common").cast("double")
+           / (F.col("size_a") + F.col("size_b") - F.col("common")))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash signature per doc: sig[h] = min over shingles of
+    xxhash64(shingle, h). One explode + one hash-aggregate pass."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    mins = [F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}")
+            for h in range(num_hashes)]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"h{h}" for h in range(num_hashes)])
+                      .alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature, bucket by (band index, band content hash),
+    emit distinct co-bucketed pairs. Shuffle key is the bucket — at
+    scale this is the only join, and its fan-in per bucket is tiny."""
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                        b).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    l = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    r = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_col_df(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", bits: int = 63) -> DataFrame:
+    """63-bit SimHash per document (bit 63 omitted to keep the value a
+    non-negative long): per token hash, each bit position votes ±1;
+    positive totals set the bit."""
+    toks = docs.select(
+        id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        # pyspark's shiftright/shiftleft only take int literals; the SQL
+        # forms accept column shift amounts
+        "vote",
+        F.expr("(shiftright(h, bit) & 1) * 2 - 1"),
+    ).groupBy(id_col, "bit").agg(F.sum("vote").alias("total"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("total") > 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming, via PIGEONHOLE
+    blocking: the 63 bits split into max_hamming+1 blocks — any pair
+    within the distance budget must agree on at least one whole block
+    (GUARANTEED recall), so the self-join runs per (block index, block
+    value) bucket instead of all-pairs."""
+    n_blocks = max_hamming + 1
+    bits_per = 63 // n_blocks
+    blocked = simhashes.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.expr(f"(shiftright(simhash, {i * bits_per})"
+                       f" & {(1 << bits_per) - 1})").alias("block_val"),
+            ) for i in range(n_blocks)
+        ])).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    a = blocked.select(F.col(id_col).alias("doc_a"),
+                       F.col("simhash").alias("sim_a"),
+                       "block_idx", "block_val")
+    b = blocked.select(F.col(id_col).alias("doc_b"),
+                       F.col("simhash").alias("sim_b"),
+                       "block_idx", "block_val")
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

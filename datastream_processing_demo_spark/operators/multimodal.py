@@ -1,0 +1,96 @@
+"""Multimodal column plumbing (SURVEY.md §2.2 LLM-ext multimodal row):
+opaque binary payload columns with typed metadata, a decode/feature
+pandas-UDF stage, and frame sampling over chunked payloads.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (features derived from the bytes themselves) behind
+`decode_image_real`, which raises NotImplementedError — the Spark-side
+plumbing (BinaryType columns, mapInPandas batch iteration, schema,
+partitioning) is real and tested, and swapping the fake for a codec
+(PIL/ffmpeg) changes one function.
+
+Scale notes: binary payloads ride in parquet as BYTE_ARRAY — scans
+prune them unless projected; mapInPandas streams Arrow batches so a
+partition of 100 MB images never materializes as one Python object;
+frame arrays stay bounded (sampling happens inside the expression, not
+after explode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FRAME_BYTES = 16  # synthetic "frame" chunk size for the frame-sampling op
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real codec hook — not available in this container (no PIL/ffmpeg).
+
+    Cited stub per the project brief; replace with e.g. PIL.Image.open
+    on a cluster image that ships codecs."""
+    raise NotImplementedError("image codecs not available in this container")
+
+
+def fake_decode_features(payload: bytes) -> dict:
+    """Deterministic fake decode: 'image' metadata derived from bytes.
+    Keeps the full pipeline testable without codecs."""
+    n = len(payload)
+    return {
+        "width": n % 640,
+        "height": (n * 7) % 480,
+        "channels": 3,
+        "first_byte": payload[0] if n else -1,
+    }
+
+
+def to_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload column + typed metadata — the
+    multimodal table shape (payload BINARY, meta STRUCT)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+            F.lower(F.hex(payload)).substr(1, 8).alias("magic_hex"),
+        ),
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode/feature stage: binary in, typed features out.
+    Arrow-batched; the decode function is pluggable (fake here)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(fake_decode_features)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "width": feats.map(lambda d: d["width"]),
+                "height": feats.map(lambda d: d["height"]),
+                "channels": feats.map(lambda d: d["channels"]),
+                "first_byte": feats.map(lambda d: d["first_byte"]),
+            })
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema="doc_id long, width long, height long, channels long, first_byte long")
+
+
+def frames_col(text_col: str = "text", frame_bytes: int = FRAME_BYTES) -> Column:
+    """Chunk a payload into fixed-size 'frames' (array<binary>)."""
+    n_frames = F.ceil(F.length(text_col) / frame_bytes).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.encode(
+            F.substring(F.col(text_col), i * frame_bytes + 1, frame_bytes), "UTF-8"),
+    )
+
+
+def sample_frames(frames: Column, every: int = 3) -> Column:
+    """Keep every k-th frame (0-based index) — the frame-sampling op."""
+    return F.filter(frames, lambda x, i: i % every == 0)

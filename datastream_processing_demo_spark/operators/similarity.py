@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (SURVEY.md §2.2 LLM-ext
+similarity row): exact cosine, brute-force top-k, and an LSH-bucketed
+approximate variant for the scale path.
+
+Scale design:
+- Brute-force top-k is the CORRECTNESS baseline: broadcast the (small)
+  query set against the corpus — one narrow pass over the big side, a
+  partial top-k per partition via window row_number (no global sort of
+  all pairs). Cost O(corpus × queries); right answer, only viable when
+  queries are few.
+- The SCALE path is sign-LSH: deterministic integer hyperplanes give
+  every vector a B-bit bucket code; candidates collide per bucket, so
+  the join degenerates to bucket-local comparisons. Recall is tunable
+  via B and multi-probe (probe Hamming-1 neighbors of the query code).
+- All math is double-precision Column expressions (sequential left
+  fold, reproducible); no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column | str) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+
+
+def cosine_col(a: Column | str, b: Column | str) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def bruteforce_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 6) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, rank per query.
+
+    Scores are rounded before ranking so ordering is reproducible
+    cross-engine; ties break on neighbor id.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_col("q_vec", "c_vec"), round_to))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _hyperplane(plane: int, dim: int = 64) -> list[float]:
+    """Deterministic integer 'hyperplane': coef j = ((p*31 + j*17) % 13) - 6.
+    Integer-valued, so sign decisions are exact in every engine."""
+    return [float(((plane * 31 + j * 17) % 13) - 6) for j in range(dim)]
+
+
+def lsh_bucket_col(vec_col: Column | str, n_planes: int = 12,
+                   dim: int = 64) -> Column:
+    """Sign-LSH bucket code: bit p = 1 iff dot(vec, plane_p) > 0."""
+    code = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
+        bit = F.when(dot_col(vec_col, plane) > 0,
+                     F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        code = code + bit
+    return code
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 12, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_to: int = 6,
+             multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+    With multiprobe, each query also probes every Hamming-1 neighbor of
+    its code (n_planes+1 probes) — the standard recall lever that costs
+    a broadcast fanout on the tiny query side, never a corpus rescan."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      lsh_bucket_col(vec_col, n_planes).alias("bucket"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       lsh_bucket_col(vec_col, n_planes).alias("bucket"))
+    if multiprobe:
+        probes = F.array(F.col("bucket"), *[
+            F.expr(f"CAST(bucket AS BIGINT) ^ {1 << p}") for p in range(n_planes)
+        ])
+        q = q.select("query_id", "q_vec",
+                     F.explode(probes).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", F.round(cosine_col("q_vec", "c_vec"), round_to))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             round_to: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs within label
+    blocks would be the scale path; here label-blocked to bound cost)."""
+    a = corpus.select(F.col(id_col).alias("doc_a"),
+                      F.col(vec_col).alias("vec_a"), "label")
+    b = corpus.select(F.col(id_col).alias("doc_b"),
+                      F.col(vec_col).alias("vec_b"), "label")
+    return (
+        a.join(b, "label")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", F.round(cosine_col("vec_a", "vec_b"), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

@@ -58,6 +58,59 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_jaccard", "dedup",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, common,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+    """,
+    description="exact 3-gram Jaccard near-dups via inverted-index join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+@query(
+    "dedup_minhash_lsh", "dedup",
+    oracle=None,  # xxhash64 signatures are engine-specific; property-tested
+    description="MinHash(32) + LSH(8 bands) candidate pairs (the scale path)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+    sigs = minhash_signatures(t(spark, sf_dir, "documents"), num_hashes=32, n=3)
+    return lsh_candidate_pairs(sigs, bands=8)
+
+
+@query(
+    "dedup_simhash", "dedup",
+    oracle=None,  # xxhash64-based; property-tested (hamming vs jaccard)
+    description="63-bit SimHash near-dup pairs (hamming <= 8), block-joined",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_col_df, simhash_near_pairs
+    return simhash_near_pairs(simhash_col_df(t(spark, sf_dir, "documents")),
+                              max_hamming=8)
+
+
+@query(
     "dedup_content_hash", "dedup",
     oracle="""
     SELECT md5(text) AS content_hash,

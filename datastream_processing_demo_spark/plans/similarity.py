@@ -1,1 +1,79 @@
-"""similarity plans (filled in incrementally)."""
+"""Similarity-search queries over `embeddings` (SURVEY.md §2.2 LLM-ext).
+
+Brute-force cosine top-k is oracle-checked exactly (scores rounded to
+1e-6 before ranking on both engines — raw cosines agree to ~1e-15, so
+the rounded grid is stable); the LSH variant is the scale path, checked
+rows-only here and by a recall property test against brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    bruteforce_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from ._util import t
+from .registry import query
+
+_COS = ("ROUND(list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)")
+
+
+@query(
+    "sim_bruteforce_topk", "similarity",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+               FROM embeddings),
+         scored AS (
+             SELECT query_id, neighbor_id, {_COS} AS score
+             FROM q, c WHERE query_id != neighbor_id),
+         ranked AS (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS rank
+             FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    description="exact brute-force cosine top-5 for 10 query vectors",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return bruteforce_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "sim_lsh_topk", "similarity",
+    oracle=None,  # approximate (bucket pruning); recall property-tested
+    description="sign-LSH bucketed approximate top-k (the 100 TB path)",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8)
+
+
+@query(
+    "sim_embedding_near_dup", "similarity",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    """,
+    description="embedding-cosine near-dup pairs, label-blocked",
+)
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)

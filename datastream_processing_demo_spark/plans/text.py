@@ -1,1 +1,176 @@
-"""text plans (filled in incrementally)."""
+"""Text-analysis queries over `documents` (SURVEY.md §2.2 LLM-ext).
+
+Oracles re-express each operator's arithmetic in DuckDB SQL — same IEEE
+op sequence per row, so values match exactly without tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    BPE_TOKEN_RE,
+    fingerprint_col,
+    lang_id_col,
+    normalized_md5_col,
+    quality_cols,
+    token_counts,
+    words_col,
+)
+from ._util import t
+from .registry import query
+
+
+@query(
+    "text_token_stats", "text",
+    oracle=rf"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+           length(text) AS n_chars_measured,
+           n_chars AS n_chars_recorded
+    FROM documents
+    """,
+    description="token counting: whitespace + BPE-ish regex classes",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cols = token_counts("text")
+    return d.select(
+        "doc_id",
+        cols["n_ws_tokens"].alias("n_ws_tokens"),
+        cols["n_bpe_tokens"].alias("n_bpe_tokens"),
+        cols["n_chars_measured"].alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_recorded"),
+    )
+
+
+_MARKER_SQL = {
+    "en": "('the','a','and','of')",
+    "es": "('el','la','los','de')",
+    "de": "('der','die','und','das')",
+    "fr": "('le','les','et','des')",
+    "zh": "('的','是','了','在')",
+}
+_COUNTS_SQL = ",\n".join(
+    f"len(list_filter(string_split(text,' '), w -> w IN {s})) AS c_{lang}"
+    for lang, s in _MARKER_SQL.items())
+_BEST_SQL = "greatest(c_en, c_es, c_de, c_fr, c_zh)"
+_CASE_SQL = ("CASE "
+             + " ".join(f"WHEN c_{lang} > 0 AND c_{lang} = {_BEST_SQL} "
+                        f"THEN '{lang}'" for lang in _MARKER_SQL)
+             + " ELSE 'und' END")
+
+
+@query(
+    "text_lang_id", "text",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_recorded, {_COUNTS_SQL}
+        FROM documents
+    )
+    SELECT doc_id, lang_recorded, {_CASE_SQL} AS lang_pred,
+           CAST(c_en AS BIGINT) AS en_markers
+    FROM scored
+    """,
+    description="stopword-marker language ID heuristic (argmax, fixed ties)",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    from ..operators.text import LANG_MARKERS, marker_count
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_recorded"),
+        lang_id_col("text").alias("lang_pred"),
+        marker_count(words_col("text"), LANG_MARKERS["en"]).alias("en_markers"),
+    )
+
+
+@query(
+    "text_quality_score", "text",
+    oracle=r"""
+    SELECT doc_id,
+           (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text,' ')) AS DOUBLE) - 1))
+               / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_word_len,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter(string_split(text,' '),
+                    w -> w IN ('the','a','and','of'))) AS DOUBLE)
+               / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio,
+           least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) * 0.3
+           + least(CAST(len(list_filter(string_split(text,' '),
+                        w -> w IN ('the','a','and','of'))) AS DOUBLE)
+                   / CAST(len(string_split(text,' ')) AS DOUBLE) * 5.0, 1.0) * 0.3
+               AS quality_score
+    FROM documents
+    """,
+    description="quality scoring: word length / punctuation / stopword ratios",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cols = quality_cols("text")
+    return d.select("doc_id", *(c.alias(n) for n, c in cols.items()))
+
+
+@query(
+    "text_bigram_tf", "text",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    )
+    SELECT t1.tok || ' ' || t2.tok AS bigram,
+           COUNT(*) AS tf,
+           COUNT(DISTINCT t1.doc_id) AS df
+    FROM toks t1
+    JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    GROUP BY bigram
+    HAVING COUNT(*) >= 10
+    """,
+    description="word bigram term/document frequencies (n-gram TF)",
+)
+def text_bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    words = words_col("text")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("tf"),
+             F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("tf") >= 10)
+    )
+
+
+@query(
+    "text_fingerprint", "text",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                       w -> CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 31
+                            + CAST(length(w) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_md5
+    FROM documents
+    """,
+    description="rolling-hash document fingerprint + normalized content md5",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_col("text").alias("fingerprint"),
+        normalized_md5_col("text").alias("content_md5"),
+    )
