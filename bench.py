@@ -1,0 +1,86 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): wall-clock sec/query, median of 3 warm runs
+(1 untimed warm-up first), full materialization through the noop sink
+(no driver-side collect — measures the distributed plan, which is what
+scales). `value` = sum of per-query medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datastream_processing_demo_spark.plans.registry import all_queries
+from datastream_processing_demo_spark.session import EngineConfig, get_session
+
+HEADLINE = [
+    "q1_pricing_summary",      # scan + filter + hash agg + sort
+    "join_inner_3way",         # fact->orders->customer joins
+    "join_broadcast_star",     # star join, broadcast dims
+    "join_semi",               # semi join
+    "agg_groupby_family",      # wide aggregate family
+    "agg_cube",                # cube
+    "agg_distinct",            # multi count-distinct
+    "win_ranking",             # full-table window functions
+    "win_topk_per_group",      # top-k idiom
+    "sort_multikey_limit",     # global sort + limit
+    "setop_union_all",         # set op
+    "json_extract",            # JSON path extraction
+    "array_higher_order",      # array folds
+    "stream_tumbling_window",  # event-time windows (batch form)
+    "stream_session_window",   # session windows
+    "pipeline_delay_metric",   # reference pipeline parse+route+delay
+    "text_bigram_tf",          # n-gram TF (explode-heavy)
+    "dedup_ngram_jaccard",     # inverted-index near-dup join
+    "dedup_minhash_lsh",       # MinHash+LSH banding
+    "sim_bruteforce_topk",     # brute-force ANN baseline
+    "udf_pandas_vectorized",   # Arrow UDF path
+    "mm_decode_features",      # mapInPandas multimodal stage
+]
+
+RUNS = 3
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(EngineConfig(app_name="bench"))
+    specs = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        _materialize(spec.spark(spark, sf_dir))  # warm-up (scan cache, JIT)
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            _materialize(spec.spark(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ def load_all() -> None:
         json_array,
         udfs,
         pipeline_batch,
+        sql_surface,
         streaming_batch,
         text,
         dedup,

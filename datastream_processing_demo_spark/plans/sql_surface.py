@@ -1,0 +1,153 @@
+"""SQL-text surface + file-source scans + range frames — §2.2 rows not
+yet covered elsewhere: the engine's queries are equally expressible as
+SQL over registered views (Catalyst produces the same plan), CSV/JSON
+scans carry explicit schemas, and window frames support RANGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import register_views
+from ..sources.files import read_csv_with_schema, read_json_with_schema
+from ._util import oracle_exact_sum, t
+from .registry import query
+
+
+@query(
+    "sql_q3_shipping_priority", "sql_surface",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 20
+    """,
+    description="TPC-H Q3 shape via spark.sql over registered views",
+)
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(f"""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                             AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 20
+    """)
+
+
+@query(
+    "sql_q5_local_supplier", "sql_surface",
+    oracle=f"""
+    SELECT n.n_name,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    description="TPC-H Q5 shape: 6-table join via spark.sql",
+)
+def sql_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir,
+                   ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    return spark.sql("""
+        SELECT n.n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                             AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY n.n_name
+    """)
+
+
+@query(
+    "source_csv_scan", "sql_surface",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    description="CSV scan with explicit schema (no inference)",
+)
+def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_csv_with_schema(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@query(
+    "source_json_scan", "sql_surface",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           MAX(s_acctbal) AS max_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    description="JSON-lines scan with explicit schema",
+)
+def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_json_with_schema(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("s_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "win_range_frame", "sql_surface",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+               AS n_within_10k,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / 100.0 AS sum_within_10k
+    FROM orders
+    """,
+    description="RANGE window frame (value-based bounds)",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+         .rangeBetween(-10000, W.currentRow))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("sum_within_10k"),
+    )
