@@ -33,34 +33,90 @@ def shingles_col(text_col: str = "text", n: int = 3):
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text", n: int = 3) -> DataFrame:
-    """Exploded DISTINCT shingles per document: the inverted-index rows."""
-    return (
-        docs.select(id_col, F.explode(F.array_distinct(shingles_col(text_col, n)))
-                    .alias("shingle"))
-    )
+                 text_col: str = "text", n: int = 3,
+                 hash_keys: bool = True) -> DataFrame:
+    """Exploded DISTINCT shingles per document: the inverted-index rows.
+
+    hash_keys=True replaces the shingle string with its xxhash64 — the
+    posting join then shuffles 8-byte keys instead of ~20-byte strings
+    (distinct-count semantics preserved up to 64-bit collisions,
+    ~1e-7 at millions of shingles)."""
+    sh = F.explode(F.array_distinct(shingles_col(text_col, n))).alias("shingle")
+    out = docs.select(id_col, sh)
+    if hash_keys:
+        out = out.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    return out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         n: int = 3, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs sharing >=1
-    shingle. Returns (doc_a, doc_b, common, size_a, size_b, jaccard).
+                        text_col: str = "text",
+                        prefix_filter: bool = False) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+    Returns (doc_a, doc_b, common, size_a, size_b, jaccard).
 
-    Inverted-index join => only docs sharing a shingle ever meet;
-    the final jaccard is integers + one division (cross-engine exact).
+    prefix_filter selects the PPJoin-style algorithm:
+    each doc's shingles are ordered rarest-first (global df ascending)
+    and only the first |d| - ceil(t*|d|) + 1 participate in the
+    candidate join — the prefix-filtering theorem guarantees any pair
+    with Jaccard >= t shares a prefix shingle, so NO pair is missed.
+    Candidates (few) are then verified against full shingle sets. This
+    replaces the naive posting join's Σ df² pair explosion with a join
+    on rare-shingle postings only.
+
+    Default is the naive posting join: measured on this corpus (tiny
+    ~30-word vocabulary, so even 'rare' shingles are hot and the prefix
+    still explodes) naive wins 4.7s vs 7.4s at sf0.1. On a real
+    Zipfian-vocabulary corpus at scale the inequality flips hard —
+    flip the flag when df distribution has an actual tail.
+
+    The final jaccard is integers + one division (cross-engine exact).
     """
     sh = doc_shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if prefix_filter:
+        from pyspark.sql import Window as W
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            sh.join(df_counts, "shingle")
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy(id_col).orderBy("df", "shingle")))
+        )
+        with_size = ranked.join(sizes, id_col)
+        prefix_len = (F.col("n_shingles")
+                      - F.ceil(F.col("n_shingles") * threshold) + 1)
+        prefix = with_size.filter(F.col("rn") <= prefix_len) \
+            .select(id_col, "shingle")
+        pa_ = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+        pb_ = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+        candidates = (
+            pa_.join(pb_, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct()
+        )
+        # verify candidates against FULL shingle sets
+        sh_a = sh.select(F.col(id_col).alias("doc_a"),
+                         F.col("shingle").alias("sh_a"))
+        sh_b = sh.select(F.col(id_col).alias("_db"),
+                         F.col("shingle").alias("sh_b"))
+        common = (
+            candidates.join(sh_a, "doc_a")
+            .join(sh_b, (F.col("doc_b") == F.col("_db")) &
+                        (F.col("sh_a") == F.col("sh_b")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
     jac = (F.col("common").cast("double")

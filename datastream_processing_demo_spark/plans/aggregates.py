@@ -186,6 +186,31 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_ordered_first_last", "aggregates",
+    oracle="""
+    SELECT user_id,
+           min_by(event_type, event_id) AS first_type,
+           max_by(event_type, event_id) AS last_type,
+           min_by(value, ts) AS first_value,
+           list_sort(list(event_type)) AS all_types
+    FROM events
+    GROUP BY user_id
+    """,
+    description="deterministic first/last via min_by/max_by + sorted collect_list",
+)
+def agg_ordered_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain first()/last() are order-undefined in a distributed agg; the
+    # engine idiom for "first by X" is min_by/max_by (deterministic)
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min_by("value", "ts").alias("first_value"),
+        F.array_sort(F.collect_list("event_type")).alias("all_types"),
+    )
+
+
+@query(
     "agg_approx", "aggregates",
     oracle=None,  # approx sketches are engine-specific; property-checked in tests
     description="approx_count_distinct (HLL) + percentile_approx; bounded-error",

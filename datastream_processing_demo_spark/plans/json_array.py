@@ -158,6 +158,39 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_zip_map_entries", "json_array",
+    oracle="""
+    SELECT doc_id,
+           map_extract(m, first_key)[1] AS first_key_len,
+           cardinality(m) AS n_entries,
+           first_key
+    FROM (
+        SELECT doc_id,
+               map(ks, list_transform(ks, k -> CAST(length(k) AS BIGINT))) AS m,
+               ks[1] AS first_key
+        FROM (
+            SELECT doc_id,
+                   list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3) AS ks
+            FROM documents
+        )
+    )
+    """,
+    description="arrays_zip + map_from_entries + cardinality/element_at",
+)
+def array_zip_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ks = F.slice(F.array_sort(F.array_distinct(F.split("text", " "))), 1, 3)
+    vs = F.transform(ks, lambda k: F.length(k).cast("long"))
+    m = F.map_from_entries(F.arrays_zip(ks, vs))
+    return d.select(
+        "doc_id",
+        F.element_at(m, F.element_at(ks, 1)).alias("first_key_len"),
+        F.size(F.map_keys(m)).cast("long").alias("n_entries"),
+        F.element_at(ks, 1).alias("first_key"),
+    )
+
+
+@query(
     "array_explode", "json_array",
     oracle="""
     SELECT doc_id,

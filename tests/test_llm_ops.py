@@ -45,6 +45,14 @@ def true_near_dups(docs):
             for r in ngram_jaccard_pairs(docs, threshold=0.8, n=3).collect()}
 
 
+def test_prefix_filtered_jaccard_matches_naive(docs):
+    naive = {(r["doc_a"], r["doc_b"], r["common"])
+             for r in ngram_jaccard_pairs(docs, 0.5, prefix_filter=False).collect()}
+    ppjoin = {(r["doc_a"], r["doc_b"], r["common"])
+              for r in ngram_jaccard_pairs(docs, 0.5, prefix_filter=True).collect()}
+    assert naive == ppjoin, "prefix filtering must be lossless"
+
+
 def test_minhash_lsh_recall(docs, true_near_dups):
     sigs = minhash_signatures(docs, num_hashes=32, n=3)
     cands = {(r["doc_a"], r["doc_b"])
