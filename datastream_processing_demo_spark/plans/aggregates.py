@@ -50,7 +50,7 @@ from .registry import query
               * CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)
               / COUNT(*))
            / (COUNT(*) - 1) / 10000.0 AS var_bal,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -74,7 +74,7 @@ def agg_groupby_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_mktsegment").alias("n_segments"),
         F.sqrt(_var).alias("stddev_bal"),
         _var.alias("var_bal"),
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
     )
 
 
@@ -192,7 +192,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            min_by(event_type, event_id) AS first_type,
            max_by(event_type, event_id) AS last_type,
            min_by(value, ts) AS first_value,
-           list_sort(list(event_type)) AS all_types
+           array_to_string(list_sort(list(event_type)), '|') AS all_types
     FROM events
     GROUP BY user_id
     """,
@@ -206,7 +206,7 @@ def agg_ordered_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", "event_id").alias("first_type"),
         F.max_by("event_type", "event_id").alias("last_type"),
         F.min_by("value", "ts").alias("first_value"),
-        F.array_sort(F.collect_list("event_type")).alias("all_types"),
+        F.array_join(F.array_sort(F.collect_list("event_type")), "|").alias("all_types"),
     )
 
 

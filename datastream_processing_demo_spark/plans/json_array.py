@@ -81,8 +81,8 @@ def json_tuple_tojson(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split(text, ' ')) AS n_tokens,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
            string_split(text, ' ')[1] AS first_token,
-           list_slice(string_split(text, ' '), 1, 3) AS head3,
-           list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS head3,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS vocab,
            len(list_distinct(string_split(text, ' '))) AS n_distinct
     FROM documents
     """,
@@ -96,8 +96,8 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).cast("long").alias("n_tokens"),
         F.array_contains(words, "spark").alias("has_spark"),
         F.element_at(words, 1).alias("first_token"),
-        F.slice(words, 1, 3).alias("head3"),
-        F.array_sort(F.array_distinct(words)).alias("vocab"),
+        F.array_join(F.slice(words, 1, 3), "|").alias("head3"),
+        F.array_join(F.array_sort(F.array_distinct(words)), "|").alias("vocab"),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
     )
 
@@ -137,7 +137,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            map_extract(m, 'lang')[1] AS lang_tag,
-           list_sort(map_keys(m)) AS tag_keys,
+           array_to_string(list_sort(map_keys(m)), '|') AS tag_keys,
            len(map_values(m)) AS n_tags
     FROM (
         SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
@@ -152,7 +152,7 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.element_at(m, "lang").alias("lang_tag"),
-        F.array_sort(F.map_keys(m)).alias("tag_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("tag_keys"),
         F.size(F.map_values(m)).cast("long").alias("n_tags"),
     )
 

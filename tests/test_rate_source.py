@@ -31,3 +31,18 @@ def test_rate_source_through_projection(spark):
         assert row["bucket"] == row["value"] % 10
     finally:
         q.stop()
+
+
+def test_console_sink_runs(spark):
+    """Console sink smoke (§2.2 sink row): starts, emits a batch, stops."""
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 50).load())
+    q = (src.writeStream.format("console")
+         .option("numRows", 5).outputMode("append").start())
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(0.5)
+        assert q.recentProgress, "console sink never processed a batch"
+    finally:
+        q.stop()
