@@ -44,12 +44,14 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sliding_window", "streaming",
     oracle=f"""
-    SELECT window_start, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
     FROM (
         SELECT make_timestamp(
                    (CAST(floor(epoch(ts) / {_6H}) * {_6H} AS BIGINT)
                     - {_6H} * shift.i) * 1000000) AS window_start,
-               user_id
+               value
         FROM events, (SELECT unnest([0, 1]) AS i) shift
     )
     GROUP BY window_start

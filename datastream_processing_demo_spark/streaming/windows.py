@@ -39,13 +39,16 @@ def tumbling_counts(events: DataFrame, width: str = "6 hours",
 
 def sliding_counts(events: DataFrame, width: str = "12 hours",
                    slide: str = "6 hours", watermark: str = "1 hour") -> DataFrame:
-    """Sliding window: each event lands in width/slide windows."""
+    """Sliding window: each event lands in width/slide windows.
+    Metrics are streaming-safe (exact DISTINCT aggregation is not
+    supported on streams; use approx_count_distinct there instead)."""
     e = with_watermark_if_streaming(events, watermark)
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         e.groupBy(F.window("ts", width, slide).alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.countDistinct("user_id").alias("n_users"))
-        .select(F.col("win.start").alias("window_start"), "n_events", "n_users")
+             (F.sum(cents).cast("double") / 100.0).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
     )
 
 

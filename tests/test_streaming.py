@@ -89,6 +89,19 @@ def test_stream_batch_equivalence_tumbling(spark, stream_dir):
     assert got.equals(batch), "streamed tumbling windows != batch computation"
 
 
+def test_stream_batch_equivalence_sliding(spark, stream_dir):
+    from datastream_processing_demo_spark.streaming.windows import sliding_counts
+
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    _run_to_memory(sliding_counts(src), "sliding_stream", "complete")
+    got = spark.sql("SELECT * FROM sliding_stream").toPandas()
+    batch = sliding_counts(spark.read.schema(EVENTS).parquet(stream_dir)).toPandas()
+    got = got.sort_values(["window_start"], ignore_index=True)
+    batch = batch.sort_values(["window_start"], ignore_index=True)
+    assert got.equals(batch), "streamed sliding windows != batch computation"
+
+
 def test_stream_batch_equivalence_session_append(spark, events_pdf, tmp_path):
     # sentinel event far in the future advances the watermark so append
     # mode finalizes every real session before the stream ends

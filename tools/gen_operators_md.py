@@ -35,6 +35,7 @@ CATEGORY_NOTES = {
     "pipeline": "reference-topology parity: fixed-width parse/route/delay (P2-P7, R1, A2, K1)",
     "streaming": "event-time windows in batch-checkable form (streaming proper in tests/)",
     "sql_surface": "SQL-text API, CSV/JSON sources, RANGE frames",
+    "subqueries": "scalar / IN / correlated subqueries, HAVING, NULL semantics",
     "text": "text analysis (LLM-pipeline)",
     "similarity": "embedding similarity search (LLM-pipeline)",
     "multimodal": "binary payload columns + decode plumbing (LLM-pipeline)",
