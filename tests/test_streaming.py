@@ -186,6 +186,76 @@ def test_pipeline_three_way_split_end_to_end(spark, sf_dir, tmp_path):
     assert abs(weighted - golden_delays["s"] / golden_delays["n"]) < 1e-6
 
 
+def test_stateful_running_totals_apply_in_pandas_with_state(spark, stream_dir):
+    from datastream_processing_demo_spark.streaming.stateful import (
+        batch_user_totals,
+        running_user_totals,
+    )
+
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    _run_to_memory(running_user_totals(src), "stateful_totals", "update")
+    got = spark.sql("""
+        SELECT user_id, n_events, total_value, n_purchases FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) AS rn
+            FROM stateful_totals) WHERE rn = 1
+    """).toPandas()
+
+    batch = batch_user_totals(
+        spark.read.schema(EVENTS).parquet(stream_dir)).toPandas()
+    got = got.sort_values("user_id", ignore_index=True)
+    batch = batch.sort_values("user_id", ignore_index=True)
+    assert got.equals(batch), "final per-user state != batch totals"
+    # update mode emitted intermediate rows too (one per key per batch seen)
+    n_emitted = spark.sql("SELECT COUNT(*) AS n FROM stateful_totals") \
+        .collect()[0]["n"]
+    assert n_emitted > len(batch), "no intermediate per-batch emissions seen"
+
+
+def test_stateful_idle_timeout_evicts_state(spark, tmp_path):
+    """A key idle past watermark+timeout is evicted; when it reappears
+    its running total restarts from zero instead of resuming."""
+    import pandas as pd
+    from datastream_processing_demo_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    def mk(ids, ts_h, user):
+        return pd.DataFrame({
+            "event_id": ids,
+            "ts": pd.to_datetime([f"2024-01-01 {h:02d}:00:00" for h in ts_h]),
+            "user_id": [user] * len(ids),
+            "event_type": ["view"] * len(ids),
+            "value": [1.0] * len(ids),
+            "props": ["{}"] * len(ids),
+        })
+
+    d = str(tmp_path / "evict_stream")
+    os.makedirs(d)
+    # file order = trigger order (maxFilesPerTrigger=1, lexicographic):
+    # b1: user 7 twice; b2/b3: user 8 far ahead (advances watermark, then
+    # fires user 7's timeout); b4: user 7 again -> fresh state
+    chunks = [mk([1, 2], [0, 1], 7), mk([3], [10], 8),
+              mk([4], [11], 8), mk([5], [12], 7)]
+    for i, c in enumerate(chunks):
+        pq.write_table(pa.Table.from_pandas(c, preserve_index=False),
+                       os.path.join(d, f"chunk-{i}.parquet"),
+                       coerce_timestamps="us")
+
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    totals = running_user_totals(src, watermark="0 seconds",
+                                 idle_timeout_ms=3_600_000)  # 1h idle
+    _run_to_memory(totals, "evict_totals", "update")
+    got = spark.sql("""
+        SELECT n_events FROM evict_totals WHERE user_id = 7
+        ORDER BY n_events""").toPandas()["n_events"].tolist()
+    # emissions: 2 (batch 1), then 1 (fresh state after eviction) — a
+    # surviving state would have emitted 3
+    assert got == [1, 2], f"expected eviction restart, got {got}"
+
+
 def test_dedup_within_watermark(spark, events_pdf, tmp_path):
     d = str(tmp_path / "dup_stream")
     _write_chunks(events_pdf, d, n_chunks=2)
