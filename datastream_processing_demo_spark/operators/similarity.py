@@ -118,6 +118,91 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def l2sq_col(a: Column, b: Column) -> Column:
+    """Squared L2 distance (sequential fold, deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _nearest_cells_expr(vec_col: Column | str, centroids: list,
+                        n_probe: int) -> Column:
+    """Array of the n_probe nearest cell_ids, as a pure projection: the
+    centroid table is index METADATA (n_cells × dim floats), embedded as
+    a literal so assignment costs zero shuffle — one codegen'd pass over
+    the vectors, exactly how a coarse quantizer should run at 100 TB."""
+    cells = F.array(*[
+        F.named_struct(
+            F.lit("l2"), l2sq_col(_as_double(vec_col),
+                                  F.array(*[F.lit(float(x)) for x in vec])),
+            F.lit("cell_id"), F.lit(cid))
+        for cid, vec in centroids
+    ])
+    # struct sort is lexicographic: by l2, then cell_id as the tiebreak
+    return F.transform(F.slice(F.array_sort(cells), 1, n_probe),
+                       lambda s: s["cell_id"])
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  lloyd_iters: int = 1) -> list:
+    """IVF coarse quantizer, fully deterministic: seeds are the n_cells
+    lowest-id corpus vectors, refined by `lloyd_iters` rounds of
+    assign-to-nearest + per-dimension mean. Returns [(cell_id, [float])].
+
+    Training cost per iteration is one shuffle of (cell_id, pos, x)
+    triples — at 100 TB you train on a sample once and persist the
+    centroids; serving never re-trains."""
+    rows = (corpus.orderBy(id_col).limit(n_cells)
+            .select(_as_double(vec_col).alias("v")).collect())
+    cent = [(i + 1, list(r["v"])) for i, r in enumerate(rows)]
+    for _ in range(lloyd_iters):
+        assigned = corpus.select(
+            F.element_at(_nearest_cells_expr(vec_col, cent, 1), 1)
+            .alias("cell_id"),
+            F.posexplode(_as_double(vec_col)).alias("pos", "x"))
+        means = (
+            assigned.groupBy("cell_id", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                             lambda s: s["m"]).alias("v"))
+            .collect())
+        cent = sorted((r["cell_id"], list(r["v"])) for r in means)
+    return cent
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_to: int = 6) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest cell;
+    each query scores only the members of its n_probe nearest cells.
+
+    Scale shape: cell assignment is a shuffle-free projection (literal
+    centroids); the candidate join broadcasts the exploded query side, so
+    per-query cost drops from O(corpus) to O(corpus × n_probe / n_cells).
+    A persisted index would be written partitionBy(cell_id) so probes
+    prune to n_probe partitions at scan time. Recall is tuned with
+    n_probe — the same lever as FAISS nprobe."""
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(
+        F.element_at(_nearest_cells_expr(vec_col, cent, 1), 1).alias("cell_id"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(
+        F.explode(_nearest_cells_expr(vec_col, cent, n_probe)).alias("cell_id"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        c.join(F.broadcast(q), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_col("q_vec", "c_vec"), round_to))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

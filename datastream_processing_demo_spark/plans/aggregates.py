@@ -222,3 +222,84 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_pivot", "aggregates",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+           coalesce(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0,
+                    0.0) AS F_sum,
+           coalesce(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0,
+                    0.0) AS O_sum,
+           coalesce(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100.0,
+                    0.0) AS P_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="pivot (long->wide): status columns per priority, explicit value list",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the explicit value list is the scale-correct form: without it Spark
+    # runs an extra distinct-values job over the fact table first
+    o = t(spark, sf_dir, "orders")
+    wide = (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)).alias("n"),
+                 exact_sum(F.col("o_totalprice"), 2).alias("sum")))
+    return wide.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"{s}_n") for s in "FOP"],
+        *[F.coalesce(F.col(f"{s}_sum"), F.lit(0.0)).alias(f"{s}_sum") for s in "FOP"],
+    )
+
+
+@query(
+    "agg_unpivot", "aggregates",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val
+    FROM part WHERE p_partkey <= 200
+    """,
+    description="unpivot/melt (wide->long): measure columns to (name, value) rows",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return (p.select("p_partkey", F.col("p_size").cast("double").alias("p_size"),
+                     "p_retailprice")
+            .unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "val"))
+
+
+@query(
+    "agg_percentile_exact", "aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.5) / 100.0, 6) AS median_price,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.9) / 100.0, 6) AS p90_price,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="exact percentiles (linear interpolation) on integer-cents grid",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact percentile (not the t-digest approx): both engines linearly
+    # interpolate at (n-1)*q over a sorted integer grid, so results match
+    # bit-for-bit after rounding
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(cents, F.lit(0.5)) / 100.0, 6).alias("median_price"),
+        F.round(F.percentile(cents, F.lit(0.9)) / 100.0, 6).alias("p90_price"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.25)), 6).alias("q1_qty"),
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     bruteforce_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from ._util import t
@@ -56,6 +57,17 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8)
+
+
+@query(
+    "sim_ivf_topk", "similarity",
+    oracle=None,  # approximate (cell pruning); recall property-tested
+    description="IVF cell-probed approximate top-k (FAISS-style coarse quantizer)",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10),
+                    k=5, n_cells=16, n_probe=4)
 
 
 @query(

@@ -30,6 +30,7 @@ from datastream_processing_demo_spark.operators.dedup import (
 from datastream_processing_demo_spark.operators.multimodal import decode_image_real
 from datastream_processing_demo_spark.operators.similarity import (
     bruteforce_topk,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -83,6 +84,20 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     # nonzero recall; the point is the bucketed plan shape, tunable via
     # planes/multi-probe
     assert recall >= 0.2, f"LSH ANN recall too low: {recall:.2f}"
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = bruteforce_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # measured ~0.96 at n_probe=4/n_cells=16; generous floor for stability
+    assert recall >= 0.7, f"IVF ANN recall too low: {recall:.2f}"
+    # every query must return a full (or cell-limited) candidate list
+    assert len({r["query_id"] for r in approx}) == 20
 
 
 def test_real_codec_hook_is_stubbed():
