@@ -207,3 +207,38 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "token"),
     ).select("doc_id", "token", "pos")
+
+
+@query(
+    "array_generators", "json_array",
+    oracle="""
+    SELECT p_partkey,
+           generate_series(1, (p_size % 6) + 3) AS seq,
+           generate_series(2, 12, 3) AS stepped,
+           list_transform(generate_series(1, 3), x -> p_size) AS repeated,
+           flatten([[p_size], [p_size + 1, p_size + 2]]) AS flat,
+           list_sort(list_distinct(
+               list_concat(generate_series(1, (p_size % 6) + 3),
+                           generate_series(2, 12, 3)))) AS unioned,
+           list_sort(list_distinct(list_filter(
+               generate_series(1, (p_size % 6) + 3),
+               x -> list_contains(generate_series(2, 12, 3), x)))) AS intersected
+    FROM part WHERE p_partkey <= 100
+    """,
+    description="sequence/array_repeat/flatten/array_union/array_intersect generators",
+)
+def array_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    seq = F.sequence(F.lit(1), (F.col("p_size") % 6) + 3)
+    stepped = F.sequence(F.lit(2), F.lit(12), F.lit(3))
+    return p.select(
+        "p_partkey",
+        seq.alias("seq"),
+        stepped.alias("stepped"),
+        F.array_repeat(F.col("p_size"), 3).alias("repeated"),
+        F.flatten(F.array(F.array(F.col("p_size")),
+                          F.array(F.col("p_size") + 1, F.col("p_size") + 2)))
+            .alias("flat"),
+        F.array_sort(F.array_union(seq, stepped)).alias("unioned"),
+        F.array_sort(F.array_intersect(seq, stepped)).alias("intersected"),
+    )

@@ -324,3 +324,37 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-15 12:30:00").cast("timestamp").cast("string").alias("const_ts_str"),
         F.col("value").cast("long").alias("value_int"),
     )
+
+
+@query(
+    "fn_string_extended", "relational",
+    oracle="""
+    SELECT s_suppkey,
+           levenshtein(s_name, 'Supplier') AS edit_dist,
+           upper(substring(n_name, 1, 1)) || lower(substring(n_name, 2))
+               AS nation_title,
+           translate(n_name, 'AEIOU', 'aeiou') AS translated,
+           printf('%s#%05d', n_name, s_suppkey) AS formatted,
+           reverse(n_name) AS reversed,
+           ascii(n_name) AS first_code,
+           repeat(substring(n_name, 1, 2), 3) AS repeated
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    description="levenshtein/initcap/translate/format_string/reverse/ascii/repeat",
+)
+def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    j = s.join(n, s.s_nationkey == n.n_nationkey)
+    return j.select(
+        "s_suppkey",
+        F.levenshtein("s_name", F.lit("Supplier")).alias("edit_dist"),
+        # initcap on a single-token string (spelled out in the oracle)
+        F.initcap(F.lower("n_name")).alias("nation_title"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("translated"),
+        F.format_string("%s#%05d", F.col("n_name"), F.col("s_suppkey"))
+            .alias("formatted"),
+        F.reverse("n_name").alias("reversed"),
+        F.ascii("n_name").alias("first_code"),
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("repeated"),
+    )

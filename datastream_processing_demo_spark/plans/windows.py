@@ -139,3 +139,28 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
     )
+
+
+@query(
+    "win_dist_functions", "windows",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(percent_rank() OVER w, 9) AS pct_rank,
+           ROUND(cume_dist() OVER w, 9) AS cume,
+           nth_value(c_name, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS third_name
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+    """,
+    description="percent_rank / cume_dist / nth_value distribution windows",
+)
+def win_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.nth_value("c_name", 3).over(w_full).alias("third_name"),
+    )
