@@ -303,3 +303,70 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(cents, F.lit(0.9)) / 100.0, 6).alias("p90_price"),
         F.round(F.percentile(F.col("l_quantity"), F.lit(0.25)), 6).alias("q1_qty"),
     )
+
+
+@query(
+    "agg_bool_bitwise", "aggregates",
+    oracle="""
+    SELECT p_brand,
+           bool_and(p_size > 1) AS all_sized,
+           bool_or(p_size > 45) AS any_jumbo,
+           bit_and(CAST(p_size AS BIGINT)) AS size_bit_and,
+           bit_or(CAST(p_size AS BIGINT)) AS size_bit_or,
+           bit_xor(CAST(p_size AS BIGINT)) AS size_bit_xor
+    FROM part
+    GROUP BY p_brand
+    """,
+    description="bool_and/bool_or + bit_and/bit_or/bit_xor aggregates",
+)
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    size = F.col("p_size").cast("long")
+    return p.groupBy("p_brand").agg(
+        F.bool_and(F.col("p_size") > 1).alias("all_sized"),
+        F.bool_or(F.col("p_size") > 45).alias("any_jumbo"),
+        F.bit_and(size).alias("size_bit_and"),
+        F.bit_or(size).alias("size_bit_or"),
+        F.bit_xor(size).alias("size_bit_xor"),
+    )
+
+
+@query(
+    "agg_corr_covar", "aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                        * CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)
+                               AS DOUBLE)), 9)
+               AS corr_qty_disc,
+           ROUND((SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+                 / (COUNT(*) - 1) / 10000.0, 9) AS covar_qty_disc
+    FROM (SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+          FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    description="exact Pearson corr + sample covariance from integer sums",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corr/covar_samp from exact integer sums, same IEEE op sequence both
+    # engines — the built-in streaming-moment corr() is order-dependent
+    # in its float accumulation and won't hash-match
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"))
+    n, sx, sy = F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    return li.groupBy("l_returnflag").agg(
+        F.round((n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx).cast("double")
+                         * (n * syy - sy * sy).cast("double")), 9)
+            .alias("corr_qty_disc"),
+        F.round((sxy - sx * sy / n) / (n - 1) / 10000.0, 9)
+            .alias("covar_qty_disc"),
+    )

@@ -358,3 +358,59 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("n_name").alias("first_code"),
         F.repeat(F.substring("n_name", 1, 2), 3).alias("repeated"),
     )
+
+
+@query(
+    "fn_regexp_family", "relational",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '([a-z]{5,})') AS long_words,
+           len(regexp_extract_all(text, '[aeiou]{2}')) AS n_double_vowels,
+           regexp_matches(text, 'data|model') AS mentions_ml,
+           regexp_extract(text, '([a-z]+)ing', 1) AS first_ing_stem
+    FROM documents
+    WHERE doc_id <= 300
+    """,
+    description="regexp_extract_all / regexp_count / regexp_like / group extract",
+)
+def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("([a-z]{5,})"), F.lit(1)).alias("long_words"),
+        F.regexp_count("text", F.lit("[aeiou]{2}")).cast("long")
+            .alias("n_double_vowels"),
+        F.regexp_like("text", F.lit("data|model")).alias("mentions_ml"),
+        F.regexp_extract("text", "([a-z]+)ing", 1).alias("first_ing_stem"),
+    )
+
+
+@query(
+    "fn_date_extended", "relational",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS qtr,
+           weekofyear(o_orderdate) AS iso_week,
+           dayofweek(o_orderdate) + 1 AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+               AS plus_3_months,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    description="quarter/weekofyear/dayofweek/last_day/add_months/date_format",
+)
+def fn_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3_months"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )

@@ -91,3 +91,25 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query(
+    "stream_stream_join", "streaming",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           epoch_ms(p.ts) - epoch_ms(v.ts) AS ms_to_purchase,
+           p.value AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 6 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    description="stream-stream interval join (view->purchase attribution), batch form",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import view_purchase_attribution
+    return view_purchase_attribution(t(spark, sf_dir, "events"))

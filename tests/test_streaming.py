@@ -186,6 +186,24 @@ def test_pipeline_three_way_split_end_to_end(spark, sf_dir, tmp_path):
     assert abs(weighted - golden_delays["s"] / golden_delays["n"]) < 1e-6
 
 
+def test_stream_stream_join_equivalence(spark, stream_dir):
+    from datastream_processing_demo_spark.streaming.joins import (
+        view_purchase_attribution,
+    )
+
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    _run_to_memory(view_purchase_attribution(src), "ss_join", "append")
+    got = spark.sql("SELECT * FROM ss_join").toPandas()
+    batch = view_purchase_attribution(
+        spark.read.schema(EVENTS).parquet(stream_dir)).toPandas()
+    key = ["view_id", "purchase_id"]
+    got = got.sort_values(key, ignore_index=True)
+    batch = batch.sort_values(key, ignore_index=True)
+    assert len(batch) > 0, "test data produced no view->purchase pairs"
+    assert got.equals(batch), "streamed interval join != batch join"
+
+
 def test_stateful_running_totals_apply_in_pandas_with_state(spark, stream_dir):
     from datastream_processing_demo_spark.streaming.stateful import (
         batch_user_totals,
