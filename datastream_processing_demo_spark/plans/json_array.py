@@ -242,3 +242,49 @@ def array_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_union(seq, stepped)).alias("unioned"),
         F.array_sort(F.array_intersect(seq, stepped)).alias("intersected"),
     )
+
+
+@query(
+    "array_explode_outer_stack", "json_array",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE regexp_extract_all(text, '([a-z]{6,})') END AS arr,
+               lang, source
+        FROM documents WHERE doc_id <= 100
+    ), exploded AS (
+        -- explode_outer: NULL/empty arrays keep their row with NULL word
+        SELECT doc_id, CASE WHEN len(arr) > 0 THEN unnest(arr) END AS word
+        FROM base
+        UNION ALL
+        SELECT doc_id, NULL AS word FROM base
+        WHERE arr IS NULL OR len(arr) = 0
+    ), stacked AS (
+        -- stack(2, 'lang', lang, 'source', source): wide->long constants
+        SELECT doc_id, 'lang' AS attr, lang AS val FROM base
+        UNION ALL
+        SELECT doc_id, 'source' AS attr, source AS val FROM base
+    )
+    SELECT doc_id, word, NULL AS attr, NULL AS val FROM exploded
+    UNION ALL
+    SELECT doc_id, NULL, attr, val FROM stacked
+    """,
+    description="explode_outer (NULL-preserving) + stack (wide->long UDTF)",
+)
+def array_explode_outer_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    base = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+            .otherwise(F.regexp_extract_all("text", F.lit("([a-z]{6,})"),
+                                            F.lit(1))).alias("arr"),
+        "lang", "source")
+    exploded = base.select(
+        "doc_id", F.explode_outer("arr").alias("word"),
+        F.lit(None).cast("string").alias("attr"),
+        F.lit(None).cast("string").alias("val"))
+    stacked = base.select(
+        "doc_id", F.lit(None).cast("string").alias("word"),
+        F.expr("stack(2, 'lang', lang, 'source', source) AS (attr, val)"))
+    return exploded.unionAll(stacked)

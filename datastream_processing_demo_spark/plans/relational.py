@@ -414,3 +414,77 @@ def fn_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3_months"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
+
+
+@query(
+    "fn_try_family", "relational",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif(o_orderkey % 3, 0) AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN 'garbage'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS INTEGER)
+               AS safe_int,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_orderkey + 1 END AS safe_add,
+           ([o_orderkey, o_orderkey * 2])[CAST(o_orderkey % 4 AS INTEGER) + 1]
+               AS safe_elem,
+           coalesce(TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not a date'
+                             ELSE '2024-06-01 12:00:00' END AS TIMESTAMP),
+                    TIMESTAMP '1970-01-01 00:00:00') AS safe_ts
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    description="try_divide/try_cast/try_add/try_element_at/try_to_timestamp (ANSI-safe)",
+)
+def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4 runs ANSI mode: plain CAST/divide/add THROW on bad input
+    # (the reference would crash the task the same way,
+    # DataStreamProcessingJob.java:60); the try_* family is the engine's
+    # NULL-on-error escape hatch, P5 semantics done right
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    long_max = 9223372036854775807
+    return o.select(
+        "o_orderkey",
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias("safe_div"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("garbage"))
+            .otherwise(F.col("o_orderkey").cast("string")), F.lit("999999"))
+            .cast("int").alias("safe_int"),
+        F.try_add(
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(long_max))
+            .otherwise(F.col("o_orderkey")), F.lit(1)).alias("safe_add"),
+        F.try_element_at(F.array(F.col("o_orderkey"), F.col("o_orderkey") * 2),
+                         (F.col("o_orderkey") % 4).cast("int") + 1).alias("safe_elem"),
+        F.coalesce(
+            F.try_to_timestamp(
+                F.when(F.col("o_orderkey") % 3 == 0, F.lit("not a date"))
+                .otherwise(F.lit("2024-06-01 12:00:00"))),
+            F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("safe_ts"),
+    )
+
+
+@query(
+    "sample_bernoulli", "relational",
+    oracle=None,  # sampling is engine-specific; bounds property-tested
+    description="Bernoulli row sampling with fixed seed (reproducible)",
+)
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-partition Bernoulli draw — no shuffle, scales linearly; the
+    # seed fixes the draw so repeated runs return identical samples
+    li = t(spark, sf_dir, "lineitem")
+    return (li.sample(fraction=0.1, seed=42)
+            .select("l_orderkey", "l_linenumber", "l_returnflag"))
+
+
+@query(
+    "sample_stratified", "relational",
+    oracle=None,  # sampling is engine-specific; bounds property-tested
+    description="stratified sampling: per-stratum fractions via sampleBy",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-key fractions (downsample hot strata, keep rare ones whole) —
+    # the balance-a-training-corpus primitive; map-side only, no shuffle
+    li = t(spark, sf_dir, "lineitem")
+    sampled = li.sampleBy("l_returnflag",
+                          {"R": 0.05, "A": 0.10, "N": 0.20}, seed=7)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"))

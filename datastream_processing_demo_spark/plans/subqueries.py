@@ -153,3 +153,27 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("status_n").asc_nulls_first())
     )
+
+
+@query(
+    "subq_lateral_topn", "subqueries",
+    oracle="""
+    SELECT n.n_name, top.s_suppkey, top.s_name, top.s_acctbal
+    FROM nation n,
+         LATERAL (SELECT s_suppkey, s_name, s_acctbal
+                  FROM supplier s
+                  WHERE s.s_nationkey = n.n_nationkey
+                  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) top
+    """,
+    description="LATERAL correlated subquery (top-2 suppliers per nation)",
+)
+def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("nation", "supplier"))
+    return spark.sql("""
+        SELECT n.n_name, top.s_suppkey, top.s_name, top.s_acctbal
+        FROM nation n,
+             LATERAL (SELECT s_suppkey, s_name, s_acctbal
+                      FROM supplier s
+                      WHERE s.s_nationkey = n.n_nationkey
+                      ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) top
+    """)

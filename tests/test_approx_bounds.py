@@ -34,3 +34,32 @@ def test_approx_count_distinct_bounds(spark, sf_dir, oracle_con):
         rel = abs(row["approx_median_price"] - exact.loc[flag, "true_median"]) \
             / exact.loc[flag, "true_median"]
         assert rel < 0.05, f"{flag}: median rel err {rel}"
+
+
+def test_bernoulli_sample_bounds_and_reproducible(spark, sf_dir, oracle_con):
+    spec = all_queries()["sample_bernoulli"]
+    a = spec.spark(spark, sf_dir).collect()
+    b = spec.spark(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), \
+        "same seed must reproduce the same sample"
+    n_total = oracle_con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    # binomial(n, 0.1): allow 5 sigma
+    import math
+    sigma = math.sqrt(n_total * 0.1 * 0.9)
+    assert abs(len(a) - 0.1 * n_total) <= 5 * sigma, \
+        f"sample size {len(a)} far from {0.1 * n_total}"
+
+
+def test_stratified_sample_fractions(spark, sf_dir, oracle_con):
+    import math
+    spec = all_queries()["sample_stratified"]
+    got = {r["l_returnflag"]: r["n_sampled"]
+           for r in spec.spark(spark, sf_dir).collect()}
+    strata = dict(oracle_con.execute(
+        "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag"
+    ).fetchall())
+    for flag, frac in {"R": 0.05, "A": 0.10, "N": 0.20}.items():
+        n = strata[flag]
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(got.get(flag, 0) - frac * n) <= 5 * sigma, \
+            f"{flag}: {got.get(flag)} vs expected {frac * n}"
