@@ -67,3 +67,47 @@ def test_topk_prunes_before_shuffle(spark, sf_dir):
     # Catalyst's WindowGroupLimit applies the k-limit map-side BEFORE the
     # shuffle — the property that makes window top-k viable at 100 TB
     assert "WindowGroupLimit" in plan, "expected partial top-k pushdown"
+
+
+def test_q6_pushes_all_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_q6_revenue_forecast")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} filter must reach the parquet scan"
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    # cell assignment embeds the centroids as literals: the corpus side
+    # must flow scan -> project -> broadcast join with NO exchange before
+    # the join (the only exchange allowed is the window over tiny top-k
+    # candidates). No SMJ, no cartesian product anywhere.
+    plan = _plan(spark, sf_dir, "sim_ivf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    import re
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 1, \
+        f"corpus side must not shuffle for assignment: {exchanges}"
+
+
+def test_pivot_explicit_values_single_pass(spark, sf_dir):
+    # with the value list given, pivot is ONE aggregate over ONE scan —
+    # no extra distinct-values job, no second read of the fact table
+    import re
+    plan = _plan(spark, sf_dir, "agg_pivot")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, f"pivot must scan orders once: {scans}"
+
+
+def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "subq_correlated_exists")
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a semi join"
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, \
+        "LSH candidates must come from the bucket join, not all-pairs"
