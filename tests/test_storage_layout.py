@@ -1,0 +1,95 @@
+"""Storage-layout scale checks: bucketed co-located joins run with no
+exchange; partitioned directories prune at scan time. These are plan
+audits like tests/test_plans.py, but for layouts the engine WRITES."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datastream_processing_demo_spark.catalog import load_table
+from datastream_processing_demo_spark.sources.layout import (
+    read_partitioned,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed")
+    write_bucketed_table(load_table(spark, sf_dir, "lineitem"),
+                         "li_bucketed", str(root / "li"), "l_orderkey")
+    write_bucketed_table(load_table(spark, sf_dir, "orders"),
+                         "o_bucketed", str(root / "o"), "o_orderkey")
+    yield
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    li = spark.table("li_bucketed")
+    o = spark.table("o_bucketed")
+    joined = (li.hint("merge")
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+    plan = _explain(joined)
+    join_section = plan.split("HashAggregate")[0]
+    assert not re.findall(r"^\(\d+\) Exchange", join_section, re.M), \
+        "bucketed fact-fact join must not shuffle either side"
+    assert "SortMergeJoin" in plan
+
+
+def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
+    li = spark.table("li_bucketed")
+    o = spark.table("o_bucketed")
+    got = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy("o_orderstatus").collect())
+    li2 = load_table(spark, sf_dir, "lineitem")
+    o2 = load_table(spark, sf_dir, "orders")
+    want = (li2.join(o2, li2.l_orderkey == o2.o_orderkey)
+            .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("o_orderstatus").collect())
+    assert got == want
+
+
+def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(load_table(spark, sf_dir, "events"), out, "event_type")
+    df = read_partitioned(spark, out).filter(F.col("event_type") == "click")
+    plan = _explain(df)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "event_type" in pf, f"expected directory pruning, got {pf}"
+    # pruned scan reads only the matching partition directory
+    n_click = df.count()
+    n_all = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type") == "click").count()
+    assert n_click == n_all
+
+
+def test_partitioned_write_roundtrip_schema(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_rt")
+    events = load_table(spark, sf_dir, "events")
+    write_partitioned(events, out, "event_type")
+    back = read_partitioned(spark, out)
+    assert back.count() == events.count()
+    # partition column survives (as string directory key) + data columns
+    assert set(back.columns) == set(events.columns)
