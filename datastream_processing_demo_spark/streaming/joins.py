@@ -20,9 +20,13 @@ from pyspark.sql import functions as F
 
 
 def view_purchase_attribution(events: DataFrame, horizon: str = "6 hours",
-                              watermark: str = "1 hour") -> DataFrame:
-    """Inner join: purchases to same-user views within the preceding
-    `horizon`. Returns one row per (view, purchase) pair."""
+                              watermark: str = "1 hour",
+                              how: str = "inner") -> DataFrame:
+    """Join purchases to same-user views within the preceding `horizon`;
+    one row per (view, purchase) pair. how='left_outer' additionally
+    emits every unconverted view with NULL purchase columns — in a
+    stream those rows appear only once the watermark proves no matching
+    purchase can still arrive (state eviction = result emission)."""
     views = events.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
@@ -41,7 +45,7 @@ def view_purchase_attribution(events: DataFrame, horizon: str = "6 hours",
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
     )
     return (
-        views.join(purchases, cond, "inner")
+        views.join(purchases, cond, how)
         .select(F.col("v_user").alias("user_id"), "view_id", "purchase_id",
                 (F.unix_millis("purchase_ts")
                  - F.unix_millis("view_ts")).alias("ms_to_purchase"),

@@ -204,6 +204,47 @@ def test_stream_stream_join_equivalence(spark, stream_dir):
     assert got.equals(batch), "streamed interval join != batch join"
 
 
+def test_stream_stream_left_outer_join_equivalence(spark, events_pdf, tmp_path):
+    """Left-outer interval join: unconverted views emit NULL-extended
+    rows once the watermark passes them. The watermark a batch runs
+    with lags one batch behind the data (it is computed from the
+    previous batch's max event time), so several far-future sentinel
+    batches follow the data — the later ones give Spark batches in
+    which the advanced watermark actually evicts (= emits) the
+    remaining unmatched views."""
+    from datastream_processing_demo_spark.streaming.joins import (
+        view_purchase_attribution,
+    )
+
+    d = str(tmp_path / "outer_stream")
+    _write_chunks(events_pdf, d)
+    for i in (1, 2):
+        # the query's watermark is min(view wm, purchase wm) — each
+        # sentinel batch must advance BOTH sides or neither advances
+        sent = events_pdf.iloc[[-1, -1]].copy()
+        sent["ts"] = sent["ts"] + pd_timedelta_days(10 + i)
+        sent["user_id"] = -1
+        sent["event_id"] = [10_000_000 + 2 * i, 10_000_001 + 2 * i]
+        sent["event_type"] = ["view", "purchase"]
+        _write_chunks(sent, str(tmp_path / f"sent{i}"), 1)
+        os.rename(glob.glob(str(tmp_path / f"sent{i}" / "*.parquet"))[0],
+                  os.path.join(d, f"zz-sentinel{i}.parquet"))
+
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    _run_to_memory(view_purchase_attribution(src, how="left_outer"),
+                   "ss_outer", "append")
+    got = spark.sql("SELECT * FROM ss_outer WHERE user_id >= 0").toPandas()
+    batch = view_purchase_attribution(
+        spark.read.schema(EVENTS).parquet(d).filter(F.col("user_id") >= 0),
+        how="left_outer").toPandas()
+    key = ["view_id", "purchase_id"]
+    got = got.sort_values(key, ignore_index=True)
+    batch = batch.sort_values(key, ignore_index=True)
+    assert batch["purchase_id"].isna().any(), "no unconverted views in data"
+    assert got.equals(batch), "streamed left-outer join != batch join"
+
+
 def test_stateful_running_totals_apply_in_pandas_with_state(spark, stream_dir):
     from datastream_processing_demo_spark.streaming.stateful import (
         batch_user_totals,
