@@ -174,3 +174,108 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_col("text").alias("fingerprint"),
         normalized_md5_col("text").alias("content_md5"),
     )
+
+
+@query(
+    "text_tfidf_topk", "text",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word
+    ), dfreq AS (
+        SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               ROUND(tf * ln((CAST(n_docs AS DOUBLE) + 1.0)
+                             / (CAST(df AS DOUBLE) + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (word), n
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, word) AS rank
+        FROM scored
+    )
+    SELECT doc_id, word, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    description="TF-IDF top-3 terms per document (corpus-level IDF join)",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IDF is a tiny per-word table (vocabulary-sized) joined back to the
+    # doc-term table; n_docs is a 1-row broadcast. At 100 TB the df/tf
+    # aggregations are the only shuffles, both on compact keys.
+    from pyspark.sql import Window as W
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "word").crossJoin(F.broadcast(n))
+              .select("doc_id", "word",
+                      F.round(F.col("tf")
+                              * F.log((F.col("n_docs").cast("double") + 1.0)
+                                      / (F.col("df").cast("double") + 1.0)), 6)
+                      .alias("tfidf")))
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "word", "tfidf", "rank"))
+
+
+_QUALITY_SCORE_SQL = r"""
+    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE)) * 0.3
+    + least(CAST(len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','a','and','of'))) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) * 5.0, 1.0) * 0.3
+"""
+
+
+@query(
+    "text_training_prep", "text",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source, text,
+               {_QUALITY_SCORE_SQL} AS q,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_md5
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM scored WHERE q >= 0.5
+    ), deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY content_md5
+                                         ORDER BY doc_id) AS rn
+            FROM filtered) WHERE rn = 1
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           ROUND(SUM(q) / COUNT(*), 6) AS avg_quality
+    FROM deduped
+    GROUP BY lang, source
+    """,
+    description="composed training-data prep: quality filter -> exact dedup -> corpus stats",
+)
+def text_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the end-to-end shape of a corpus-prep job: score -> filter ->
+    # content-hash dedup (keep lowest id) -> per-(lang, source) stats.
+    # Every stage is the already-audited operator; composition adds no
+    # new shuffle beyond the dedup window and final aggregate.
+    from pyspark.sql import Window as W
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "source", "text",
+        quality_cols("text")["quality_score"].alias("q"),
+        normalized_md5_col("text").alias("content_md5"))
+    filtered = scored.filter(F.col("q") >= 0.5)
+    w = W.partitionBy("content_md5").orderBy("doc_id")
+    deduped = (filtered.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        F.round(F.sum("q") / F.count(F.lit(1)), 6).alias("avg_quality"),
+    )
