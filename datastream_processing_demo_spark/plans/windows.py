@@ -24,23 +24,26 @@ from .registry import query
 @query(
     "win_ranking", "windows",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
            row_number() OVER w AS rn,
            rank() OVER w AS rnk,
            dense_rank() OVER w AS drnk,
            ntile(4) OVER w AS quartile
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_returnflag
+    WINDOW w AS (PARTITION BY l_suppkey
                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
     """,
     description="row_number/rank/dense_rank/ntile with unique tiebreak",
 )
 def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy(
+    # partition key is the bounded-cardinality suppkey: ranking within a
+    # 3-value key (returnflag) would put ~1/3 of the table on ONE task at
+    # 100 TB — that shape belongs to the global-sort family, not windows
+    w = W.partitionBy("l_suppkey").orderBy(
         F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
     return li.select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice",
         F.row_number().over(w).alias("rn"),
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
