@@ -288,3 +288,50 @@ def array_explode_outer_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(None).cast("string").alias("word"),
         F.expr("stack(2, 'lang', lang, 'source', source) AS (attr, val)"))
     return exploded.unionAll(stacked)
+
+
+@query(
+    "map_higher_order", "json_array",
+    oracle="""
+    WITH base AS (
+        SELECT p_partkey,
+               ['size', 'price_d', 'key_mod'] AS ks,
+               [CAST(p_size AS BIGINT), CAST(ROUND(p_retailprice) AS BIGINT),
+                p_partkey % 10] AS vs
+        FROM part WHERE p_partkey <= 200
+    ), pairs AS (
+        -- map_filter(v > 5) then transform_values(v * 2), keys sorted:
+        -- expressed over the parallel lists the MAP was built from
+        SELECT p_partkey,
+               list_sort(list_transform(
+                   list_filter(generate_series(1, 3), i -> vs[i] > 5),
+                   i -> ks[i])) AS kept_keys,
+               list_transform(
+                   list_sort(list_transform(
+                       list_filter(generate_series(1, 3), i -> vs[i] > 5),
+                       i -> ks[i])),
+                   k -> 2 * vs[list_position(ks, k)]) AS doubled_vals
+        FROM base
+    )
+    SELECT p_partkey, kept_keys, doubled_vals,
+           len(kept_keys) AS n_kept
+    FROM pairs
+    """,
+    description="map_filter + transform_values + sorted map_entries extraction",
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    m = F.map_from_arrays(
+        F.array(F.lit("size"), F.lit("price_d"), F.lit("key_mod")),
+        F.array(F.col("p_size").cast("long"),
+                F.round("p_retailprice").cast("long"),
+                F.col("p_partkey") % 10))
+    filtered = F.map_filter(m, lambda k, v: v > 5)
+    doubled = F.transform_values(filtered, lambda k, v: v * 2)
+    entries = F.array_sort(F.map_entries(doubled))
+    return p.select(
+        "p_partkey",
+        F.transform(entries, lambda e: e["key"]).alias("kept_keys"),
+        F.transform(entries, lambda e: e["value"]).alias("doubled_vals"),
+        F.size(entries).cast("long").alias("n_kept"),
+    )
