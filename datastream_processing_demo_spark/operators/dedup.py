@@ -64,11 +64,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     replaces the naive posting join's Σ df² pair explosion with a join
     on rare-shingle postings only.
 
-    Default is the naive posting join: measured on this corpus (tiny
-    ~30-word vocabulary, so even 'rare' shingles are hot and the prefix
-    still explodes) naive wins 4.7s vs 7.4s at sf0.1. On a real
-    Zipfian-vocabulary corpus at scale the inequality flips hard —
-    flip the flag when df distribution has an actual tail.
+    Default is the hybrid posting-list strategy (see inline comments):
+    pair arrays for bounded-df shingles, streaming self-join for hot
+    ones. Measured at sf0.1: hybrid 3.3s, pure join 4.6s, PPJoin 7.4s —
+    PPJoin loses on THIS corpus (tiny ~30-word vocabulary, no df tail,
+    so prefix shingles stay hot); on a real Zipfian-vocabulary corpus
+    at scale the prefix filter is the one that survives — flip the flag
+    when the df distribution has an actual tail.
 
     The final jaccard is integers + one division (cross-engine exact).
     """
@@ -108,11 +110,38 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
             .agg(F.count(F.lit(1)).alias("common"))
         )
     else:
-        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-        common = (
-            a.join(b, "shingle")
+        # hybrid posting-list pair generation (measured 1.4x faster than
+        # the pure self-join at sf0.1 — 3.3s vs 4.6s):
+        # - shingles with df < hot_df_cap: collect the sorted posting
+        #   list and emit its C(df,2) pairs from the array directly —
+        #   one shuffle (the groupBy) instead of a join, and the pair
+        #   stream never contains the a>b half the join must filter out;
+        # - rare hot shingles (df >= cap): per-shingle pair arrays would
+        #   concentrate df²/2 structs in ONE row, so they fall back to
+        #   the streaming self-join, which spreads pairs across tasks.
+        hot_df_cap = 1024
+        postings = (sh.groupBy("shingle")
+                    .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+                    .filter(F.size("ds") >= 2))
+        small = postings.filter(F.size("ds") < hot_df_cap)
+        pair_arr = F.flatten(F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.named_struct(F.lit("doc_a"), x,
+                                         F.lit("doc_b"), y))))
+        small_pairs = (small.select(F.explode(pair_arr).alias("p"))
+                       .select("p.doc_a", "p.doc_b"))
+        hot = (postings.filter(F.size("ds") >= hot_df_cap)
+               .select("shingle", F.explode("ds").alias(id_col)))
+        hot_pairs = (
+            hot.select(F.col(id_col).alias("doc_a"), "shingle")
+            .join(hot.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
             .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        common = (
+            small_pairs.unionAll(hot_pairs)
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("common"))
         )
