@@ -370,3 +370,57 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sxy - sx * sy / n) / (n - 1) / 10000.0, 9)
             .alias("covar_qty_disc"),
     )
+
+
+@query(
+    "agg_filtered", "aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_undiscounted,
+           coalesce(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                         FILTER (WHERE l_quantity >= 25) AS DOUBLE) / 100.0,
+                    0.0) AS bulk_revenue,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS DOUBLE)
+               / COUNT(*) AS bulk_fraction
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="filtered aggregates (FILTER clause / count_if)",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    bulk = F.col("l_quantity") >= 25
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(bulk).alias("n_bulk"),
+        F.count_if(F.col("l_discount") == 0.0).alias("n_undiscounted"),
+        F.coalesce(F.sum(F.when(bulk, cents)).cast("double") / 100.0,
+                   F.lit(0.0)).alias("bulk_revenue"),
+        (F.count_if(bulk).cast("double") / F.count(F.lit(1)))
+            .alias("bulk_fraction"),
+    )
+
+
+@query(
+    "agg_histogram", "aggregates",
+    oracle="""
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+    description="value histogram via exact integer-cents bucketing ($50k bins)",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucket on integer cents (floor division is exact; no float boundary
+    # ambiguity the way width_bucket on doubles would have)
+    o = t(spark, sf_dir, "orders")
+    bucket = (F.round(F.col("o_totalprice") * 100).cast("long") / 5000000) \
+        .cast("long")
+    return (o.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))

@@ -488,3 +488,63 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                           {"R": 0.05, "A": 0.10, "N": 0.20}, seed=7)
     return sampled.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "fn_timestamp_arith", "relational",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00')
+               AS days_to_1999,
+           o_orderdate + INTERVAL 30 DAY AS plus_30d,
+           o_orderdate - INTERVAL 6 HOUR AS minus_6h,
+           make_timestamp(CAST(year(o_orderdate) AS BIGINT), 7, 1, 12, 0, 0.0)
+               AS july_noon
+    FROM orders WHERE o_orderkey <= 1500
+    """,
+    description="timestampdiff/timestampadd/interval +- /make_timestamp",
+)
+def fn_timestamp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day-aligned data only: Spark timestampdiff counts complete units,
+    # DuckDB date_diff counts boundary crossings — identical exactly when
+    # both operands sit on the unit boundary (orderdates are midnight)
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1500)
+    return o.select(
+        "o_orderkey",
+        F.expr("timestampdiff(DAY, o_orderdate, TIMESTAMP '1999-01-01 00:00:00')")
+            .alias("days_to_1999"),
+        F.expr("timestampadd(DAY, 30, o_orderdate)").alias("plus_30d"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 6 HOURS")).alias("minus_6h"),
+        F.expr("make_timestamp(year(o_orderdate), 7, 1, 12, 0, 0)")
+            .alias("july_noon"),
+    )
+
+
+@query(
+    "fn_binary_encoding", "relational",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           to_base64(encode(substring(text, 1, 12))) AS head_b64,
+           lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
+           octet_length(encode(text)) AS n_bytes,
+           substring(text, 1, 12) AS roundtrip
+    FROM documents WHERE doc_id <= 200
+    """,
+    description="md5/sha2/base64/hex/encode-decode binary functions",
+)
+def fn_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    head12 = F.substring("text", 1, 12)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+        F.base64(F.encode(head12, "utf-8")).alias("head_b64"),
+        # Spark hex is uppercase, DuckDB lowercase — normalize here
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "utf-8")))
+            .alias("head_hex"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.decode(F.encode(head12, "utf-8"), "utf-8").alias("roundtrip"),
+    )

@@ -167,3 +167,60 @@ def win_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.nth_value("c_name", 3).over(w_full).alias("third_name"),
     )
+
+
+@query(
+    "win_interval_range_frame", "windows",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_2h,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / 100.0 AS sum_last_2h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
+    """,
+    description="time-interval RANGE frame (trailing 2h per user)",
+)
+def win_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.expr("""COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)""")
+            .alias("n_last_2h"),
+        (F.expr("""SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)""")
+            .cast("double") / 100.0).alias("sum_last_2h"),
+    )
+
+
+@query(
+    "win_ignore_nulls", "windows",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(big_val IGNORE NULLS) OVER w AS last_big_seen,
+           first_value(big_val IGNORE NULLS) OVER w AS first_big_seen
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN value > 400 THEN value END AS big_val
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    description="first/last_value IGNORE NULLS (last-observation-carried-forward)",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("value") > 400, F.col("value")).alias("big_val"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return base.select(
+        "event_id", "user_id",
+        F.last("big_val", ignorenulls=True).over(w).alias("last_big_seen"),
+        F.first("big_val", ignorenulls=True).over(w).alias("first_big_seen"),
+    )
