@@ -548,3 +548,21 @@ def fn_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.decode(F.encode(head12, "utf-8"), "utf-8").alias("roundtrip"),
     )
+
+
+@query(
+    "fn_engine_introspection", "relational",
+    oracle=None,  # ids/partitions are engine-physical; property-tested
+    description="monotonically_increasing_id / spark_partition_id / input_file_name",
+)
+def fn_engine_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # physical-introspection functions: unique-but-not-contiguous row
+    # ids, the executing partition, and the originating file — the
+    # lineage columns a 100 TB ingest job stamps on every record
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.monotonically_increasing_id().alias("row_uid"),
+        F.spark_partition_id().alias("part_id"),
+        F.input_file_name().alias("src_file"),
+    )

@@ -138,3 +138,28 @@ def sort_multikey_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     )
+
+
+@query(
+    "setop_union_by_name", "setops",
+    oracle="""
+    SELECT o_orderkey AS id, 'order' AS kind, o_totalprice AS amount
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT c_custkey AS id, 'customer' AS kind, c_acctbal AS amount
+    FROM customer WHERE c_custkey <= 300
+    """,
+    description="unionByName: column-name (not positional) union, missing cols filled",
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the two sides deliberately list columns in DIFFERENT orders:
+    # positional unionAll would mis-zip them; unionByName aligns on name
+    o = (t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+         .select(F.col("o_orderkey").alias("id"),
+                 F.lit("order").alias("kind"),
+                 F.col("o_totalprice").alias("amount")))
+    c = (t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+         .select(F.col("c_acctbal").alias("amount"),
+                 F.col("c_custkey").alias("id"),
+                 F.lit("customer").alias("kind")))
+    return o.unionByName(c)

@@ -63,3 +63,13 @@ def test_stratified_sample_fractions(spark, sf_dir, oracle_con):
         sigma = math.sqrt(n * frac * (1 - frac))
         assert abs(got.get(flag, 0) - frac * n) <= 5 * sigma, \
             f"{flag}: {got.get(flag)} vs expected {frac * n}"
+
+
+def test_engine_introspection_properties(spark, sf_dir):
+    df = all_queries()["fn_engine_introspection"].spark(spark, sf_dir)
+    rows = df.collect()
+    uids = [r["row_uid"] for r in rows]
+    assert len(set(uids)) == len(uids), "row ids must be unique"
+    assert all(r["src_file"].endswith(".parquet") for r in rows)
+    n_parts = len({r["part_id"] for r in rows})
+    assert 1 <= n_parts <= df.rdd.getNumPartitions()
