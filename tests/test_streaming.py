@@ -391,3 +391,26 @@ def test_transform_with_state_lastn_avg(spark, stream_dir):
         spark.read.schema(EVENTS).parquet(stream_dir)) \
         .toPandas().sort_values("user_id", ignore_index=True)
     assert got.equals(batch), "final last-N state != batch computation"
+
+
+def test_stream_static_broadcast_join(spark, sf_dir, stream_dir):
+    """Streaming events joined to a STATIC dimension (broadcast per
+    micro-batch, no stream state at all) — the enrich-on-ingest shape."""
+    dim = (load_table(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").alias("nk"), "n_name"))
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", 2).parquet(stream_dir))
+    enriched = (src.withColumn("nk", (F.col("user_id") % 25).cast("int"))
+                .join(F.broadcast(dim), "nk")
+                .groupBy("n_name")
+                .agg(F.count(F.lit(1)).alias("n")))
+    _run_to_memory(enriched, "enriched_stream", "complete")
+    got = spark.sql("SELECT * FROM enriched_stream").toPandas()
+
+    batch = (spark.read.schema(EVENTS).parquet(stream_dir)
+             .withColumn("nk", (F.col("user_id") % 25).cast("int"))
+             .join(dim, "nk").groupBy("n_name")
+             .agg(F.count(F.lit(1)).alias("n"))).toPandas()
+    got = got.sort_values("n_name", ignore_index=True)
+    batch = batch.sort_values("n_name", ignore_index=True)
+    assert got.equals(batch), "stream-static join != batch join"
