@@ -146,3 +146,35 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         summarize,
         schema="user_id long, user_total double, n long, first_event_id long")
+
+
+@query(
+    "udtf_map_in_arrow", "udfs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents WHERE doc_id <= 400
+    """,
+    description="mapInArrow: RecordBatch-level transform (zero pandas overhead)",
+)
+def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Arrow-native cousin of mapInPandas: the function sees raw
+    # pyarrow.RecordBatch objects — no pandas conversion at all, the
+    # cheapest possible Python boundary for columnar work
+    import pyarrow as pa
+
+    def token_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            n_tokens = pa.compute.list_value_length(
+                pa.compute.split_pattern(text, " ")).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), n_tokens,
+                 pa.compute.utf8_length(text).cast(pa.int64())],
+                names=["doc_id", "n_tokens", "n_chars"])
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400) \
+        .select("doc_id", "text")
+    return d.mapInArrow(token_stats,
+                        "doc_id long, n_tokens long, n_chars long")

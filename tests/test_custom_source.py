@@ -124,3 +124,19 @@ def test_bulk_spool_sink_end_to_end(spark, tmp_path):
 
     assert sorted(d["doc"] for d in docs) == sorted(want)
     assert len({d["_id"] for d in docs}) == len(docs), "doc ids not unique"
+
+
+def test_kafka_option_mapping():
+    """No broker in this environment — assert the reference-property ->
+    Kafka-option mapping itself (the reader is real on a cluster)."""
+    from datastream_processing_demo_spark.sources.kafka import (
+        kafka_stream_options,
+    )
+
+    opts = kafka_stream_options("t1,t2", "broker:9092",
+                                max_offsets_per_trigger=5000,
+                                min_partitions=16)
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert opts["minPartitions"] == "16"
