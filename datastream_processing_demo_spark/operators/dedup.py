@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 
 def shingles_col(text_col: str = "text", n: int = 3):
     """Word n-gram shingles as an array column (distinct not applied)."""
@@ -42,7 +44,7 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     (distinct-count semantics preserved up to 64-bit collisions,
     ~1e-7 at millions of shingles)."""
     sh = F.explode(F.array_distinct(shingles_col(text_col, n))).alias("shingle")
-    out = docs.select(id_col, sh)
+    out = spread(docs).select(id_col, sh)
     if hash_keys:
         out = out.select(id_col, F.xxhash64("shingle").alias("shingle"))
     return out
@@ -205,7 +207,7 @@ def simhash_col_df(docs: DataFrame, id_col: str = "doc_id",
     """63-bit SimHash per document (bit 63 omitted to keep the value a
     non-negative long): per token hash, each bit position votes ±1;
     positive totals set the bit."""
-    toks = docs.select(
+    toks = spread(docs).select(
         id_col, F.explode(F.split(text_col, " ")).alias("tok"))
     hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
     votes = hashed.select(

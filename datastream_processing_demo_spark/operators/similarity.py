@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 
 def _as_double(arr: Column | str) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -52,8 +54,8 @@ def bruteforce_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine_col("q_vec", "c_vec"), round_to))
@@ -92,9 +94,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     With multiprobe, each query also probes every Hamming-1 neighbor of
     its code (n_planes+1 probes) — the standard recall lever that costs
     a broadcast fanout on the tiny query side, never a corpus rescan."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"),
-                      lsh_bucket_col(vec_col, n_planes).alias("bucket"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("c_vec"),
+                              lsh_bucket_col(vec_col, n_planes).alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
                        lsh_bucket_col(vec_col, n_planes).alias("bucket"))

@@ -18,6 +18,7 @@ from ..operators.text import (
     token_counts,
     words_col,
 )
+from ..operators.spread import spread
 from ._util import t
 from .registry import query
 
@@ -35,7 +36,7 @@ from .registry import query
     description="token counting: whitespace + BPE-ish regex classes",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     cols = token_counts("text")
     return d.select(
         "doc_id",
@@ -77,7 +78,7 @@ _CASE_SQL = ("CASE "
     description="stopword-marker language ID heuristic (argmax, fixed ties)",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     from ..operators.text import LANG_MARKERS, marker_count
     return d.select(
         "doc_id",
@@ -110,7 +111,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="quality scoring: word length / punctuation / stopword ratios",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     cols = quality_cols("text")
     return d.select("doc_id", *(c.alias(n) for n, c in cols.items()))
 
@@ -135,7 +136,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="word bigram term/document frequencies (n-gram TF)",
 )
 def text_bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     words = words_col("text")
     n = F.size(words)
     bigrams = F.zip_with(
@@ -168,7 +169,7 @@ def text_bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="rolling-hash document fingerprint + normalized content md5",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         fingerprint_col("text").alias("fingerprint"),
@@ -206,7 +207,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc-term table; n_docs is a 1-row broadcast. At 100 TB the df/tf
     # aggregations are the only shuffles, both on compact keys.
     from pyspark.sql import Window as W
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     toks = d.select("doc_id",
                     F.explode(F.split(F.lower("text"), " ")).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -265,7 +266,7 @@ def text_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Every stage is the already-audited operator; composition adds no
     # new shuffle beyond the dedup window and final aggregate.
     from pyspark.sql import Window as W
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     scored = d.select(
         "doc_id", "lang", "source", "text",
         quality_cols("text")["quality_score"].alias("q"),
