@@ -21,6 +21,7 @@ def load_all() -> None:
         sql_surface,
         streaming_batch,
         subqueries,
+        tpch_extra,
         text,
         dedup,
         similarity,

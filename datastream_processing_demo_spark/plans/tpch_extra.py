@@ -1,0 +1,264 @@
+"""Adapted TPC-H shapes Q7/Q8/Q14/Q17/Q19/Q22 over the driver testdata.
+
+The reference implements no relational queries (SURVEY.md §2.1.1); these
+widen the engine's declared analytics surface (SURVEY.md §2.2 join/agg/
+subquery rows) with the classic TPC-H access patterns that the driver's
+star schema can express. The testdata lacks `partsupp`, `l_shipmode` and
+commit/receipt dates, so Q2/Q4/Q12/Q15/Q16/Q20/Q21 cannot be posed
+faithfully; the six here are adapted only in literal values (date range
+1995-2001, `NATION_n` names, single-word `p_type`).
+
+Scale notes (100 TB discipline):
+- nation/region are tiny broadcast dims; part/customer/supplier are
+  broadcast-able at test SF and hash-join sides at production SF — both
+  chosen by Catalyst/AQE, nothing hand-scheduled.
+- All money aggregates use the exact integer-cents trick (_util.py), so
+  they stay single map-side-combinable hash aggregates.
+- Q17's correlated scalar subquery decorrelates to an aggregate +
+  equi-join on l_partkey (one extra shuffle of the filtered fact side);
+  Q22's NOT EXISTS becomes a broadcast-able anti join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register_views
+from ._util import exact_sum, oracle_exact_avg, oracle_exact_sum, t
+from .registry import query
+
+
+@query(
+    "sql_q7_volume_shipping", "sql_surface",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {oracle_exact_sum('volume', 4)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1999-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    description="TPC-H Q7 shape: bidirectional nation-pair trade volume by year",
+)
+def sql_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir,
+                   ("supplier", "lineitem", "orders", "customer", "nation"))
+    return spark.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(ROUND(volume * 10000) AS BIGINT)) AS DOUBLE)
+                 / 10000.0 AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1999-12-31 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """)
+
+
+@query(
+    "sql_q8_market_share", "sql_surface",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_1' THEN cents ELSE 0 END)
+                AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS cents,
+             n1.n_name AS nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    description="TPC-H Q8 shape: supplier-nation market share by order year",
+)
+def sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ratio of two exact integer-cents sums: both sides bit-identical,
+    # one final IEEE division => no tolerance needed on mkt_share.
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer",
+                                   "nation", "region", "supplier", "part"))
+    return spark.sql("""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN nation = 'NATION_1' THEN cents
+                             ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                 / CAST(SUM(cents) AS DOUBLE) AS mkt_share
+        FROM (
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT) AS cents,
+                 n1.n_name AS nation
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          JOIN region r ON n2.n_regionkey = r.r_regionkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+    """)
+
+
+@query(
+    "sql_q14_promo_effect", "sql_surface",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(ROUND(l.l_extendedprice
+                                      * (1 - l.l_discount) * 10000) AS BIGINT)
+                                 ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000) AS BIGINT)) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+    description="TPC-H Q14 shape: promo revenue share (conditional agg ratio)",
+)
+def sql_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 10000).cast("long")
+    j = (l.filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1997-02-01"))
+         .join(F.broadcast(p), l.l_partkey == p.p_partkey))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", cents)
+                  .otherwise(F.lit(0).cast("long")))
+    total = F.sum(cents)
+    return j.agg((F.lit(100.0) * promo.cast("double")
+                  / total.cast("double")).alias("promo_revenue"))
+
+
+@query(
+    "sql_q17_small_quantity", "sql_surface",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+    description="TPC-H Q17 shape: below-avg-quantity revenue, correlated scalar subquery",
+)
+def sql_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_quantity is integer-valued (1-50): its double SUM is exact in any
+    # order, so avg = sum/count and 0.2*avg are bit-identical cross-engine
+    # and the `<` threshold cannot flip. Catalyst decorrelates the
+    # subquery into an aggregate on l_partkey + equi-join (no per-row
+    # rescan at scale).
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)
+    """)
+
+
+@query(
+    "sql_q19_disjunctive_join", "sql_surface",
+    oracle=f"""
+    SELECT {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)}
+           AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    description="TPC-H Q19 shape: disjunctive multi-branch predicate over an equi-join",
+)
+def sql_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The OR-of-ANDs stays a post-join filter on an equi-join (hash join
+    # on p_partkey), not a nested-loop theta join — the classic Q19 plan
+    # trap Catalyst avoids because the equality conjunct is shared.
+    l, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    branch = (
+        ((br == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((br == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .filter(branch)
+            .agg(exact_sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")), 4).alias("revenue")))
+
+
+@query(
+    "sql_q22_dormant_customers", "sql_surface",
+    oracle=f"""
+    SELECT c.c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           {oracle_exact_sum('c.c_acctbal', 2)} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT {oracle_exact_avg('c2.c_acctbal', 2)}
+                         FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+    description="TPC-H Q22 shape: above-avg-balance customers with no urgent orders",
+)
+def sql_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q22's phone-prefix cntrycode becomes c_nationkey (no phone column);
+    # "no orders at all" is empty on this data (every customer orders),
+    # so the anti-join filters to urgent orders. The global-avg threshold
+    # is a 1-row broadcast; the anti join hashes on o_custkey.
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal")
+    thr = (c.filter(bal > 0.0)
+           .agg((F.sum(F.round(bal * 100).cast("long")).cast("double")
+                 / 100.0 / F.count(F.lit(1))).alias("thr")))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+              .select("o_custkey")
+    return (c.join(F.broadcast(thr))
+            .filter(bal > F.col("thr"))
+            .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 exact_sum(bal, 2).alias("totacctbal")))
