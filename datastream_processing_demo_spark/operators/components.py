@@ -1,0 +1,60 @@
+"""Connected components by min-label propagation (dup-cluster assignment).
+
+Training-data dedup needs more than candidate PAIRS: near-duplicate
+relations chain (A~B, B~C), so the keep/drop decision operates on the
+transitive closure — each document gets a cluster id (the minimum doc
+id reachable through near-dup edges) and one canonical doc survives per
+cluster. The reference has nothing comparable (SURVEY.md §2.1.1).
+
+Algorithm: classic label propagation. Every node starts labeled with
+itself; each round every node takes the min of its own label and its
+neighbors' labels; converged when a round changes nothing. Rounds are
+bounded by the graph diameter, which for near-dup clusters is tiny
+(pairs/chains, not social graphs).
+
+Scale notes: each round is one join of the (symmetrized) edge list with
+the label table plus a min-aggregate — all shuffles on the node id, no
+driver-side data. `localCheckpoint` truncates the growing lineage each
+round (the standard Spark iterative-algorithm idiom; on a cluster use
+`checkpoint()` to HDFS for fault tolerance). The convergence probe
+collects a single count per round. For planet-scale graphs swap the
+round body for the large-star/small-star steps (Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond") — same loop shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def min_label_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+    """Undirected connected components over an edge list.
+
+    Returns (node, cluster_id) where cluster_id = min node id in the
+    component. Isolated nodes (absent from `edges`) are absent here —
+    join back and coalesce(cluster_id, node) for keep-one semantics.
+    """
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))) \
+             .distinct().localCheckpoint()
+    labels = (sym.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels, sym.d == labels.node)
+                   .groupBy("s").agg(F.min("label").alias("nbr_label")))
+        new = (labels.join(nbr_min, labels.node == nbr_min.s, "left")
+               .select("node",
+                       F.least("label", F.coalesce("nbr_label", "label"))
+                        .alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

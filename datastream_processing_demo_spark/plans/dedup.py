@@ -130,3 +130,54 @@ def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@query(
+    "dedup_cluster_canonical", "dedup",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON r.node = e.d)
+    SELECT node AS doc_id, MIN(lab) AS cluster_id,
+           node = MIN(lab) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    description="near-dup cluster assignment: connected components over Jaccard pairs",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Transitive closure of the >=0.5-Jaccard relation: each document in
+    # any near-dup pair gets cluster_id = min reachable doc_id (the
+    # canonical survivor). Spark side runs min-label propagation
+    # (operators/components.py); the oracle computes the same fixpoint
+    # with a recursive CTE.
+    from ..operators.components import min_label_components
+    from ..operators.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"),
+                                threshold=0.5, n=3)
+    comp = min_label_components(pairs.select("doc_a", "doc_b"),
+                                src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"))

@@ -213,3 +213,42 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
              .alias("revenue"))
     )
+
+
+@query(
+    "join_asof_attribution", "joins",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           p.value AS amount, v.view_id, v.view_ts,
+           epoch_ms(p.ts) - epoch_ms(v.view_ts) AS gap_ms
+    FROM events p
+    LEFT JOIN LATERAL (
+        SELECT e.event_id AS view_id, e.ts AS view_ts
+        FROM events e
+        WHERE e.user_id = p.user_id AND e.event_type = 'view'
+          AND e.ts <= p.ts
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+    ) v ON TRUE
+    WHERE p.event_type = 'purchase'
+    """,
+    description="as-of join: attribute each purchase to the latest prior view",
+)
+def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Backward as-of join (operators/asof.py): union+window, one shuffle
+    # on user_id — the custom point-in-time operator Spark has no
+    # built-in for. Ties (same user, same ts) resolve to the max view_id
+    # on both engines.
+    from ..operators.asof import asof_join
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts",
+        F.col("value").alias("amount"))
+    joined = asof_join(purchases, views, on="user_id", ts="ts",
+                       payload=["view_id", "view_ts"], tiebreak="view_id")
+    return joined.select(
+        "purchase_id", "user_id", F.col("ts").alias("purchase_ts"), "amount",
+        "view_id", "view_ts",
+        (F.unix_millis("ts") - F.unix_millis("view_ts")).alias("gap_ms"))

@@ -89,3 +89,40 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query(
+    "sim_centroid_rollup", "similarity",
+    oracle="""
+    WITH elem AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v
+        FROM embeddings),
+    per AS (
+        SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS v
+        FROM elem GROUP BY label, pos),
+    cent AS (
+        SELECT label, list(v ORDER BY pos) AS centroid
+        FROM per GROUP BY label)
+    SELECT c.label, c.centroid, n.n_vectors
+    FROM cent c
+    JOIN (SELECT label, COUNT(*) AS n_vectors
+          FROM embeddings GROUP BY label) n ON c.label = n.label
+    """,
+    description="per-label centroid: element-wise mean of embedding vectors",
+)
+def sim_centroid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vector-aggregate behind IVF training / cluster summaries:
+    # posexplode -> (label, pos) mean -> reassemble ordered array. Two
+    # shuffles on compact keys; element means rounded to 1e-6 so the
+    # float-sum order difference between engines cannot flip the hash.
+    emb = t(spark, sf_dir, "embeddings")
+    elem = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    per = (elem.groupBy("label", "pos")
+           .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("v")))
+    cent = (per.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s.v).alias("centroid")))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return cent.join(counts, "label")

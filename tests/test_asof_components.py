@@ -1,0 +1,92 @@
+"""Unit tests for the as-of join and connected-components operators
+against hand-computed fixtures (no table in the reference exercises
+these; semantics defined in the operator docstrings)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from datastream_processing_demo_spark.operators.asof import asof_join
+from datastream_processing_demo_spark.operators.components import (
+    min_label_components,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_ties_and_misses(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T10:00:00")),   # after both views
+         (2, "u1", _ts("2024-01-01T08:30:00")),   # between views
+         (3, "u1", _ts("2024-01-01T07:00:00")),   # before any view -> NULL
+         (4, "u2", _ts("2024-01-01T09:00:00")),   # exactly-simultaneous view
+         (5, "u3", _ts("2024-01-01T09:00:00"))],  # user with no views -> NULL
+        "purchase_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T08:00:00"), 100),
+         ("u1", _ts("2024-01-01T09:00:00"), 101),
+         ("u2", _ts("2024-01-01T09:00:00"), 200),
+         ("u2", _ts("2024-01-01T09:00:00"), 201)],  # tie -> max tiebreak
+        "user_id string, ts timestamp, view_id long")
+    out = asof_join(left, right, on="user_id", ts="ts",
+                    payload=["view_id"], tiebreak="view_id")
+    got = {r["purchase_id"]: r["view_id"] for r in out.collect()}
+    assert got == {1: 101, 2: 100, 3: None, 4: 201, 5: None}
+
+
+def test_asof_join_matches_sql_lateral(spark, sf_dir, oracle_con):
+    """Operator output == the LATERAL-subquery definition on real data."""
+    from datastream_processing_demo_spark.plans.registry import get
+    spec = get("join_asof_attribution")
+    spdf = spec.spark(spark, sf_dir).toPandas()
+    oracle = oracle_con.execute(spec.oracle).fetchdf()
+    assert len(spdf) == len(oracle)
+    assert spdf["view_id"].notna().sum() == oracle["view_id"].notna().sum()
+
+
+def test_components_chain_and_pair(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7),      # chain 1-2-3-7 -> cluster 1
+         (10, 11),                    # pair -> cluster 10
+         (20, 21), (21, 20)],         # duplicate/reversed edges collapse
+        "doc_a long, doc_b long")
+    out = min_label_components(edges, src="doc_a", dst="doc_b")
+    got = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_components_converges_on_long_chain(spark):
+    n = 12  # diameter > default few rounds; propagation must iterate
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
+    out = min_label_components(edges, src="doc_a", dst="doc_b")
+    labels = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == n + 1
+
+
+def test_cluster_canonical_covers_all_paired_docs(spark, sf_dir):
+    """Every doc in a >=0.5-Jaccard pair appears exactly once, and each
+    cluster has exactly one canonical member = its min doc_id."""
+    from datastream_processing_demo_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from datastream_processing_demo_spark.plans.registry import get
+    from datastream_processing_demo_spark.plans._util import t
+    pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"),
+                                threshold=0.5, n=3).select("doc_a", "doc_b")
+    paired_docs = set(
+        r[0] for r in pairs.select(F.explode(F.array("doc_a", "doc_b")))
+        .distinct().collect())
+    rows = get("dedup_cluster_canonical").spark(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == paired_docs
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1

@@ -52,8 +52,10 @@ def _values_equal(a, b) -> bool:
         return a == b
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
-    if (a is None or a is pd.NA or (isinstance(a, float) and math.isnan(a))) and \
-       (b is None or b is pd.NA or (isinstance(b, float) and math.isnan(b))):
+    def _is_na(v) -> bool:
+        return v is None or v is pd.NA or v is pd.NaT or \
+            (isinstance(v, float) and math.isnan(v))
+    if _is_na(a) and _is_na(b):
         return True
     return a == b
 
