@@ -111,3 +111,38 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, \
         "LSH candidates must come from the bucket join, not all-pairs"
+
+
+def test_q19_disjunction_stays_equi_hash_join(spark, sf_dir):
+    # The OR-of-ANDs predicate shares the p_partkey equality conjunct;
+    # the plan must be a (broadcast) hash join with a post-join filter,
+    # never a nested-loop over the disjunction.
+    plan = _plan(spark, sf_dir, "sql_q19_disjunctive_join")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_correlated_subquery_decorrelates(spark, sf_dir):
+    # Catalyst must rewrite the per-row scalar subquery into an
+    # aggregate on l_partkey joined back — no nested-loop rescan.
+    plan = _plan(spark, sf_dir, "sql_q17_small_quantity")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_join_is_window_not_join(spark, sf_dir):
+    # The as-of operator is union+window: one hash exchange on user_id,
+    # zero join operators (a range/theta join here would explode at
+    # scale; the window streams each key).
+    plan = _plan(spark, sf_dir, "join_asof_attribution")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_centroid_rollup_partial_aggregates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sim_centroid_rollup")
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+    assert "CartesianProduct" not in plan
