@@ -113,3 +113,62 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import view_purchase_attribution
     return view_purchase_attribution(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_hypertable_rollup", "streaming",
+    oracle="""
+    SELECT CASE WHEN resolution = 0 THEN 'minute'
+                WHEN resolution = 1 THEN 'hour'
+                ELSE 'day' END AS resolution,
+           bucket, event_type, n_events,
+           CAST(total_cents AS DOUBLE) / 100.0 AS total_value
+    FROM (
+        SELECT CASE WHEN GROUPING(m) = 0 THEN 0
+                    WHEN GROUPING(h) = 0 THEN 1
+                    ELSE 2 END AS resolution,
+               coalesce(m, h, d) AS bucket, event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+        FROM (
+            SELECT date_trunc('minute', ts) AS m,
+                   date_trunc('hour', ts) AS h,
+                   date_trunc('day', ts) AS d,
+                   event_type, value
+            FROM events
+        ) b
+        GROUP BY GROUPING SETS ((m, event_type), (h, event_type),
+                                (d, event_type))
+    ) r
+    """,
+    description="hypertable-style continuous aggregate: minute->hour->day cascade",
+)
+def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TimescaleDB-style multi-resolution rollup. The oracle states it as
+    # one GROUPING SETS pass; the engine CASCADES instead — aggregate to
+    # minute grain off the raw scan once, then re-aggregate minute->hour
+    # ->day from the tiny minute table. At 100 TB the cascade shuffles
+    # the raw data once (to ~minute-grain cardinality) and each coarser
+    # grain re-aggregates orders-of-magnitude fewer rows, where grouping
+    # sets would feed the raw scan through the aggregate 3x.
+    from pyspark.sql import functions as F
+    e = t(spark, sf_dir, "events")
+    minute = (e.select(F.date_trunc("minute", "ts").alias("bucket"),
+                       "event_type",
+                       F.round(F.col("value") * 100).cast("long").alias("cents"))
+              .groupBy("bucket", "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum("cents").alias("total_cents")))
+    def _coarsen(df: DataFrame, grain: str) -> DataFrame:
+        return (df.groupBy(F.date_trunc(grain, "bucket").alias("bucket"),
+                           "event_type")
+                .agg(F.sum("n_events").alias("n_events"),
+                     F.sum("total_cents").alias("total_cents")))
+    hour = _coarsen(minute, "hour")
+    day = _coarsen(hour, "day")
+    tagged = (minute.select(F.lit("minute").alias("resolution"), "*")
+              .unionByName(hour.select(F.lit("hour").alias("resolution"), "*"))
+              .unionByName(day.select(F.lit("day").alias("resolution"), "*")))
+    return tagged.select(
+        "resolution", "bucket", "event_type", "n_events",
+        (F.col("total_cents").cast("double") / 100.0).alias("total_value"))
