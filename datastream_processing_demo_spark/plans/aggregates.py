@@ -17,7 +17,7 @@ IEEE operation sequence, which is bit-deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register_views
@@ -424,3 +424,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.min("o_totalprice").alias("lo"),
                  F.max("o_totalprice").alias("hi")))
+
+
+@query(
+    "agg_mode_exact", "aggregates",
+    oracle="""
+    SELECT c_nationkey, mode_segment, n_customers FROM (
+        SELECT c_nationkey, c_mktsegment AS mode_segment,
+               COUNT(*) AS n_customers,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY COUNT(*) DESC, c_mktsegment)
+                   AS rn
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ) r WHERE rn = 1
+    """,
+    description="exact per-group mode with deterministic tiebreak (count desc, value asc)",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact mode = count-then-argmax, stated as the two-level aggregate
+    # rather than Spark's mode() (whose tiebreak is nondeterministic).
+    # Both levels map-side combine; the window partitions by nationkey
+    # over at most |segments| rows per group — WindowGroupLimit keeps it
+    # tiny. This is the scalable "most common value per key" idiom
+    # (top-1 label per cluster, majority vote, etc.).
+    c = t(spark, sf_dir, "customer")
+    counts = (c.groupBy("c_nationkey", "c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("n_customers")))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n_customers").desc(), F.col("c_mktsegment"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_nationkey",
+                    F.col("c_mktsegment").alias("mode_segment"),
+                    "n_customers"))

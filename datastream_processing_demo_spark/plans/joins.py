@@ -252,3 +252,64 @@ def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id", "user_id", F.col("ts").alias("purchase_ts"), "amount",
         "view_id", "view_ts",
         (F.unix_millis("ts") - F.unix_millis("view_ts")).alias("gap_ms"))
+
+
+@query(
+    "join_merge_upsert", "joins",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey AS key, 'X' AS status,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000 AS price_cents
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N',
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM orders WHERE o_orderkey % 101 = 0
+    ), base AS (
+        SELECT o_orderkey AS key, o_orderstatus AS status,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    )
+    SELECT coalesce(b.key, c.key) AS key,
+           coalesce(c.status, b.status) AS status,
+           CAST(coalesce(c.price_cents, b.price_cents) AS DOUBLE) / 100.0
+               AS price,
+           CASE WHEN c.key IS NULL THEN 'kept'
+                WHEN b.key IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN changes c ON b.key = c.key
+    """,
+    description="MERGE/upsert semantics: full-outer coalesce (update+insert+keep)",
+)
+def join_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE INTO without a table format: the full-outer + coalesce idiom
+    # (matched -> take change, not-matched-by-source -> keep base,
+    # not-matched-by-target -> insert). The change set is derived
+    # deterministically from orders itself. At 100 TB both sides shuffle
+    # once on the merge key; with a bucketed base table (sources/
+    # layout.py) the base-side shuffle disappears entirely, which is how
+    # an incremental training-corpus refresh should run.
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(F.col("o_orderkey").alias("key"),
+                    F.col("o_orderstatus").alias("status"),
+                    cents.alias("price_cents"))
+    updates = (o.filter(F.col("o_orderkey") % 7 == 0)
+               .select(F.col("o_orderkey").alias("key"),
+                       F.lit("X").alias("status"),
+                       (cents + 1000).alias("price_cents")))
+    inserts = (o.filter(F.col("o_orderkey") % 101 == 0)
+               .select((F.col("o_orderkey") + 10000000).alias("key"),
+                       F.lit("N").alias("status"),
+                       cents.alias("price_cents")))
+    changes = updates.unionByName(inserts)
+    b, c = base.alias("b"), changes.alias("c")
+    j = b.join(c, F.col("b.key") == F.col("c.key"), "full_outer")
+    return j.select(
+        F.coalesce("b.key", "c.key").alias("key"),
+        F.coalesce("c.status", "b.status").alias("status"),
+        (F.coalesce("c.price_cents", "b.price_cents").cast("double") / 100.0)
+            .alias("price"),
+        F.when(F.col("c.key").isNull(), "kept")
+         .when(F.col("b.key").isNull(), "inserted")
+         .otherwise("updated").alias("merge_action"))

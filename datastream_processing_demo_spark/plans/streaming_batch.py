@@ -14,7 +14,7 @@ oracle timestamps naive (DuckDB to_timestamp would produce TIMESTAMPTZ).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
 from ._util import t
@@ -172,3 +172,66 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select(
         "resolution", "bucket", "event_type", "n_events",
         (F.col("total_cents").cast("double") / 100.0).alias("total_value"))
+
+
+@query(
+    "stream_gap_fill", "streaming",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, bucket
+    ), spans AS (
+        SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM hourly GROUP BY event_type
+    ), grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM spans
+    )
+    SELECT g.event_type, g.bucket,
+           coalesce(h.n_events, 0) AS n_events,
+           CAST(coalesce(h.cents, 0) AS DOUBLE) / 100.0 AS total_value,
+           (h.bucket IS NULL) AS is_gap,
+           CAST(last_value(h.cents IGNORE NULLS) OVER (
+                PARTITION BY g.event_type ORDER BY g.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS locf_value
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.bucket = h.bucket
+    """,
+    description="time-series gap fill: dense hour grid + zero-fill + LOCF carry-forward",
+)
+def stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style densification (the other half of the rollup
+    # cascade): aggregate to hour grain, then LEFT JOIN against a
+    # generated dense per-type hour grid (sequence+explode — generated
+    # from the tiny span table, never from raw data) and fill gaps two
+    # ways: zero-fill and last-observation-carried-forward via an
+    # IGNORE NULLS running window. At 100 TB the grid side is
+    # (n_types x hours) rows — trivially broadcastable — and the only
+    # shuffle of real data is the hour-grain aggregate itself.
+    from pyspark.sql import functions as F
+    e = t(spark, sf_dir, "events")
+    hourly = (e.select("event_type", F.date_trunc("hour", "ts").alias("bucket"),
+                       F.round(F.col("value") * 100).cast("long").alias("cents"))
+              .groupBy("event_type", "bucket")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum("cents").alias("cents")))
+    grid = (hourly.groupBy("event_type")
+            .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+            .select("event_type",
+                    F.explode(F.sequence("lo", "hi", F.expr(
+                        "INTERVAL 1 HOUR"))).alias("bucket")))
+    j = grid.join(hourly, ["event_type", "bucket"], "left")
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return j.select(
+        "event_type", "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.coalesce("cents", F.lit(0)).cast("double") / 100.0)
+            .alias("total_value"),
+        F.col("cents").isNull().alias("is_gap"),
+        (F.last("cents", ignorenulls=True).over(w).cast("double") / 100.0)
+            .alias("locf_value"))

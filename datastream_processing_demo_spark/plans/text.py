@@ -6,7 +6,7 @@ op sequence per row, so values match exactly without tolerance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import (
@@ -280,3 +280,107 @@ def text_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
         F.round(F.sum("q") / F.count(F.lit(1)), 6).alias("avg_quality"),
     )
+
+
+@query(
+    "text_train_split", "text",
+    oracle="""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 'cc' THEN 'train'
+                WHEN bucket < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, substr(md5(text), 1, 2) AS bucket FROM documents) b
+    """,
+    description="deterministic content-addressed train/val/test split (md5 bucket)",
+)
+def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-hash bucketing: the split follows the DOCUMENT, not the
+    # row position, so re-shards/reloads/dedup reruns can never leak a
+    # train doc into test. 256 hex buckets: < 'cc' = 204/256 ~ 80%
+    # train, < 'e6' = 26/256 ~ 10% val, rest test. Pure per-row
+    # expression: no shuffle, survives any partitioning.
+    d = t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5("text"), 1, 2)
+    return d.select(
+        "doc_id", bucket.alias("bucket"),
+        F.when(bucket < "cc", "train")
+         .when(bucket < "e6", "val")
+         .otherwise("test").alias("split"))
+
+
+@query(
+    "text_vocab_build", "text",
+    oracle="""
+    SELECT word, n_occurrences, n_docs,
+           row_number() OVER (ORDER BY n_occurrences DESC, word) - 1
+               AS vocab_id
+    FROM (
+        SELECT word, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents) w
+        WHERE word <> ''
+        GROUP BY word
+    ) c
+    """,
+    description="tokenizer vocabulary build: frequency-ranked word -> contiguous id",
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vocabulary-construction step of tokenizer training: corpus
+    # term counts, then a contiguous id assigned by (frequency desc,
+    # word) — deterministic, so retraining on re-sharded data yields the
+    # identical vocab. The explode+count is map-side combinable; the
+    # global row_number runs over |vocab| rows (tiny vs corpus), the
+    # single-partition sort is over the aggregated table only. At 100 TB
+    # cap the vocab first (HAVING count >= min_freq) before ranking.
+    d = t(spark, sf_dir, "documents")
+    counts = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+              .filter(F.col("word") != "")
+              .groupBy("word")
+              .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                   F.countDistinct("doc_id").alias("n_docs")))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word"))
+    return counts.select(
+        "word", "n_occurrences", "n_docs",
+        (F.row_number().over(w) - 1).alias("vocab_id"))
+
+
+@query(
+    "text_sequence_pack", "text",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS token_offset,
+           CAST(coalesce(SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // 512 AS BIGINT) AS pack_id
+    FROM toks
+    """,
+    description="training sequence packing: cumulative token offset -> 512-token pack ids",
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequence packing for pretraining batches: within each source
+    # stream (ordered by doc_id), each document starts at the running
+    # token offset of its predecessors and lands in pack
+    # floor(offset/512). Pure window arithmetic — one shuffle on
+    # source, no state, and the pack assignment is reproducible under
+    # any input partitioning. (Offset-based packing, the streaming-
+    # friendly approximation of bin packing — docs longer than the
+    # budget span packs, exactly as concat-and-chunk training does.)
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source",
+                    F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id", "source", "n_tokens",
+        offset.cast("long").alias("token_offset"),
+        F.floor(offset / 512).alias("pack_id"))
