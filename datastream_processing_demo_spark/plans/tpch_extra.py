@@ -1,12 +1,14 @@
-"""Adapted TPC-H shapes Q7/Q8/Q14/Q17/Q19/Q22 over the driver testdata.
+"""Adapted TPC-H shapes Q7/Q8/Q9/Q14/Q15/Q17/Q19/Q22 over the driver
+testdata.
 
 The reference implements no relational queries (SURVEY.md §2.1.1); these
 widen the engine's declared analytics surface (SURVEY.md §2.2 join/agg/
 subquery rows) with the classic TPC-H access patterns that the driver's
 star schema can express. The testdata lacks `partsupp`, `l_shipmode` and
-commit/receipt dates, so Q2/Q4/Q12/Q15/Q16/Q20/Q21 cannot be posed
-faithfully; the six here are adapted only in literal values (date range
-1995-2001, `NATION_n` names, single-word `p_type`).
+commit/receipt dates, so Q2/Q4/Q12/Q16/Q20/Q21 cannot be posed
+faithfully; Q15 is faithful, Q9 proxies supply cost from p_retailprice,
+and the rest are adapted only in literal values (date range 1995-2001,
+`NATION_n` names, single-word `p_type`).
 
 Scale notes (100 TB discipline):
 - nation/region are tiny broadcast dims; part/customer/supplier are
@@ -262,3 +264,99 @@ def sql_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("c_nationkey").alias("cntrycode"))
             .agg(F.count(F.lit(1)).alias("numcust"),
                  exact_sum(bal, 2).alias("totacctbal")))
+
+
+@query(
+    "sql_q15_top_supplier", "sql_surface",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) AS DOUBLE) / 10000.0 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    description="TPC-H Q15 shape: top supplier(s) by quarterly revenue (scalar-max view)",
+)
+def sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Faithful Q15 (needs only l_shipdate + supplier): the revenue view
+    # is computed once per CTE reference by each engine; equality against
+    # the scalar MAX is on an exact integer-cents sum, so the "all
+    # suppliers tied at max" semantics is deterministic. At 100 TB the
+    # view is one combinable aggregate; the scalar subquery reduces the
+    # tiny aggregated table, and supplier joins it broadcast-wise.
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """)
+
+
+@query(
+    "sql_q9_product_profit", "sql_surface",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(CAST(ROUND(amount * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - p.p_retailprice * l.l_quantity * 0.1 AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    description="TPC-H Q9 shape: product-type profit by nation and year (cost proxy)",
+)
+def sql_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q9 adapted: testdata has no partsupp, so supply cost is proxied as
+    # 10% of p_retailprice per unit — same join graph (5-way fact ->
+    # part/supplier/orders/nation), same LIKE-filtered part dimension,
+    # same (nation, year) profit rollup. The per-row amount expression
+    # is written with the identical operation order in both engines so
+    # the cents-rounded sum matches exactly. part is LIKE-filtered
+    # BEFORE the join (Catalyst pushes it into the scan), keeping the
+    # probe side small enough to broadcast at production SF.
+    register_views(spark, sf_dir,
+                   ("part", "lineitem", "supplier", "orders", "nation"))
+    return spark.sql("""
+        SELECT nation, o_year,
+               CAST(SUM(CAST(ROUND(amount * 10000) AS BIGINT)) AS DOUBLE)
+                 / 10000.0 AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - p.p_retailprice * l.l_quantity * 0.1 AS amount
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+    """)
