@@ -146,3 +146,47 @@ def test_centroid_rollup_partial_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_centroid_rollup")
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q9_pushes_like_filter_to_part_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_q9_product_profit")
+    # the LIKE-filtered part dimension must be filtered at its scan (so
+    # the dimension side stays small enough to broadcast), not after the
+    # 5-way join
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("p_name" in p for p in pushed), \
+        f"p_name LIKE must reach the part scan: {pushed}"
+
+
+def test_gap_fill_single_shuffle_of_raw_data(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stream_gap_fill")
+    # events shuffles once into the hour-grain aggregate; the grid is
+    # derived from the aggregated table, so no second raw-data exchange
+    # with events' grouping keys appears.  The hour aggregate must
+    # partial-combine map-side.
+    assert plan.count("HashAggregate") >= 2, "hour grain must partial-aggregate"
+    events_scans = plan.count("events.parquet") or plan.count("Scan parquet")
+    assert events_scans >= 1
+
+
+def test_mode_partial_aggregates_and_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_mode_exact")
+    assert plan.count("HashAggregate") >= 2, "count level must map-side combine"
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_merge_upsert_is_single_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_merge_upsert")
+    assert "FullOuter" in plan, "MERGE idiom must be one full-outer join"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_vocab_build_ranks_aggregated_table_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_vocab_build")
+    # term count partial-aggregates before the shuffle; the global-order
+    # window runs after the aggregate (over |vocab| rows), never over
+    # the exploded corpus
+    assert plan.count("HashAggregate") >= 2
+    win_pos = plan.find("Window")
+    agg_pos = plan.find("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1
