@@ -126,3 +126,37 @@ def sim_centroid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.v).alias("centroid")))
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
     return cent.join(counts, "label")
+
+
+@query(
+    "sim_quantize_int8", "similarity",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings)
+    SELECT vec_id,
+           ROUND(list_max(list_transform(e, x -> abs(x))), 6) AS scale,
+           list_transform(e, x -> CAST(ROUND(
+               x / list_max(list_transform(e, y -> abs(y))) * 127)
+               AS INTEGER)) AS q
+    FROM v
+    """,
+    description="per-vector int8 symmetric quantization of embeddings (4x compression)",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vector compression for the 100 TB corpus: symmetric absmax int8 —
+    # q_i = round(x_i / absmax * 127) — shrinks a float32 embedding
+    # column 4x before it ever hits a shuffle or an ANN index. Pure
+    # per-row higher-order expressions, no UDF, no shuffle; both engines
+    # run the identical IEEE sequence (cast-to-double first, one
+    # divide, one multiply) so even the rounded codes match exactly.
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"))
+    absmax = F.expr("array_max(transform(e, x -> abs(x)))")
+    return v.select(
+        "vec_id",
+        F.round(absmax, 6).alias("scale"),
+        F.expr("transform(e, x -> CAST(ROUND("
+               "x / array_max(transform(e, y -> abs(y))) * 127) AS INT))")
+            .alias("q"))

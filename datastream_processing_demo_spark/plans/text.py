@@ -384,3 +384,52 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tokens",
         offset.cast("long").alias("token_offset"),
         F.floor(offset / 512).alias("pack_id"))
+
+
+@query(
+    "text_repetition_filter", "text",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ng AS (SELECT doc_id,
+           CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+           ELSE [] END AS ng
+           FROM w)
+    SELECT doc_id,
+           len(ng) AS n_trigrams,
+           len(list_distinct(ng)) AS n_distinct,
+           CASE WHEN len(ng) > 0 THEN
+               ROUND(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng), 6)
+           ELSE 0.0 END AS rep_ratio,
+           CASE WHEN len(ng) > 0 THEN
+               (1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng)) > 0.02
+           ELSE FALSE END AS is_repetitive
+    FROM ng
+    """,
+    description="within-doc trigram repetition ratio (Gopher-style rep filter)",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signal: fraction of duplicated word
+    # trigrams inside each document — boilerplate and degenerate
+    # generations score high and get filtered before training. Pure
+    # per-row array expressions (no explode: the trigram list never
+    # leaves its row, so there is no shuffle and no row blow-up; at
+    # 100 TB this is a map-only pass).
+    d = t(spark, sf_dir, "documents")
+    ng = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+        "split(text, ' ')[i+2])) ELSE array() END")
+    base = d.select("doc_id", ng.alias("ng"))
+    n_tri = F.size("ng")
+    n_uniq = F.size(F.array_distinct("ng"))
+    ratio = F.lit(1.0) - n_uniq.cast("double") / n_tri
+    return base.select(
+        "doc_id",
+        n_tri.alias("n_trigrams"),
+        n_uniq.alias("n_distinct"),
+        F.when(n_tri > 0, F.round(ratio, 6)).otherwise(0.0).alias("rep_ratio"),
+        F.when(n_tri > 0, ratio > 0.02).otherwise(F.lit(False))
+            .alias("is_repetitive"))
