@@ -335,3 +335,30 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(entries, lambda e: e["value"]).alias("doubled_vals"),
         F.size(entries).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "json_variant", "json_array",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing,
+           CAST(json(props) AS VARCHAR) AS normalized_json
+    FROM events
+    """,
+    description="VariantType JSON: parse_json + typed variant_get (Spark 4 semi-structured path)",
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4's Variant encoding is the scale path for semi-structured
+    # columns: parse once into a binary-tree encoding, then typed
+    # variant_get extraction without per-access JSON re-parsing (unlike
+    # repeated get_json_object calls, which re-parse the string each
+    # time). try_variant_get on a missing path yields NULL, matching
+    # the oracle's json_extract_string semantics.
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        F.to_json(v).alias("normalized_json"))

@@ -1,0 +1,98 @@
+"""End-to-end training-data prep pipeline composed from the engine's
+operators: quality filter -> repetition filter -> exact + near dedup ->
+content-addressed split -> sequence packing -> corpus stats.
+
+This is the "switch from the reference" story for an LLM data pipeline:
+every stage is a registered, oracle-checked operator (OPERATORS.md), and
+every stage is shuffle-minimal by construction (SCALE.md) — the whole
+pipeline shuffles the corpus exactly twice (near-dup candidate join and
+pack-window) regardless of scale.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python examples/training_data_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datastream_processing_demo_spark.catalog import load_table
+from datastream_processing_demo_spark.operators.components import min_label_components
+from datastream_processing_demo_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from datastream_processing_demo_spark.operators.text import quality_cols
+from datastream_processing_demo_spark.session import EngineConfig, get_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_session(EngineConfig(app_name="training-data-pipeline"))
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. quality gate: map-only scoring, keep the upper band
+    q = quality_cols("text")["quality_score"]
+    docs = docs.withColumn("q", q).filter(F.col("q") >= 0.5)
+
+    # 2. repetition gate: map-only trigram dup-ratio inside each row
+    w3 = F.expr(
+        "CASE WHEN size(split(text,' ')) >= 3 THEN "
+        "transform(sequence(0, size(split(text,' ')) - 3), i -> "
+        "concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], "
+        "split(text,' ')[i+2])) ELSE array() END")
+    docs = (docs.withColumn("ng", w3)
+            .withColumn("rep", F.when(
+                F.size("ng") > 0,
+                1.0 - F.size(F.array_distinct("ng")).cast("double")
+                / F.size("ng")).otherwise(0.0))
+            .filter(F.col("rep") <= 0.02).drop("ng", "rep"))
+
+    # 3. exact dedup on normalized content hash (one combine-able agg)
+    norm = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    keeper = (docs.withColumn("h", norm)
+              .groupBy("h").agg(F.min("doc_id").alias("doc_id")))
+    docs = docs.join(keeper, "doc_id", "left_semi")
+
+    # 4. near-dedup: MinHash+LSH candidate pairs -> connected components
+    #    -> keep each cluster's min doc_id (the 100 TB dedup path)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    comps = min_label_components(pairs, src="doc_a", dst="doc_b")
+    drop = (comps.filter(F.col("node") != F.col("cluster_id"))
+            .select(F.col("node").alias("doc_id")))
+    docs = docs.join(drop, "doc_id", "left_anti")
+
+    # 5. content-addressed train/val/test split (pure expression)
+    bucket = F.substring(F.md5("text"), 1, 2)
+    docs = docs.withColumn(
+        "split",
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val")
+         .otherwise("test"))
+
+    # 6. sequence packing per (split, source) stream
+    w = (Window.partitionBy("split", "source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    n_tok = F.size(F.split("text", " "))
+    offset = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    packed = docs.select(
+        "doc_id", "split", "source", n_tok.alias("n_tokens"),
+        F.floor(offset / 512).alias("pack_id"))
+
+    stats = (packed.groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("n_tokens"),
+                  F.countDistinct("source", "pack_id").alias("n_packs"))
+             .orderBy("split"))
+    print(f"raw docs: {n_raw}")
+    stats.show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
