@@ -94,3 +94,34 @@ def frames_col(text_col: str = "text", frame_bytes: int = FRAME_BYTES) -> Column
 def sample_frames(frames: Column, every: int = 3) -> Column:
     """Keep every k-th frame (0-based index) — the frame-sampling op."""
     return F.filter(frames, lambda x, i: i % every == 0)
+
+
+def resize_payloads(df: DataFrame, id_col: str = "doc_id",
+                    out_w: int = 32, out_h: int = 24) -> DataFrame:
+    """mapInPandas resize stage: binary in, resized binary + dims out.
+
+    The resize itself is a deterministic fake (crop to out_w*out_h
+    bytes — a real implementation would decode via PIL/libvips, which
+    this container lacks; swap `_fake_resize` for the real kernel).
+    The Spark-side plumbing is real: Arrow-batched binary columns in
+    and out, stable schema, no shuffle (map-only stage).
+    """
+    target = out_w * out_h
+
+    def _fake_resize(b: bytes) -> bytes:
+        return bytes(b[:target])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(_fake_resize)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "out_w": out_w,
+                "out_h": out_h,
+                "n_out_bytes": resized.map(len),
+                "resized": resized,
+            })
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema=("doc_id long, out_w int, out_h int, "
+                     "n_out_bytes long, resized binary"))

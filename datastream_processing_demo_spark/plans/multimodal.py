@@ -81,3 +81,28 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sampled).cast("long").alias("n_sampled"),
         F.decode(F.element_at(sampled, 1), "UTF-8").alias("first_frame_text"),
     )
+
+
+@query(
+    "mm_resize", "multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(32 AS INTEGER) AS out_w,
+           CAST(24 AS INTEGER) AS out_h,
+           least(octet_length(encode(text)), 768) AS n_out_bytes,
+           substring(lower(hex(encode(text))), 1, 16) AS head_hex
+    FROM documents
+    """,
+    description="mapInPandas resize stage (fake crop kernel; real Arrow plumbing)",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The resize step of an image pipeline: Arrow-batched binary in,
+    # resized binary out, map-only. The oracle checks byte counts and
+    # the first-8-bytes hex of the resized payload computed from the
+    # source text (DuckDB has no blob substring, so it slices the hex
+    # string instead).
+    from ..operators.multimodal import resize_payloads
+    d = resize_payloads(to_binary_payload(t(spark, sf_dir, "documents")))
+    return d.select(
+        "doc_id", "out_w", "out_h", "n_out_bytes",
+        F.lower(F.hex(F.col("resized").substr(1, 8))).alias("head_hex"))
