@@ -46,6 +46,15 @@ HEADLINE = [
     "sim_bruteforce_topk",     # brute-force ANN baseline
     "udf_pandas_vectorized",   # Arrow UDF path
     "mm_decode_features",      # mapInPandas multimodal stage
+    "join_asof_attribution",   # as-of join (union+window form)
+    "stream_hypertable_rollup",  # minute->hour->day rollup cascade
+    "stream_gap_fill",         # dense-grid densification + LOCF
+    "join_merge_upsert",       # MERGE idiom (full-outer coalesce)
+    "text_vocab_build",        # corpus term count + rank
+    "text_sequence_pack",      # running token-offset packing
+    "text_repetition_filter",  # map-only trigram rep-ratio
+    "sim_quantize_int8",       # map-only embedding quantization
+    "json_variant",            # Variant parse + typed extraction
 ]
 
 RUNS = 3

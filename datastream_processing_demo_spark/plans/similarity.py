@@ -150,13 +150,16 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row higher-order expressions, no UDF, no shuffle; both engines
     # run the identical IEEE sequence (cast-to-double first, one
     # divide, one multiply) so even the rounded codes match exactly.
+    # absmax is materialized as a projection column BEFORE the quantize
+    # lambda — inlining it would re-reduce the vector per element
+    # (no CSE inside array lambdas; O(d^2) per row).
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", F.expr(
         "transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"))
-    absmax = F.expr("array_max(transform(e, x -> abs(x)))")
-    return v.select(
+    s = v.select("vec_id", "e",
+                 F.expr("array_max(transform(e, x -> abs(x)))").alias("m"))
+    return s.select(
         "vec_id",
-        F.round(absmax, 6).alias("scale"),
-        F.expr("transform(e, x -> CAST(ROUND("
-               "x / array_max(transform(e, y -> abs(y))) * 127) AS INT))")
+        F.round("m", 6).alias("scale"),
+        F.expr("transform(e, x -> CAST(ROUND(x / m * 127) AS INT))")
             .alias("q"))

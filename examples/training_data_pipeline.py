@@ -42,12 +42,14 @@ def main() -> None:
     docs = docs.withColumn("q", q).filter(F.col("q") >= 0.5)
 
     # 2. repetition gate: map-only trigram dup-ratio inside each row
+    # (words split once into a column — no CSE inside array lambdas)
     w3 = F.expr(
-        "CASE WHEN size(split(text,' ')) >= 3 THEN "
-        "transform(sequence(0, size(split(text,' ')) - 3), i -> "
-        "concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], "
-        "split(text,' ')[i+2])) ELSE array() END")
-    docs = (docs.withColumn("ng", w3)
+        "CASE WHEN size(wtoks) >= 3 THEN "
+        "transform(sequence(0, size(wtoks) - 3), i -> "
+        "concat_ws(' ', wtoks[i], wtoks[i+1], wtoks[i+2])) "
+        "ELSE array() END")
+    docs = (docs.withColumn("wtoks", F.split("text", " "))
+            .withColumn("ng", w3).drop("wtoks")
             .withColumn("rep", F.when(
                 F.size("ng") > 0,
                 1.0 - F.size(F.array_distinct("ng")).cast("double")
