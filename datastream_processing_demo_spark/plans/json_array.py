@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.spread import spread
 from ..schemas import EVENT_PROPS_SCHEMA
 from ._util import t
 from .registry import query
@@ -33,7 +34,9 @@ from .registry import query
     description="get_json_object / from_json(schema) / missing-path NULL",
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # spread(): JSON parsing is CPU-bound per-row work; a small-file
+    # scan would serialize all of it on one core (no-op on wide scans).
+    e = spread(t(spark, sf_dir, "events"))
     parsed = F.from_json("props", EVENT_PROPS_SCHEMA)
     return e.select(
         "event_id",
@@ -56,7 +59,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="json_tuple extraction + to_json re-serialization",
 )
 def json_tuple_tojson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    e = spread(t(spark, sf_dir, "events"))
     # json_tuple is the multi-path extractor (UDTF-style generator)
     extracted = e.select(
         "event_id", "event_type",
@@ -355,7 +358,7 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated get_json_object calls, which re-parse the string each
     # time). try_variant_get on a missing path yields NULL, matching
     # the oracle's json_extract_string semantics.
-    e = t(spark, sf_dir, "events")
+    e = spread(t(spark, sf_dir, "events"))
     v = F.parse_json("props")
     return e.select(
         "event_id",
