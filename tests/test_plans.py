@@ -190,3 +190,32 @@ def test_vocab_build_ranks_aggregated_table_only(spark, sf_dir):
     win_pos = plan.find("Window")
     agg_pos = plan.find("HashAggregate")
     assert win_pos != -1 and agg_pos != -1
+
+
+def test_q2_correlated_min_decorrelates(spark, sf_dir):
+    # The per-part correlated MIN over the region-filtered supplier set
+    # must become an aggregate joined back on p_partkey — equi hash
+    # joins only, no per-row rescan of the ps view.
+    plan = _plan(spark, sf_dir, "sql_q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q20_nested_in_chain_is_semi_joins(spark, sf_dir):
+    # Both IN subqueries and the correlated scalar threshold decorrelate:
+    # the plan is a chain of semi joins + aggregates, never a loop.
+    plan = _plan(spark, sf_dir, "sql_q20_excess_inventory")
+    assert "LeftSemi" in plan, "IN chains must plan as semi joins"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
+    # EXISTS -> left semi, NOT EXISTS -> left anti, both self-joins of
+    # lineitem on l_orderkey (co-partitioned with the main join at
+    # scale); the <> conjunct rides along as a join residual.
+    plan = _plan(spark, sf_dir, "sql_q21_waiting_orders")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
