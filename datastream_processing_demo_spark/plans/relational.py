@@ -566,3 +566,40 @@ def fn_engine_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.spark_partition_id().alias("part_id"),
         F.input_file_name().alias("src_file"),
     )
+
+
+@query(
+    "fn_url_parse", "relational",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           'n=' || CAST(n_chars AS VARCHAR) || '&tag=doc' AS query,
+           CAST(n_chars AS VARCHAR) AS n_param,
+           replace(lang || ' ' || source, ' ', '+') AS encoded,
+           lang || ' ' || source AS decoded
+    FROM documents
+    """,
+    description="URL functions: parse_url HOST/PATH/QUERY/param + url_encode/decode",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build a URL per document from typed columns, then take it apart
+    # with parse_url; the oracle reconstructs each component from the
+    # same columns directly. url_encode is exercised on a space-bearing
+    # payload (Java URLEncoder: space -> '+') and round-tripped with
+    # url_decode. All shuffle-free codegen'd projections.
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?n="), F.col("n_chars").cast("string"), F.lit("&tag=doc"))
+    payload = F.concat(F.col("lang"), F.lit(" "), F.col("source"))
+    u = d.select("doc_id", url.alias("url"), payload.alias("payload"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
+        F.url_encode("payload").alias("encoded"),
+        F.url_decode(F.url_encode("payload")).alias("decoded"))

@@ -10,7 +10,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import register_views
-from ..sources.files import read_csv_with_schema, read_json_with_schema
+from ..sources.files import (read_csv_with_schema,
+                             read_json_with_schema, read_orc)
 from ._util import oracle_exact_sum, t
 from .registry import query
 
@@ -283,3 +284,26 @@ def sql_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
     """)
+
+
+@query(
+    "source_orc_scan", "sql_surface",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {oracle_exact_sum('o_totalprice', 2)} AS total_value
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description="ORC scan (footer schema, vectorized reader, pushdown like parquet)",
+)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same derived-copy pattern as the CSV/JSON sources: the driver
+    # testdata is parquet-only, so materialize an ORC copy once and
+    # read it back. ORC carries exact types in its footer and gets the
+    # vectorized columnar reader + predicate pushdown, so the scan
+    # behaves like parquet at scale.
+    o = read_orc(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.sum(cents).cast("double") / 100.0).alias("total_value")))

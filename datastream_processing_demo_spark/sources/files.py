@@ -36,6 +36,8 @@ def _materialize(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
         writer = df.coalesce(1).write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", "true").csv(out)
+        elif fmt == "orc":
+            writer.orc(out)
         else:
             writer.json(out)
     return out
@@ -50,3 +52,11 @@ def read_csv_with_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 def read_json_with_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = _materialize(spark, sf_dir, name, "json")
     return spark.read.schema(TABLE_SCHEMAS[name]).json(path)
+
+
+def read_orc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """ORC scan. Unlike CSV/JSON the schema comes from the ORC footer
+    (exact types, no inference pass); ORC gets the same pushdown/
+    pruning treatment as parquet from the vectorized reader."""
+    path = _materialize(spark, sf_dir, name, "orc")
+    return spark.read.orc(path)
