@@ -225,6 +225,36 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_sketch_rollup", "aggregates",
+    oracle=None,  # sketch bytes are engine-specific; error-bound-checked in tests
+    description="mergeable HLL sketch rollup: minute sketches unioned to hour/day",
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The incremental-distinct pattern for 100 TB rollups: aggregate raw
+    # data ONCE into fine-grain Apache DataSketches HLL sketches, then
+    # build every coarser grain by unioning sketches — never re-scanning
+    # raw data (approx_count_distinct alone can't do this; its counts
+    # don't merge). Minute -> hour -> day here mirrors the hypertable
+    # cascade but for COUNT(DISTINCT user_id), which plain sums cannot
+    # roll up. Each level is a tiny combinable aggregate over the
+    # previous one.
+    e = t(spark, sf_dir, "events")
+    minute = (e.select(F.date_trunc("minute", "ts").alias("bucket"), "user_id")
+              .groupBy("bucket")
+              .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    hour = (minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket"))
+            .agg(F.hll_union_agg("sk").alias("sk")))
+    day = (hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
+           .agg(F.hll_union_agg("sk").alias("sk")))
+    tagged = (minute.select(F.lit("minute").alias("resolution"), "*")
+              .unionByName(hour.select(F.lit("hour").alias("resolution"), "*"))
+              .unionByName(day.select(F.lit("day").alias("resolution"), "*")))
+    return tagged.select(
+        "resolution", "bucket",
+        F.hll_sketch_estimate("sk").alias("approx_users"))
+
+
+@query(
     "agg_pivot", "aggregates",
     oracle=f"""
     SELECT o_orderpriority,

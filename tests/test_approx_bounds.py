@@ -73,3 +73,25 @@ def test_engine_introspection_properties(spark, sf_dir):
     assert all(r["src_file"].endswith(".parquet") for r in rows)
     n_parts = len({r["part_id"] for r in rows})
     assert 1 <= n_parts <= df.rdd.getNumPartitions()
+
+
+def test_sketch_rollup_merges_to_exact_distinct(spark, sf_dir, oracle_con):
+    # The unioned day-level sketch must estimate the TRUE day-level
+    # distinct count (not a sum of per-minute counts — the whole point
+    # of mergeable sketches); DataSketches HLL at default lgK=12 has
+    # ~1.6% rsd, take 4 sigma.
+    spec = all_queries()["agg_sketch_rollup"]
+    rows = spec.spark(spark, sf_dir).collect()
+    assert {"minute", "hour", "day"} == {r["resolution"] for r in rows}
+    day = {r["bucket"]: r["approx_users"] for r in rows
+           if r["resolution"] == "day"}
+    exact = oracle_con.execute("""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+               COUNT(DISTINCT user_id) AS n
+        FROM events GROUP BY 1
+    """).fetchall()
+    assert len(exact) == len(day)
+    for bucket, n in exact:
+        est = day[bucket]
+        assert abs(est - n) <= max(0.08 * n, 4), \
+            f"day {bucket}: sketch {est} vs exact {n}"
