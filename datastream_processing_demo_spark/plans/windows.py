@@ -224,3 +224,39 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("big_val", ignorenulls=True).over(w).alias("last_big_seen"),
         F.first("big_val", ignorenulls=True).over(w).alias("first_big_seen"),
     )
+
+
+@query(
+    "win_running_median", "windows",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           quantile_cont(cents, 0.5) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0
+             AS run_median
+    FROM (SELECT o_orderkey, o_custkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders) b
+    """,
+    description="running median over a row frame (percentile window fn)",
+)
+def win_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Windowed exact median (Spark: percentile() over a frame; median()
+    # itself rejects frames). Interpolation runs on integer cents, where
+    # the 0.5 midpoint (a+b)/2 is exact in IEEE for either op order, so
+    # Spark's and DuckDB's different interpolation formulas agree bit
+    # for bit; the /100.0 is one identical final division. Keyed per
+    # customer (bounded ~dozens of orders) so window partitions stay
+    # small at 100 TB — never a handful of giant priority-class keys.
+    o = t(spark, sf_dir, "orders")
+    o.select("o_orderkey", "o_custkey",
+             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+             ).createOrReplaceTempView("win_median_base")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               percentile(cents, 0.5) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0
+                 AS run_median
+        FROM win_median_base
+    """)
