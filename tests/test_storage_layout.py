@@ -93,3 +93,32 @@ def test_partitioned_write_roundtrip_schema(spark, sf_dir, tmp_path):
     assert back.count() == events.count()
     # partition column survives (as string directory key) + data columns
     assert set(back.columns) == set(events.columns)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    # The 100 TB star-join pattern: the fact table is partitioned on the
+    # join key's dimension attribute; a filter on the DIMENSION side
+    # must prune fact partitions AT RUNTIME (dynamic partition pruning)
+    # even though no literal predicate touches the fact's partition
+    # column. Catalyst inserts a dynamicpruning subquery into the fact
+    # scan's PartitionFilters.
+    out = str(tmp_path / "orders_by_prio")
+    write_partitioned(load_table(spark, sf_dir, "orders"),
+                      out, "o_orderpriority")
+    fact = read_partitioned(spark, out)
+    # tiny dimension mapping priority -> class, filtered on class
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+         ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")],
+        ["prio", "klass"])
+    j = (fact.join(dim.filter(F.col("klass") == "hot"),
+                   fact.o_orderpriority == dim.prio)
+         .agg(F.count(F.lit(1)).alias("n")))
+    plan = _explain(j)
+    assert "dynamicpruning" in plan.lower(), \
+        "dimension filter must reach the fact scan as a runtime partition filter"
+    got = j.collect()[0]["n"]
+    want = (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .count())
+    assert got == want
