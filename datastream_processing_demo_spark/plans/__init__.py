@@ -20,6 +20,7 @@ def load_all() -> None:
         pipeline_batch,
         sql_surface,
         streaming_batch,
+        streaming_live,
         subqueries,
         tpch_extra,
         text,

@@ -1,0 +1,100 @@
+"""LIVE Structured Streaming queries under the oracle gate.
+
+The batch-form queries in streaming_batch.py prove the VALUE semantics
+of the window operators; tests/test_streaming.py proves stream-batch
+equivalence. This module closes the loop for the driver itself: the
+query really executes as a Structured Streaming job — a file-stream
+source replayed in multiple micro-batches (maxFilesPerTrigger=1 +
+Trigger.AvailableNow), a watermarked stateful window aggregate, a
+memory sink — and the materialized result must hash-match the same
+DuckDB SQL that checks the batch form. Complete output mode keeps the
+full aggregation state, so the final table equals the batch answer
+bit for bit (exact integer-cents sums; window() is 1970-epoch-aligned,
+SURVEY.md §2.2 "exact via replayed batch").
+
+At scale the same topology is the production shape: log-offset source,
+watermark bounding state, RocksDB state store (session.py), sink
+swapped for parquet/foreachBatch. The memory sink is test-only.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..streaming.windows import tumbling_counts
+from .registry import query
+
+_6H = 6 * 3600
+_CACHE_ROOT = "/tmp/spark_graft_file_sources"
+_NAMES = itertools.count()
+
+
+def _stream_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
+    """Materialize events as n ts-ordered µs-timestamp parquet chunks
+    (idempotent): the replayable stand-in for a log source, one file
+    per micro-batch. µs timestamps sidestep the nanos footer issue the
+    batch catalog handles (catalog.load_table)."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = os.path.join(_CACHE_ROOT, tag, "events_stream_chunks")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = (load_table(spark, sf_dir, "events")
+               .orderBy("ts", "event_id").toPandas())
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        os.makedirs(out, exist_ok=True)
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        for i in range(0, len(pdf), step):
+            table = pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                         preserve_index=False)
+            pq.write_table(table, os.path.join(out, f"chunk-{i:08d}.parquet"),
+                           coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "stream_live_tumbling", "streaming",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / {_6H}) * {_6H} AS BIGINT) * 1000000)
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="LIVE streaming tumbling window: 5 micro-batches -> memory sink, exact",
+)
+def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _stream_chunk_dir(spark, sf_dir)
+    from ..schemas import EVENTS
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    agg = tumbling_counts(src, width="6 hours", watermark="1 hour")
+    name = f"stream_live_tumbling_{next(_NAMES)}"
+    # State-store task count is frozen per checkpoint at query start
+    # from shuffle.partitions; the aggregate state here is tiny (windows
+    # x event types), so pin a narrow width for THIS fresh checkpoint —
+    # a wide default (200) would pay 5 micro-batches x 200 state tasks
+    # of pure scheduling. Production sizes this to state volume.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("stream_live_tumbling did not finish in 300s")
+    return spark.table(name)
