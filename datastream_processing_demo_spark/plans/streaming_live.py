@@ -98,3 +98,125 @@ def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("stream_live_tumbling did not finish in 300s")
     return spark.table(name)
+
+
+def _dup_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
+    """Chunked events copy with every 10th row of chunk i re-injected
+    into chunk i+1: deterministic cross-batch duplicates for the live
+    dedup query (idempotent build)."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = os.path.join(_CACHE_ROOT, tag, "events_stream_chunks_dup")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = (load_table(spark, sf_dir, "events")
+               .orderBy("ts", "event_id").toPandas())
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        os.makedirs(out, exist_ok=True)
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        prev = None
+        for k, i in enumerate(range(0, len(pdf), step)):
+            chunk = pdf.iloc[i:i + step]
+            if prev is not None:
+                chunk = pd.concat([prev.iloc[::10], chunk],
+                                  ignore_index=True)
+            prev = pdf.iloc[i:i + step]
+            table = pa.Table.from_pandas(chunk, preserve_index=False)
+            pq.write_table(table, os.path.join(out, f"chunk-{k:08d}.parquet"),
+                           coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "stream_live_dedup", "streaming",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    """,
+    description="LIVE stateful dedup: cross-batch duplicates removed via watermark state",
+)
+def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Every 10th row of each micro-batch is replayed in the NEXT batch
+    # (an at-least-once source's retransmission); the streaming job must
+    # reduce the stream back to exactly the original events table using
+    # dropDuplicatesWithinWatermark key state carried ACROSS batches.
+    # The watermark spans the replay horizon (the data covers ~30 days)
+    # so re-sends are deduped by state, not silently dropped as late —
+    # at scale the horizon is minutes, not days, and state stays small.
+    from ..schemas import EVENTS
+    from ..streaming.windows import dedup_within_watermark
+    src_dir = _dup_chunk_dir(spark, sf_dir)
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    deduped = dedup_within_watermark(src, watermark="40 days")
+    name = f"stream_live_dedup_{next(_NAMES)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (deduped.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("stream_live_dedup did not finish in 300s")
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "stream_live_session", "streaming",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id
+    FROM islands
+    GROUP BY user_id, sess_no
+    """,
+    description="LIVE session windows: cross-batch session merge, complete mode",
+)
+def stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session state merges across micro-batches (a session straddling a
+    # batch boundary must come out as ONE row); complete mode keeps full
+    # session state so the final table equals the batch gaps-and-islands
+    # answer exactly. Same oracle as the batch form — that is the point.
+    from ..schemas import EVENTS
+    from ..streaming.windows import session_windows
+    src_dir = _stream_chunk_dir(spark, sf_dir)
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    sess = session_windows(src, gap="30 minutes", watermark="1 hour")
+    name = f"stream_live_session_{next(_NAMES)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (sess.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("stream_live_session did not finish in 300s")
+    return spark.table(name)
