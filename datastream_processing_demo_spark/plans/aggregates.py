@@ -487,3 +487,29 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_nationkey",
                     F.col("c_mktsegment").alias("mode_segment"),
                     "n_customers"))
+
+
+@query(
+    "agg_bitmap_distinct", "aggregates",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    description="EXACT mergeable distinct via bitmap aggregates (Roaring-style)",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The exact counterpart of the HLL sketch rollup: ids are packed
+    # into per-bucket bitmaps (bitmap_bucket_number / bit_position),
+    # bitmaps OR-merge associatively, and bitmap_count sums to the TRUE
+    # distinct count — mergeable like a sketch, exact like COUNT
+    # (DISTINCT), at a memory cost linear in the id range per bucket.
+    # Both aggregate levels are map-side combinable; the oracle is
+    # plain COUNT(DISTINCT) because the result is exact.
+    e = t(spark, sf_dir, "events")
+    buckets = (e.groupBy("event_type",
+                         F.expr("bitmap_bucket_number(user_id)").alias("bkt"))
+               .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+                    .alias("bm")))
+    return (buckets.groupBy("event_type")
+            .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users")))

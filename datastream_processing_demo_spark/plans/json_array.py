@@ -365,3 +365,29 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k"),
         F.try_variant_get(v, "$.missing", "string").alias("missing"),
         F.to_json(v).alias("normalized_json"))
+
+
+@query(
+    "map_str_to_map", "json_array",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS id_val,
+           event_type AS type_val,
+           2 AS n_keys
+    FROM events
+    """,
+    description="str_to_map: delimited key/value text to a map column",
+)
+def map_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build 'id:<id>,type:<type>' per row, parse with str_to_map, read
+    # entries back out; the oracle reconstructs the extracted values
+    # from the source columns (map values are strings by definition).
+    e = t(spark, sf_dir, "events")
+    kv = F.concat(F.lit("id:"), F.col("event_id").cast("string"),
+                  F.lit(",type:"), F.col("event_type"))
+    m = F.expr("str_to_map(kv, ',', ':')")
+    return (e.select("event_id", kv.alias("kv"))
+            .select("event_id",
+                    F.element_at(m, "id").alias("id_val"),
+                    F.element_at(m, "type").alias("type_val"),
+                    F.size(m).alias("n_keys")))

@@ -603,3 +603,38 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
         F.url_encode("payload").alias("encoded"),
         F.url_decode(F.url_encode("payload")).alias("decoded"))
+
+
+@query(
+    "fn_xml_parse", "relational",
+    oracle="""
+    SELECT event_id,
+           event_id AS xml_id,
+           event_type AS xml_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS xml_cents,
+           event_type AS xpath_type
+    FROM events
+    """,
+    description="XML functions: from_xml schema extraction + xpath_string",
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build an XML document per event from typed columns, parse it back
+    # with from_xml (explicit schema) and xpath_string; the oracle
+    # reconstructs the extracted fields from the same columns directly
+    # (same pattern as fn_url_parse). Cents are carried as an integer
+    # element so the round-trip has no float-formatting ambiguity.
+    e = t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><type>"), F.col("event_type"),
+        F.lit("</type><cents>"),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+        F.lit("</cents></e>"))
+    u = e.select("event_id", xml.alias("xml"))
+    parsed = F.from_xml("xml", "id BIGINT, type STRING, cents BIGINT")
+    return u.select(
+        "event_id",
+        parsed.getField("id").alias("xml_id"),
+        parsed.getField("type").alias("xml_type"),
+        parsed.getField("cents").alias("xml_cents"),
+        F.xpath_string("xml", F.lit("/e/type")).alias("xpath_type"))
