@@ -238,20 +238,26 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cascade but for COUNT(DISTINCT user_id), which plain sums cannot
     # roll up. Each level is a tiny combinable aggregate over the
     # previous one.
+    # Single-pass shape: minute sketches off ONE raw scan, then one
+    # GROUPING SETS pass over the sketch table unions upward (a union
+    # of cascaded aggregates would replan 3 raw rescans — Spark shares
+    # no subplans across union branches).
     e = t(spark, sf_dir, "events")
-    minute = (e.select(F.date_trunc("minute", "ts").alias("bucket"), "user_id")
-              .groupBy("bucket")
-              .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    hour = (minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket"))
-            .agg(F.hll_union_agg("sk").alias("sk")))
-    day = (hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
-           .agg(F.hll_union_agg("sk").alias("sk")))
-    tagged = (minute.select(F.lit("minute").alias("resolution"), "*")
-              .unionByName(hour.select(F.lit("hour").alias("resolution"), "*"))
-              .unionByName(day.select(F.lit("day").alias("resolution"), "*")))
-    return tagged.select(
-        "resolution", "bucket",
-        F.hll_sketch_estimate("sk").alias("approx_users"))
+    minute = (e.select(F.date_trunc("minute", "ts").alias("m"), "user_id")
+              .groupBy("m")
+              .agg(F.expr("hll_sketch_agg(user_id)").alias("sk")))
+    minute.select("m", F.date_trunc("hour", "m").alias("h"),
+                  F.date_trunc("day", "m").alias("d"), "sk") \
+        .createOrReplaceTempView("sk_minute_grain")
+    return spark.sql("""
+        SELECT CASE WHEN grouping(m) = 0 THEN 'minute'
+                    WHEN grouping(h) = 0 THEN 'hour'
+                    ELSE 'day' END AS resolution,
+               coalesce(m, h, d) AS bucket,
+               hll_sketch_estimate(hll_union_agg(sk)) AS approx_users
+        FROM sk_minute_grain
+        GROUP BY GROUPING SETS ((m), (h), (d))
+    """)
 
 
 @query(

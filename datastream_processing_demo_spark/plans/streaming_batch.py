@@ -144,34 +144,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="hypertable-style continuous aggregate: minute->hour->day cascade",
 )
 def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TimescaleDB-style multi-resolution rollup. The oracle states it as
-    # one GROUPING SETS pass; the engine CASCADES instead — aggregate to
-    # minute grain off the raw scan once, then re-aggregate minute->hour
-    # ->day from the tiny minute table. At 100 TB the cascade shuffles
-    # the raw data once (to ~minute-grain cardinality) and each coarser
-    # grain re-aggregates orders-of-magnitude fewer rows, where grouping
-    # sets would feed the raw scan through the aggregate 3x.
+    # TimescaleDB-style multi-resolution rollup, single-pass: aggregate
+    # raw data to minute grain ONCE (the only shuffle of raw rows),
+    # then one GROUPING SETS pass over the tiny minute table emits
+    # minute/hour/day together. A naive unionByName of cascaded
+    # aggregates LOOKS the same but plans as three full raw rescans
+    # (Spark shares no subplans across union branches — measured: 3x
+    # "Scan parquet", zero ReusedExchange); grouping sets over the
+    # reduced table keeps one raw scan + one Expand of ~minute-grain
+    # cardinality, which is the plan that survives 100 TB.
     from pyspark.sql import functions as F
     e = t(spark, sf_dir, "events")
-    minute = (e.select(F.date_trunc("minute", "ts").alias("bucket"),
+    minute = (e.select(F.date_trunc("minute", "ts").alias("m"),
                        "event_type",
                        F.round(F.col("value") * 100).cast("long").alias("cents"))
-              .groupBy("bucket", "event_type")
+              .groupBy("m", "event_type")
               .agg(F.count(F.lit(1)).alias("n_events"),
                    F.sum("cents").alias("total_cents")))
-    def _coarsen(df: DataFrame, grain: str) -> DataFrame:
-        return (df.groupBy(F.date_trunc(grain, "bucket").alias("bucket"),
-                           "event_type")
-                .agg(F.sum("n_events").alias("n_events"),
-                     F.sum("total_cents").alias("total_cents")))
-    hour = _coarsen(minute, "hour")
-    day = _coarsen(hour, "day")
-    tagged = (minute.select(F.lit("minute").alias("resolution"), "*")
-              .unionByName(hour.select(F.lit("hour").alias("resolution"), "*"))
-              .unionByName(day.select(F.lit("day").alias("resolution"), "*")))
-    return tagged.select(
-        "resolution", "bucket", "event_type", "n_events",
-        (F.col("total_cents").cast("double") / 100.0).alias("total_value"))
+    minute.select("m", F.date_trunc("hour", "m").alias("h"),
+                  F.date_trunc("day", "m").alias("d"),
+                  "event_type", "n_events", "total_cents") \
+        .createOrReplaceTempView("ht_minute_grain")
+    return spark.sql("""
+        SELECT CASE WHEN grouping(m) = 0 THEN 'minute'
+                    WHEN grouping(h) = 0 THEN 'hour'
+                    ELSE 'day' END AS resolution,
+               coalesce(m, h, d) AS bucket, event_type,
+               SUM(n_events) AS n_events,
+               CAST(SUM(total_cents) AS DOUBLE) / 100.0 AS total_value
+        FROM ht_minute_grain
+        GROUP BY GROUPING SETS ((m, event_type), (h, event_type),
+                                (d, event_type))
+    """)
 
 
 @query(

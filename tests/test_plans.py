@@ -219,3 +219,16 @@ def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_cascades_scan_raw_once(spark, sf_dir):
+    # The multi-resolution rollups must produce minute/hour/day from ONE
+    # raw scan (grouping sets over the minute-grain table). A union of
+    # cascaded aggregates silently replans N full rescans — Spark shares
+    # no subplans across union branches.
+    for name in ("stream_hypertable_rollup", "agg_sketch_rollup"):
+        plan = _plan(spark, sf_dir, name)
+        n_scans = plan.count("Scan parquet")
+        assert n_scans <= 2, \
+            f"{name}: expected one raw scan, plan mentions {n_scans}"
+        assert "Expand" in plan, f"{name}: grouping-sets Expand missing"
