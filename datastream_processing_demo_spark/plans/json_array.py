@@ -391,3 +391,42 @@ def map_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.element_at(m, "id").alias("id_val"),
                     F.element_at(m, "type").alias("type_val"),
                     F.size(m).alias("n_keys")))
+
+
+@query(
+    "array_quantifiers_zip", "json_array",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0.3)) > 0 AS any_big,
+           len(list_filter(embedding, x -> x > -0.3)) = len(embedding)
+               AS all_above,
+           ROUND(list_sum(list_transform(embedding, (x, i) ->
+                 CAST(x AS DOUBLE) * CAST(list_reverse(embedding)[i] AS DOUBLE))), 6)
+               AS rev_dot,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x), 6) AS red_sum
+    FROM embeddings
+    """,
+    description="higher-order exists/forall/zip_with/reduce over float arrays",
+)
+def array_quantifiers_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exists/forall quantifiers, zip_with (element-wise against the
+    # reversed vector — the embeddings are L2-normalized so a self-dot
+    # would be constant 1.0), and reduce as an explicit left fold.
+    # Both engines run the identical left-to-right IEEE sequence per
+    # row, so ROUND(,6) has ~1e-10 headroom. DuckDB mirrors: exists ->
+    # list_filter length, zip_with -> indexed list_transform (1-based
+    # i), reduce -> list_reduce over a prepended init.
+    e = t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    rev = F.reverse(as_double)
+    return e.select(
+        "vec_id",
+        F.exists("embedding", lambda x: x > 0.3).alias("any_big"),
+        F.forall("embedding", lambda x: x > -0.3).alias("all_above"),
+        F.round(F.aggregate(F.zip_with(as_double, rev, lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x), 6)
+            .alias("rev_dot"),
+        F.round(F.reduce(as_double, F.lit(0.0), lambda acc, x: acc + x), 6)
+            .alias("red_sum"))

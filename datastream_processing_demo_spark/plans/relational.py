@@ -638,3 +638,30 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("type").alias("xml_type"),
         parsed.getField("cents").alias("xml_cents"),
         F.xpath_string("xml", F.lit("/e/type")).alias("xpath_type"))
+
+
+@query(
+    "fn_csv_parse", "relational",
+    oracle="""
+    SELECT event_id,
+           event_type AS csv_type,
+           event_id AS csv_id,
+           event_type || ',' || CAST(event_id AS VARCHAR) AS rebuilt
+    FROM events
+    """,
+    description="inline CSV functions: from_csv schema extraction + to_csv",
+)
+def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inline CSV codec (from_csv/to_csv work on COLUMNS, unlike the
+    # file-source CSV scan): build a line from typed columns, parse it
+    # back with an explicit schema, re-serialize. Reconstruction oracle.
+    e = t(spark, sf_dir, "events")
+    line = F.concat(F.col("event_type"), F.lit(","),
+                    F.col("event_id").cast("string"))
+    parsed = F.from_csv(line, F.lit("t STRING, id BIGINT"))
+    return e.select(
+        "event_id",
+        parsed.getField("t").alias("csv_type"),
+        parsed.getField("id").alias("csv_id"),
+        F.to_csv(F.struct(F.col("event_type").alias("a"),
+                          F.col("event_id").alias("b"))).alias("rebuilt"))
