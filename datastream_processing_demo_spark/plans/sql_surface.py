@@ -307,3 +307,55 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  (F.sum(cents).cast("double") / 100.0).alias("total_value")))
+
+
+@query(
+    "sql_recursive_spine", "sql_surface",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-12-01 00:00:00'
+    )
+    SELECT months.m AS month_start,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.total_value, 0.0) AS total_value
+    FROM months
+    LEFT JOIN (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_value
+      FROM orders GROUP BY 1
+    ) o ON o.mo = months.m
+    """,
+    description="recursive CTE month spine (WITH RECURSIVE) + left-joined rollup",
+)
+def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4's WITH RECURSIVE: generate the 84-month calendar spine
+    # recursively (bounded depth, well under the default recursion
+    # limit), then left-join the per-month order rollup so empty months
+    # surface as zeros. The spine is driver-free and tiny; at scale the
+    # join broadcasts the spine against the aggregated (not raw) side.
+    # DuckDB runs the identical statement.
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-12-01 00:00:00'
+        )
+        SELECT months.m AS month_start,
+               COALESCE(o.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               COALESCE(o.total_value, 0.0) AS total_value
+        FROM months
+        LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 AS total_value
+          FROM orders GROUP BY 1
+        ) o ON o.mo = months.m
+    """)
