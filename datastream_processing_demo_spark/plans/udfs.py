@@ -178,3 +178,37 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     return d.mapInArrow(token_stats,
                         "doc_id long, n_tokens long, n_chars long")
+
+
+@query(
+    "udtf_python_class", "udfs",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           CAST(length(unnest(string_split(text, ' '))) AS BIGINT) AS tok_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    description="Python UDTF class API (@udtf eval/yield, LATERAL join)",
+)
+def udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Spark 3.5+ table-function API proper (distinct from the
+    # mapInPandas pattern): a class with eval() yielding 0..N rows per
+    # input row, registered and invoked via LATERAL. Row-at-a-time by
+    # design (API-parity query, bounded input) — bulk tokenization
+    # stays on the Arrow paths (udtf_map_in_pandas / JVM split).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, tok_len: bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            for tok in text.split(" "):
+                yield tok, len(tok)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100) \
+        .select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, tk.token, tk.tok_len
+        FROM udtf_docs d, LATERAL tokenize_udtf(d.text) tk
+    """)
