@@ -519,3 +519,58 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("bm")))
     return (buckets.groupBy("event_type")
             .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users")))
+
+
+@query(
+    "agg_listagg", "aggregates",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, '|' ORDER BY c_name) AS members
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    description="ordered string aggregation (listagg WITHIN GROUP)",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # listagg with a full WITHIN GROUP ordering is deterministic (the
+    # unordered form is not — never expose it to a hash gate). DuckDB
+    # spells it string_agg(expr, sep ORDER BY ...).
+    c = t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("listagg_customer")
+    return spark.sql("""
+        SELECT c_nationkey,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)
+                   AS members
+        FROM listagg_customer
+        GROUP BY c_nationkey
+    """)
+
+
+@query(
+    "agg_approx_top_k", "aggregates",
+    oracle="""
+    SELECT tok AS token, CAST(n AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY n DESC, tok
+      LIMIT 5
+    )
+    """,
+    description="approx_top_k heavy hitters (exact on this cardinality, checked so)",
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heavy-hitters sketch (Spark 4 approx_top_k). With maxItemsTracked
+    # (10000) far above the corpus vocabulary (~30) the sketch tracks
+    # every item with exact counts, so the result is checkable against
+    # the exact top-5 — the boundary counts are distinct in this data.
+    # At real-text scale the same call degrades gracefully to
+    # approximate counts; this query pins the API + merge behavior.
+    from ..operators.spread import spread
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    tk = toks.selectExpr("approx_top_k(tok, 5, 10000) AS tk")
+    row = tk.select(F.explode("tk").alias("e"))
+    return row.select(F.col("e.item").alias("token"),
+                      F.col("e.count").alias("n_occurrences"))
