@@ -491,6 +491,59 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_hash_bernoulli", "relational",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 2) <= '19'
+    """,
+    description="content-hash Bernoulli sample (~10%): md5(key) threshold, engine-portable",
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # seeded rand() sampling (sample_bernoulli) is reproducible only within
+    # one engine+partitioning; hashing the row KEY makes the sample a pure
+    # function of the data — stable across engines, repartitions, and
+    # re-runs, which is what a 100 TB corpus snapshot needs. '00'..'19'
+    # covers 26 of 256 two-hex-digit prefixes ~= 10.2%. Map-side only.
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                      F.col("l_linenumber").cast("string"))
+    return (li.filter(F.substring(F.md5(key), 1, 2) <= "19")
+            .select("l_orderkey", "l_linenumber", "l_returnflag"))
+
+
+@query(
+    "sample_hash_stratified", "relational",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_sampled
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 2)
+          <= CASE l_returnflag WHEN 'R' THEN '0c'
+                               WHEN 'A' THEN '19'
+                               ELSE '33' END
+    GROUP BY l_returnflag
+    """,
+    description="content-hash stratified sample: per-stratum md5 thresholds, exact oracle",
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic counterpart of sample_stratified (sampleBy): per-key
+    # keep-fractions via hash thresholds — R ~5% (13/256), A ~10% (26/256),
+    # N ~20% (52/256). Downsampling hot strata this way is reproducible
+    # and mergeable across incremental corpus builds (same rows survive).
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                      F.col("l_linenumber").cast("string"))
+    thresh = (F.when(F.col("l_returnflag") == "R", "0c")
+              .when(F.col("l_returnflag") == "A", "19")
+              .otherwise("33"))
+    return (li.filter(F.substring(F.md5(key), 1, 2) <= thresh)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_sampled")))
+
+
+@query(
     "fn_timestamp_arith", "relational",
     oracle="""
     SELECT o_orderkey,

@@ -310,6 +310,46 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_pipe_syntax", "sql_surface",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           SUM(l_quantity) AS sum_qty,
+           {oracle_exact_sum('l_extendedprice', 2)} AS sum_price,
+           {oracle_exact_sum('l_extendedprice * (1 - l_discount)', 4)}
+               AS sum_disc_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="SQL pipe operator syntax (|> WHERE/EXTEND/AGGREGATE, Spark 4)",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4's pipe syntax (SPARK-49555): each |> stage is a full
+    # table-to-table operator applied in reading order — the SQL-text
+    # twin of the DataFrame fluent chain. Catalyst lowers it to the
+    # identical logical plan as the ANSI form (the oracle), so pushdown,
+    # partial aggregation, and codegen are unchanged; only the parser
+    # differs. Q1-shaped so the plan exercises scan+filter+agg+sort.
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> EXTEND CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT) AS disc_price_c
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     SUM(l_quantity) AS sum_qty,
+                     CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+                     CAST(SUM(disc_price_c) AS DOUBLE) / 10000.0
+                         AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+@query(
     "sql_recursive_spine", "sql_surface",
     oracle="""
     WITH RECURSIVE months(m) AS (
