@@ -100,6 +100,50 @@ def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stream_live_tumbling_append", "streaming",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / {_6H}) * {_6H} AS BIGINT) * 1000000)
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING window_start + INTERVAL 6 HOUR
+           <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+    description="LIVE append-mode tumbling window: only watermark-closed windows emitted",
+)
+def stream_live_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The production sink contract (complete mode can't write parquet):
+    # a window row is emitted ONCE, when the watermark passes its end —
+    # so the sink holds exactly the finalized windows and state for them
+    # is dropped. The oracle states that contract in closed form: all
+    # windows whose end <= max(ts) - 1h (the terminal watermark); the
+    # still-open tail windows stay in state and must NOT appear. At
+    # scale this is what bounds both sink rewrites and state size.
+    src_dir = _stream_chunk_dir(spark, sf_dir)
+    from ..schemas import EVENTS
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    agg = tumbling_counts(src, width="6 hours", watermark="1 hour")
+    name = f"stream_live_tumbling_append_{next(_NAMES)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("stream_live_tumbling_append did not finish in 300s")
+    return spark.table(name)
+
+
 def _dup_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
     """Chunked events copy with every 10th row of chunk i re-injected
     into chunk i+1: deterministic cross-batch duplicates for the live
