@@ -350,6 +350,50 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_modern_ergonomics", "sql_surface",
+    oracle="""
+    SELECT o_orderstatus, yr, n,
+           CAST(cents AS DOUBLE) / 100.0 AS total_value,
+           round((CAST(cents AS DOUBLE) / 100.0) / n, 6) AS avg_value
+    FROM (
+      SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             count(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders WHERE o_totalprice > 50000.0
+      GROUP BY ALL
+    )
+    ORDER BY ALL
+    """,
+    description="GROUP BY ALL / ORDER BY ALL / lateral column aliases / named SQL parameters",
+)
+def sql_modern_ergonomics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Modern SQL ergonomics, all lowered by the analyzer before
+    # optimization (the plan is identical to the spelled-out form):
+    # GROUP BY ALL infers the grouping keys, ORDER BY ALL the sort keys,
+    # lateral column aliases let avg_value reference total_value within
+    # the same SELECT, and the filter threshold binds as a named
+    # parameter (spark.sql args= — server-side literal binding, no
+    # string interpolation). DuckDB shares the GROUP BY ALL / ORDER BY
+    # ALL / lateral-alias dialect, so the oracle differs only in
+    # inlining the parameter.
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus, yr, n,
+               CAST(cents AS DOUBLE) / 100.0 AS total_value,
+               round(total_value / n, 6) AS avg_value
+        FROM (
+          SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 count(*) AS n,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders WHERE o_totalprice > :minp
+          GROUP BY ALL
+        )
+        ORDER BY ALL
+    """, args={"minp": 50000.0})
+
+
+@query(
     "sql_recursive_spine", "sql_surface",
     oracle="""
     WITH RECURSIVE months(m) AS (
