@@ -144,6 +144,88 @@ def stream_live_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _message_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Fixed-width messages synthesized from events (deterministic,
+    streaming/messages.py layout), chunked for multi-micro-batch replay
+    (idempotent build)."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = os.path.join(_CACHE_ROOT, tag, "messages_stream_chunks")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..streaming.messages import messages_from_events
+
+        pdf = messages_from_events(
+            load_table(spark, sf_dir, "events")).toPandas()
+        os.makedirs(out, exist_ok=True)
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        for i in range(0, len(pdf), step):
+            table = pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                         preserve_index=False)
+            pq.write_table(table, os.path.join(out, f"chunk-{i:08d}.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "pipeline_live_multi_sink", "streaming",
+    oracle="""
+    SELECT props AS payload
+    FROM events
+    WHERE event_type = 'purchase'
+      AND event_id % 97 <> 0 AND event_id % 101 <> 0
+    """,
+    description="LIVE foreachBatch 3-sink pipeline: bulk-sink docs hash-match the oracle",
+)
+def pipeline_live_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's whole topology (DataStreamProcessingJob.java:41-66,
+    # 149-173) as a LIVE Structured Streaming job: fixed-width messages
+    # replayed in micro-batches, one foreachBatch persisting the batch
+    # and feeding all three sinks (main parquet passthrough, HTTP-bulk
+    # session payloads, avg-delay metric spool) in a single pass. The
+    # returned frame is the bulk sink's spool read back: exactly the
+    # props of purchase events minus the %97 short-message drop (length
+    # guard :47-50) and the %101 'error' drop (CTSDBSink.java:120-123)
+    # — the oracle states that contract directly over events.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import run_pipeline_stream
+    from ..streaming.sinks import HttpBulkWriter, MetricAvgReporter
+
+    src_dir = _message_chunk_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="pipeline_live_")
+    frozen_now = (load_table(spark, sf_dir, "events")
+                  .agg((F.max(F.unix_millis("ts")) + 60000).alias("v"))
+                  .collect()[0]["v"])
+    src = (spark.readStream.schema("value string")
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_pipeline_stream(
+            src,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            main_out_dir=os.path.join(work, "main"),
+            bulk_writer=HttpBulkWriter(os.path.join(work, "bulk"),
+                                       batch_size=1000),
+            metric_reporter=MetricAvgReporter(os.path.join(work, "metrics")),
+            now_ms=F.lit(frozen_now),
+            trigger={"availableNow": True},
+        )
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("pipeline_live_multi_sink did not finish in 300s")
+    return (spark.read.json(os.path.join(work, "bulk"))
+            .select(F.col("doc").alias("payload")))
+
+
 def _dup_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
     """Chunked events copy with every 10th row of chunk i re-injected
     into chunk i+1: deterministic cross-batch duplicates for the live
