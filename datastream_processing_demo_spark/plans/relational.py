@@ -604,6 +604,71 @@ def fn_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_string_distance", "relational",
+    oracle="""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    description="edit-distance fuzzy matching: blocked pair join + bounded levenshtein",
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fuzzy string matching, the scalar backbone of fuzzy dedup. Scale
+    # shape: a BLOCKED self-join (equi-join on p_brand keeps the pair
+    # space per-block, never all-pairs) + Spark's bounded levenshtein
+    # (3-arg threshold form: the DP early-exits and returns -1 once the
+    # distance provably exceeds the bound — O(n*k) not O(n*m) per pair).
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
+    return (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                   & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+            .select(F.col("a.p_partkey").alias("a_key"),
+                    F.col("b.p_partkey").alias("b_key"),
+                    F.col("a.p_name").alias("a_name"),
+                    F.col("b.p_name").alias("b_name"),
+                    dist.alias("edit_dist"))
+            .filter(F.col("edit_dist") >= 0))
+
+
+@query(
+    "fn_bitwise", "relational",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderkey << 3) AS shl,
+           (o_orderkey >> 2) AS shr,
+           (o_orderkey & 255) AS low_byte,
+           (o_orderkey | 4096) AS with_flag,
+           xor(o_orderkey, 1365) AS toggled,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount,
+           (~o_orderkey) AS flipped
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    description="bitwise scalar family: shifts, and/or/xor/not, popcount",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bit manipulation on a bigint key — the building blocks of hash
+    # mixing, bloom-filter addressing, and bitmap indexes. All pure
+    # codegen projections (no shuffle); the filter pushes to the scan.
+    k = F.col("o_orderkey")
+    return (t(spark, sf_dir, "orders").filter(k <= 2000)
+            .select(
+                "o_orderkey",
+                F.shiftleft(k, 3).alias("shl"),
+                F.shiftright(k, 2).alias("shr"),
+                k.bitwiseAND(F.lit(255)).alias("low_byte"),
+                k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+                k.bitwiseXOR(F.lit(1365)).alias("toggled"),
+                F.bit_count(k).alias("popcount"),
+                F.bitwise_not(k).alias("flipped"),
+            ))
+
+
+@query(
     "fn_engine_introspection", "relational",
     oracle=None,  # ids/partitions are engine-physical; property-tested
     description="monotonically_increasing_id / spark_partition_id / input_file_name",

@@ -10,8 +10,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import register_views
-from ..sources.files import (read_csv_with_schema,
-                             read_json_with_schema, read_orc)
+from ..sources.files import (read_binary_files, read_csv_with_schema,
+                             read_json_with_schema, read_orc,
+                             read_text_lines)
 from ._util import oracle_exact_sum, t
 from .registry import query
 
@@ -307,6 +308,62 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  (F.sum(cents).cast("double") / 100.0).alias("total_value")))
+
+
+@query(
+    "source_text_scan", "sql_surface",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(length(n_nationkey || '|' || n_name || '|' || n_regionkey)
+                AS INT) AS line_len
+    FROM nation
+    """,
+    description="line-oriented text scan (read.text) + delimited parse",
+)
+def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Raw-line ingest: the 100 TB path for logs / text dumps. Lines are
+    # splittable, so the scan parallelizes per 128 MB split; the parse
+    # is a narrow codegen projection (split_part + try_cast), the same
+    # shape as the reference's fixed-width header carve-out
+    # (DataStreamProcessingJob.java:53-54) generalized to delimited text.
+    lines = read_text_lines(spark, sf_dir, "nation",
+                            ["n_nationkey", "n_name", "n_regionkey"])
+    v = F.col("value")
+    return lines.select(
+        F.split_part(v, F.lit("|"), F.lit(1)).try_cast("bigint")
+            .alias("n_nationkey"),
+        F.split_part(v, F.lit("|"), F.lit(2)).alias("n_name"),
+        F.split_part(v, F.lit("|"), F.lit(3)).try_cast("bigint")
+            .alias("n_regionkey"),
+        F.length(v).alias("line_len"),
+    )
+
+
+@query(
+    "source_binaryfile_scan", "sql_surface",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id <= 100
+    """,
+    description="binaryFile source: opaque per-file payloads (multimodal ingest)",
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The multimodal ingest scan (SURVEY.md §2.2 "multimodal columns"):
+    # one opaque binary blob per file, identity carried in the path.
+    # binaryFile lists lazily and prunes via pathGlobFilter; at 100 TB
+    # this is the object-store image/audio reader feeding the
+    # mm_* decode stages, with the blob kept as BinaryType end-to-end.
+    files = read_binary_files(spark, sf_dir, max_doc_id=100)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+            .cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
 
 
 @query(

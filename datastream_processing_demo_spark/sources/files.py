@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..schemas import TABLE_SCHEMAS
@@ -60,3 +61,52 @@ def read_orc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pruning treatment as parquet from the vectorized reader."""
     path = _materialize(spark, sf_dir, name, "orc")
     return spark.read.orc(path)
+
+
+def read_text_lines(spark: SparkSession, sf_dir: str, name: str,
+                    cols: list[str], sep: str = "|") -> DataFrame:
+    """Line-oriented text scan (`spark.read.text` -> one `value` column).
+
+    Materializes the table once as sep-delimited lines written by
+    `df.write.text`, then reads it back as raw lines. This is the
+    unstructured-ingest path: at 100 TB, raw text/log files are read
+    exactly like this (splittable by line, one scan task per 128 MB
+    split) and parsed with narrow per-row expressions — the same shape
+    as the reference's fixed-width message parse
+    (DataStreamProcessingJob.java:53-54).
+    """
+    out = _cache_dir(sf_dir, name, "txt")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, name)
+        line = [F.col(c).cast("string") for c in cols]
+        (df.select(F.concat_ws(sep, *line).alias("value"))
+           .coalesce(1).write.mode("overwrite").text(out))
+    return spark.read.text(out)
+
+
+def read_binary_files(spark: SparkSession, sf_dir: str,
+                      max_doc_id: int = 100) -> DataFrame:
+    """`binaryFile` source over per-document payload files.
+
+    Materializes each document's text as an individual `doc_<id>.bin`
+    file (driver-side loop — test-fixture setup only, never a data
+    path), then reads the directory back with Spark's built-in
+    `binaryFile` format: columns (path, modificationTime, length,
+    content binary). This is the multimodal-ingest scan: at 100 TB the
+    same reader pulls image/audio blobs straight from an object store,
+    one file per row, with pathGlobFilter pruning at listing time.
+    """
+    out = _cache_dir(sf_dir, f"documents_bin_{max_doc_id}", "bin")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") <= max_doc_id)
+                .select("doc_id", "text").collect())
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(marker, "w"):
+            pass
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin").load(out))
