@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..catalog import register_views
 from ..sources.files import (read_binary_files, read_csv_with_schema,
                              read_json_with_schema, read_orc,
-                             read_text_lines)
+                             read_text_lines, read_xml_with_schema)
 from ._util import oracle_exact_sum, t
 from .registry import query
 
@@ -364,6 +364,32 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "source_xml_scan", "sql_surface",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS total_bal,
+           MIN(s_name) AS first_name
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    description="native XML scan (Spark 4 xml format) with explicit schema",
+)
+def source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4's built-in XML reader (SPARK-44265): row-tagged records,
+    # explicit schema (inference = an extra full pass at 100 TB). The
+    # agg proves types (bigint keys, double money) round-trip the
+    # text encoding exactly.
+    s = read_xml_with_schema(spark, sf_dir, "supplier")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    return (s.groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 (F.sum(cents).cast("double") / 100.0).alias("total_bal"),
+                 F.min("s_name").alias("first_name")))
 
 
 @query(

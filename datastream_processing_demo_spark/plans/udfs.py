@@ -212,3 +212,44 @@ def udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, tk.token, tk.tok_len
         FROM udtf_docs d, LATERAL tokenize_udtf(d.text) tk
     """)
+
+
+@query(
+    "udf_sql_function", "udfs",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="SQL-defined scalar UDFs (CREATE FUNCTION ... RETURN expr, Spark 4)",
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL scalar UDFs (SPARK-46246): declared in SQL text, inlined by
+    # Catalyst into the calling plan — unlike Python UDFs they stay
+    # JVM-side inside whole-stage codegen, so they are the ZERO-cost
+    # way to package shared business expressions at 100 TB.
+    from ..catalog import register_views
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(q DOUBLE)
+        RETURNS INT RETURN CASE WHEN q >= 25 THEN 1 ELSE 0 END
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(disc_price(l_extendedprice, l_discount)
+                                   * 10000) AS BIGINT)) AS DOUBLE) / 10000
+                   AS sum_disc_price,
+               CAST(SUM(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+        FROM lineitem
+        GROUP BY l_returnflag
+    """)

@@ -63,6 +63,22 @@ def read_orc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml_with_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Native XML scan (Spark 4 built-in `xml` format, SPARK-44265).
+
+    Materialized once as row-tagged XML, read back with the explicit
+    table schema — like CSV/JSON, inference would cost a full extra
+    pass at 100 TB, so the schema is always declared.
+    """
+    out = _cache_dir(sf_dir, name, "xml")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, name)
+        (df.coalesce(1).write.mode("overwrite").format("xml")
+           .option("rootTag", name).option("rowTag", "row").save(out))
+    return (spark.read.schema(TABLE_SCHEMAS[name])
+            .format("xml").option("rowTag", "row").load(out))
+
+
 def read_text_lines(spark: SparkSession, sf_dir: str, name: str,
                     cols: list[str], sep: str = "|") -> DataFrame:
     """Line-oriented text scan (`spark.read.text` -> one `value` column).
