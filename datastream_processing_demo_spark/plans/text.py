@@ -437,3 +437,68 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_tri > 0, F.round(ratio, 6)).otherwise(0.0).alias("rep_ratio"),
         F.when(n_tri > 0, ratio > 0.02).otherwise(F.lit(False))
             .alias("is_repetitive"))
+
+
+@query(
+    "text_pii_redact", "text",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@' || source ||
+               '.example.com or call 555-0' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+               ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+               CAST(doc_id % 100 AS VARCHAR) AS raw
+        FROM documents),
+    red AS (
+        SELECT doc_id, raw,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                   '[a-z0-9]+@[a-z0-9.]+\.com', '<EMAIL>', 'g'),
+                   '555-0[0-9]{3}', '<PHONE>', 'g'),
+                   '10\.0\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS clean
+        FROM injected)
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(raw,
+                '[a-z0-9]+@[a-z0-9.]+\.com')) AS INT) AS n_emails,
+           CAST(length(regexp_extract_all(raw, '555-0[0-9]{3}')) AS INT)
+               AS n_phones,
+           CAST(length(regexp_extract_all(raw,
+                '10\.0\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+           md5(clean) AS clean_md5,
+           CAST(length(raw) - length(clean) AS BIGINT) AS chars_removed,
+           NOT contains(clean, '@') AS no_residual_at
+    FROM red
+    """,
+    description="PII redaction: regex email/phone/IP scrub (training-data prep)",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Training-data PII scrub: the mandatory pre-training pass that
+    # strips contact info. PII is INJECTED deterministically (the
+    # corpus is synthetic) so the redaction is oracle-checkable, then
+    # removed with chained regexp_replace — narrow per-row codegen,
+    # no shuffle, linear at 100 TB. Patterns stay in the RE2-and-Java
+    # common subset so both engines see identical matches.
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@"), F.col("source"), F.lit(".example.com or call 555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"))
+    email = r"[a-z0-9]+@[a-z0-9.]+\.com"
+    phone = r"555-0[0-9]{3}"
+    ip = r"10\.0\.[0-9]{1,3}\.[0-9]{1,3}"
+    clean = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.col("raw"), email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+    return (d.select("doc_id", raw.alias("raw"))
+            .withColumn("clean", clean)
+            .select(
+                "doc_id",
+                F.regexp_count("raw", F.lit(email)).alias("n_emails"),
+                F.regexp_count("raw", F.lit(phone)).alias("n_phones"),
+                F.regexp_count("raw", F.lit(ip)).alias("n_ips"),
+                F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
+                (F.length("raw") - F.length("clean")).cast("long")
+                    .alias("chars_removed"),
+                (~F.col("clean").contains("@")).alias("no_residual_at"),
+            ))
