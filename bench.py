@@ -55,6 +55,8 @@ HEADLINE = [
     "text_repetition_filter",  # map-only trigram rep-ratio
     "sim_quantize_int8",       # map-only embedding quantization
     "json_variant",            # Variant parse + typed extraction
+    "text_pii_redact",         # map-only regex PII scrub
+    "fn_string_distance",      # blocked fuzzy self-join (bounded levenshtein)
 ]
 
 RUNS = 3

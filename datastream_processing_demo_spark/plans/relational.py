@@ -621,12 +621,21 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # space per-block, never all-pairs) + Spark's bounded levenshtein
     # (3-arg threshold form: the DP early-exits and returns -1 once the
     # distance provably exceeds the bound — O(n*k) not O(n*m) per pair).
+    # Two pair-space prunings that drop the cost before the DP runs:
+    # the length filter (|len(a)-len(b)| <= k is NECESSARY for
+    # distance <= k) kills pairs with one comparison, and spread() on
+    # the probe side keeps the pair enumeration parallel even when the
+    # scan is one file (single-partition probe = single-task join).
+    from ..operators.spread import spread
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = p.alias("a")
+    a = spread(p).alias("a")
     b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
+    len_ok = (F.abs(F.length(F.col("a.p_name"))
+                    - F.length(F.col("b.p_name"))) <= 3)
     return (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
-                   & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+                   & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+                   & len_ok)
             .select(F.col("a.p_partkey").alias("a_key"),
                     F.col("b.p_partkey").alias("b_key"),
                     F.col("a.p_name").alias("a_name"),
