@@ -23,6 +23,7 @@ import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..streaming.windows import tumbling_counts
@@ -345,4 +346,67 @@ def stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not finished:
         q.stop()
         raise RuntimeError("stream_live_session did not finish in 300s")
+    return spark.table(name)
+
+
+@query(
+    "stream_live_stream_join", "streaming",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    description="LIVE stream-stream inner join (view->purchase within 1h), exact",
+)
+def stream_live_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A real multi-micro-batch stream-stream self-join: one watermarked
+    # file-stream source branches into views and purchases, joined on
+    # user + a time-range condition. The equi-key + BOTH-sided range
+    # bound is what lets Spark evict join state (a view can't match
+    # once the watermark passes view_ts + 1h) — at 100 TB this bound IS
+    # the state-size contract. Inner-join emissions don't wait for
+    # watermark closure, and the ts-ordered replay means no row is ever
+    # late, so the final sink equals the batch join bit for bit.
+    from ..schemas import EVENTS
+    src_dir = _stream_chunk_dir(spark, sf_dir)
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir)
+           .withWatermark("ts", "1 hour"))
+    views = (src.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts")))
+    purchases = (src.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("p_value")))
+    joined = (views.join(
+        purchases,
+        F.expr("""v_user = p_user
+                  AND purchase_ts >= view_ts
+                  AND purchase_ts <= view_ts + INTERVAL 1 HOUR"""))
+        .select(F.col("v_user").alias("user_id"), "view_id", "purchase_id",
+                "view_ts", "purchase_ts",
+                F.round(F.col("p_value") * 100).cast("long")
+                    .alias("purchase_cents")))
+    name = f"stream_live_stream_join_{next(_NAMES)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("stream_live_stream_join did not finish in 300s")
     return spark.table(name)
