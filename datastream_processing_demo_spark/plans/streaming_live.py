@@ -410,3 +410,76 @@ def stream_live_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("stream_live_stream_join did not finish in 300s")
     return spark.table(name)
+
+
+@query(
+    "stream_live_outer_join", "streaming",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.user_id, v.event_id, v.ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+      AND v.ts + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR
+                                     FROM events)
+    """,
+    description="LIVE stream-stream LEFT OUTER join: null rows only on watermark closure",
+)
+def stream_live_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The outer variant states the subtler half of the join-state
+    # contract: a null-extended row may only be emitted once the
+    # watermark proves no matching purchase can still arrive (the
+    # view's 1h window has closed). The oracle says exactly that in
+    # closed form — matched pairs unconditionally, PLUS unmatched views
+    # with view_ts + 1h <= terminal watermark (max ts - 1h lag); views
+    # whose window is still open at shutdown stay in state and must NOT
+    # appear. That eviction rule is what bounds outer-join state at
+    # 100 TB: state size ~ (events within watermark horizon), not
+    # (events since job start).
+    from ..schemas import EVENTS
+    src_dir = _stream_chunk_dir(spark, sf_dir)
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir)
+           .withWatermark("ts", "1 hour"))
+    views = (src.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts")))
+    purchases = (src.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    joined = (views.join(
+        purchases,
+        F.expr("""v_user = p_user
+                  AND purchase_ts >= view_ts
+                  AND purchase_ts <= view_ts + INTERVAL 1 HOUR"""),
+        "left_outer")
+        .select(F.col("v_user").alias("user_id"), "view_id", "view_ts",
+                "purchase_id", "purchase_ts"))
+    name = f"stream_live_outer_join_{next(_NAMES)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("stream_live_outer_join did not finish in 300s")
+    return spark.table(name)
