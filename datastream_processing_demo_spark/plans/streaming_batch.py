@@ -15,6 +15,7 @@ oracle timestamps naive (DuckDB to_timestamp would produce TIMESTAMPTZ).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
 from ._util import t
@@ -239,3 +240,55 @@ def stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").isNull().alias("is_gap"),
         (F.last("cents", ignorenulls=True).over(w).cast("double") / 100.0)
             .alias("locf_value"))
+
+
+@query(
+    "stream_session_dynamic_gap", "streaming",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               ts + CASE event_type
+                        WHEN 'purchase' THEN INTERVAL 60 MINUTE
+                        WHEN 'view' THEN INTERVAL 15 MINUTE
+                        ELSE INTERVAL 30 MINUTE END AS ev_end
+        FROM events),
+    o AS (
+        SELECT *, max(ev_end) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS prev_end
+        FROM g),
+    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+                         THEN 1 ELSE 0 END AS is_new FROM o),
+    isl AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+            FROM f)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ev_end) AS session_end,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id
+    FROM isl GROUP BY user_id, sess
+    """,
+    description="dynamic-gap session windows (per-event-type gap, union-merge ends)",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window with a PER-EVENT gap expression: a purchase keeps
+    # the session alive for 60 min, a view only 15. Each event spans
+    # [ts, ts+gap) and overlapping spans union-merge, so session_end is
+    # the MAX member end, not last-event + gap — the oracle states that
+    # via a running-max gaps-and-islands. Same shuffle shape as the
+    # fixed-gap form: one hash exchange on user_id, then state merges
+    # in-partition; the gap CASE is a free codegen expression.
+    gap = F.expr("CASE event_type WHEN 'purchase' THEN '60 minutes' "
+                 "WHEN 'view' THEN '15 minutes' "
+                 "ELSE '30 minutes' END")
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event_id"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "first_event_id"))
