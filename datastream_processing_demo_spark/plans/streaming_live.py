@@ -483,3 +483,73 @@ def stream_live_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("stream_live_outer_join did not finish in 300s")
     return spark.table(name)
+
+
+@query(
+    "stream_live_restart", "streaming",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / {_6H}) * {_6H} AS BIGINT) * 1000000)
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING window_start + INTERVAL 6 HOUR
+           <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+    description="LIVE checkpoint-recovery restart: two query incarnations, one exact answer",
+)
+def stream_live_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's operational pattern is stop-and-replace deploys
+    # that lean on checkpoint recovery (flink/run_datastream_job.sh:40-52,
+    # cancel + resubmit; SURVEY.md §3.3). The Spark equivalent under
+    # the oracle gate: incarnation 1 sees only the first 3 chunks,
+    # drains them (availableNow), and STOPS; more files land;
+    # incarnation 2 starts from the SAME checkpoint + parquet sink and
+    # drains the rest. The WAL guarantees the second run resumes from
+    # committed offsets only (no double-count — the sums would be wrong) and
+    # window state survives the restart (cross-restart windows would
+    # split). Final parquet = the append-mode closed-window answer, bit
+    # for bit. File sink + checkpoint is the idempotent at-least-once
+    # -> effectively-once upgrade of the reference's CTSDB sink (K1).
+    import shutil
+
+    from ..schemas import EVENTS
+    from ..streaming.windows import tumbling_counts
+
+    chunks_src = _stream_chunk_dir(spark, sf_dir)
+    files = sorted(f for f in os.listdir(chunks_src) if f.endswith(".parquet"))
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = os.path.join(_CACHE_ROOT, tag, f"restart_{next(_NAMES)}")
+    src_dir = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "out")
+    os.makedirs(src_dir, exist_ok=True)
+
+    def run_incarnation() -> None:
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", "1").parquet(src_dir))
+        agg = tumbling_counts(src, width="6 hours", watermark="1 hour")
+        q = (agg.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(timeout=300):
+            q.stop()
+            raise RuntimeError("stream_live_restart incarnation timed out")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for f in files[:3]:
+            shutil.copy(os.path.join(chunks_src, f), os.path.join(src_dir, f))
+        run_incarnation()                      # incarnation 1: drains 3 chunks
+        for f in files[3:]:
+            shutil.copy(os.path.join(chunks_src, f), os.path.join(src_dir, f))
+        run_incarnation()                      # incarnation 2: resumes from WAL
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.read.schema(
+        "window_start timestamp, event_type string, "
+        "n_events bigint, total_value double").parquet(sink)
