@@ -526,3 +526,37 @@ def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders GROUP BY 1
         ) o ON o.mo = months.m
     """)
+
+
+@query(
+    "source_file_lineage", "sql_surface",
+    oracle="""
+    WITH o AS (
+        SELECT event_id,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               COUNT(*) OVER () AS n
+        FROM events),
+    s AS (SELECT *, CAST(ceil(n / 5.0) AS BIGINT) AS step FROM o)
+    SELECT event_id,
+           'chunk-' || lpad(CAST((rn // step) * step AS VARCHAR), 8, '0')
+               || '.parquet' AS file_name,
+           rn % step AS row_index
+    FROM s
+    """,
+    description="scan-time lineage stamping via _metadata (file_name, row_index)",
+)
+def source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ingest lineage: every record stamped with its originating file and
+    # in-file position via the parquet reader's hidden _metadata struct
+    # — free at scan time (no shuffle, no UDF), and the provenance
+    # column a 100 TB ingest job carries end-to-end for audit/replay.
+    # The oracle reconstructs the (file, row) assignment from the
+    # deterministic chunking (ts-ordered slices of ceil(n/5) rows) —
+    # so the lineage itself is exact-checked, not just row-counted.
+    from ..schemas import EVENTS
+    from .streaming_live import _stream_chunk_dir
+    d = _stream_chunk_dir(spark, sf_dir)
+    return (spark.read.schema(EVENTS).parquet(d)
+            .select("event_id",
+                    F.col("_metadata.file_name").alias("file_name"),
+                    F.col("_metadata.row_index").alias("row_index")))
