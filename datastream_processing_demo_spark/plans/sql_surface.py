@@ -560,3 +560,49 @@ def source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id",
                     F.col("_metadata.file_name").alias("file_name"),
                     F.col("_metadata.row_index").alias("row_index")))
+
+
+def _interleave_expr() -> str:
+    """16+16-bit Morton (z-order) interleave as pure integer arithmetic —
+    the same text parses in Spark SQL and DuckDB, so the clustering key
+    is oracle-checked bit for bit."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "storage_zorder_key", "sql_surface",
+    oracle=f"""
+    WITH xy AS (
+        SELECT o_orderkey,
+               o_custkey % 65536 AS x,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) % 65536
+                   AS y
+        FROM orders)
+    SELECT o_orderkey, x, y,
+           {_interleave_expr()} AS zkey
+    FROM xy
+    """,
+    description="z-order (Morton) clustering key: bit-interleaved multi-column sort key",
+)
+def storage_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The data-layout half of data skipping at 100 TB: sorting a write
+    # by the Morton interleave of (customer, order-day) gives row
+    # groups that are tight in BOTH dimensions, so min/max footer stats
+    # prune scans filtered on EITHER column — a single-column sort only
+    # prunes one. The key is pure integer codegen arithmetic (no UDF);
+    # the intended write path is
+    # df.repartitionByRange(N, zkey).sortWithinPartitions(zkey).write.
+    o = t(spark, sf_dir, "orders")
+    xy = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("x"),
+        (F.datediff(F.col("o_orderdate").cast("date"),
+                    F.lit("1970-01-01").cast("date")).cast("bigint")
+         % 65536).alias("y"))
+    return xy.select("o_orderkey", "x", "y",
+                     F.expr(_interleave_expr()).alias("zkey"))
