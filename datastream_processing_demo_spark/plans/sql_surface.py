@@ -576,13 +576,20 @@ def _interleave_expr() -> str:
 @query(
     "storage_zorder_key", "sql_surface",
     oracle=f"""
-    WITH xy AS (
+    WITH b AS (
+        SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+               min(CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT)) AS dmin,
+               max(CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT)) AS dmax
+        FROM orders),
+    xy AS (
         SELECT o_orderkey,
-               o_custkey % 65536 AS x,
-               CAST(date_diff('day', DATE '1970-01-01',
-                              CAST(o_orderdate AS DATE)) AS BIGINT) % 65536
-                   AS y
-        FROM orders)
+               ((o_custkey - cmin) * 65535) // (cmax - cmin) AS x,
+               ((CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS BIGINT) - dmin)
+                * 65535) // (dmax - dmin) AS y
+        FROM orders, b)
     SELECT o_orderkey, x, y,
            {_interleave_expr()} AS zkey
     FROM xy
@@ -592,17 +599,34 @@ def _interleave_expr() -> str:
 def storage_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The data-layout half of data skipping at 100 TB: sorting a write
     # by the Morton interleave of (customer, order-day) gives row
-    # groups that are tight in BOTH dimensions, so min/max footer stats
-    # prune scans filtered on EITHER column — a single-column sort only
-    # prunes one. The key is pure integer codegen arithmetic (no UDF);
-    # the intended write path is
+    # groups that are tight in BOTH dimensions, so min/max footer
+    # stats prune scans filtered on EITHER column — a single-column
+    # sort only prunes one (asserted on real parquet footers in
+    # test_plans.py::test_zorder_layout_tightens_both_dimensions).
+    # Each dimension is normalized to the full 16-bit domain with pure
+    # INTEGER arithmetic (scale-then-floor-divide) — skipped-high-bits
+    # would let one dimension dominate the interleave; integer math
+    # keeps the key oracle-exact. Bounds come from one cheap min/max
+    # pass (production: known domain constants or column stats); the
+    # key itself is shuffle-free codegen. Intended write path:
     # df.repartitionByRange(N, zkey).sortWithinPartitions(zkey).write.
-    o = t(spark, sf_dir, "orders")
-    xy = o.select(
-        "o_orderkey",
-        (F.col("o_custkey") % 65536).alias("x"),
-        (F.datediff(F.col("o_orderdate").cast("date"),
-                    F.lit("1970-01-01").cast("date")).cast("bigint")
-         % 65536).alias("y"))
-    return xy.select("o_orderkey", "x", "y",
-                     F.expr(_interleave_expr()).alias("zkey"))
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(f"""
+        WITH b AS (
+            SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+                   min(CAST(datediff(CAST(o_orderdate AS DATE),
+                                     DATE '1970-01-01') AS BIGINT)) AS dmin,
+                   max(CAST(datediff(CAST(o_orderdate AS DATE),
+                                     DATE '1970-01-01') AS BIGINT)) AS dmax
+            FROM orders),
+        xy AS (
+            SELECT o_orderkey,
+                   ((o_custkey - cmin) * 65535) div (cmax - cmin) AS x,
+                   ((CAST(datediff(CAST(o_orderdate AS DATE),
+                                   DATE '1970-01-01') AS BIGINT) - dmin)
+                    * 65535) div (dmax - dmin) AS y
+            FROM orders CROSS JOIN b)
+        SELECT o_orderkey, x, y,
+               {_interleave_expr()} AS zkey
+        FROM xy
+    """)

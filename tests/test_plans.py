@@ -275,3 +275,59 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """The z-order claim made concrete: files written sorted by the
+    Morton key carry parquet footer min/max stats that are tight in
+    BOTH x and y, so row-group pruning works for filters on EITHER
+    column; a single-column sort is tight in that column only. This is
+    the mechanism that prunes a 100 TB scan down to a few files."""
+    import pyarrow.parquet as pq
+
+    from datastream_processing_demo_spark.plans.registry import get
+
+    zdf = get("storage_zorder_key").spark(spark, sf_dir)
+    n_files = 8
+
+    def spans(path) -> dict:
+        out = {"x": [], "y": []}
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            meta = pq.read_metadata(os.path.join(path, f))
+            mins, maxs = {}, {}
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.num_columns):
+                    col = meta.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in out:
+                        st = col.statistics
+                        mins[name] = min(mins.get(name, st.min), st.min)
+                        maxs[name] = max(maxs.get(name, st.max), st.max)
+            for name in out:
+                out[name].append(maxs[name] - mins[name])
+        return out
+
+    lo = {c: zdf.agg({c: "min"}).collect()[0][0] for c in ("x", "y")}
+    hi = {c: zdf.agg({c: "max"}).collect()[0][0] for c in ("x", "y")}
+    rng = {c: hi[c] - lo[c] for c in ("x", "y")}
+
+    zpath = str(tmp_path / "zsorted")
+    (zdf.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")
+        .write.mode("overwrite").parquet(zpath))
+    xpath = str(tmp_path / "xsorted")
+    (zdf.repartitionByRange(n_files, "x").sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(xpath))
+
+    zs, xs = spans(zpath), spans(xpath)
+    # median per-file span as a fraction of the full value range
+    med = lambda v: sorted(v)[len(v) // 2]
+    z_frac = {c: med(zs[c]) / rng[c] for c in ("x", "y")}
+    x_frac = {c: med(xs[c]) / rng[c] for c in ("x", "y")}
+    # single-column sort: tight on x, blind on y
+    assert x_frac["x"] <= 0.30, x_frac
+    assert x_frac["y"] >= 0.90, x_frac
+    # z-order: meaningfully tight on BOTH dimensions
+    assert z_frac["x"] <= 0.60 and z_frac["y"] <= 0.60, z_frac
+    assert z_frac["y"] <= x_frac["y"] / 1.5, (z_frac, x_frac)
