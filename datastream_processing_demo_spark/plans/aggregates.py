@@ -574,3 +574,52 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = tk.select(F.explode("tk").alias("e"))
     return row.select(F.col("e.item").alias("token"),
                       F.col("e.count").alias("n_occurrences"))
+
+
+@query(
+    "agg_data_profile", "aggregates",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderstatus) AS n_nulls,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           MIN(o_orderstatus) AS min_val, MAX(o_orderstatus) AS max_val,
+           CAST(SUM(length(o_orderstatus)) AS BIGINT) AS sum_len
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority),
+           CAST(SUM(length(o_orderpriority)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_str', COUNT(*),
+           COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           MIN(CAST(o_custkey AS VARCHAR)), MAX(CAST(o_custkey AS VARCHAR)),
+           CAST(SUM(length(CAST(o_custkey AS VARCHAR))) AS BIGINT)
+    FROM orders
+    """,
+    description="table profiling: per-column null/distinct/min/max/length stats in one pass",
+)
+def agg_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The profile-before-training pass: one scan, long-format stats per
+    # column. stack() unpivots (col_name, value) map-side — so the
+    # whole profile is ONE shuffle keyed by column name (bounded
+    # cardinality = number of profiled columns), not one job per
+    # column. At 100 TB profiling N columns costs the same scan as
+    # profiling one.
+    o = t(spark, sf_dir, "orders")
+    pairs = [("o_orderstatus", "o_orderstatus"),
+             ("o_orderpriority", "o_orderpriority"),
+             ("o_custkey_str", "CAST(o_custkey AS STRING)")]
+    stack_expr = "stack({}, {}) AS (col_name, val)".format(
+        len(pairs), ", ".join(f"'{n}', {e}" for n, e in pairs))
+    return (o.selectExpr(stack_expr)
+            .groupBy("col_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
+                 F.countDistinct("val").alias("n_distinct"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val"),
+                 F.sum(F.length("val")).alias("sum_len")))
