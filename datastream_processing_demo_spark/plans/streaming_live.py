@@ -553,3 +553,50 @@ def stream_live_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "window_start timestamp, event_type string, "
         "n_events bigint, total_value double").parquet(sink)
+
+
+@query(
+    "stream_live_sliding", "streaming",
+    oracle="""
+    WITH expanded AS (
+        SELECT value,
+               unnest([CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT),
+                       CAST(floor(epoch(ts) / 21600) * 21600 - 21600
+                            AS BIGINT)]) AS s
+        FROM events)
+    SELECT make_timestamp(s * 1000000) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM expanded
+    GROUP BY s
+    """,
+    description="LIVE sliding windows (12h/6h): each event in 2 windows, exact",
+)
+def stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sliding windows as a LIVE stateful query: width/slide = 2 open
+    # windows per event, so state is 2x the tumbling case — still
+    # bounded by (horizon x windows), never stream length. The oracle
+    # expands each event into its two epoch-aligned starts explicitly;
+    # complete mode keeps every window so the final table equals that
+    # batch expansion exactly.
+    from ..schemas import EVENTS
+    from ..streaming.windows import sliding_counts
+    src_dir = _stream_chunk_dir(spark, sf_dir)
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    agg = sliding_counts(src, width="12 hours", slide="6 hours",
+                         watermark="1 hour")
+    name = f"stream_live_sliding_{next(_NAMES)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("stream_live_sliding did not finish in 300s")
+    return spark.table(name)
