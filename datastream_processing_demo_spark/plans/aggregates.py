@@ -623,3 +623,35 @@ def agg_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("val").alias("min_val"),
                  F.max("val").alias("max_val"),
                  F.sum(F.length("val")).alias("sum_len")))
+
+
+@query(
+    "agg_argmax", "aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              * 100000000 + o_orderkey) AS biggest_order,
+           min_by(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              * 100000000 + o_orderkey) AS smallest_order,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="argmax/argmin aggregates (max_by/min_by) with deterministic tiebreak",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_by/min_by: the "which row was the extreme" aggregate — one
+    # hash aggregate (partial+final merge by comparing the ordering
+    # key), no window, no join-back; the classic window-row_number
+    # alternative costs a full sort shuffle. Price ties are broken
+    # deterministically by folding (cents, orderkey) into one integer
+    # ordering key — identical in both engines, so the oracle is exact.
+    o = t(spark, sf_dir, "orders")
+    key = (F.round(F.col("o_totalprice") * 100).cast("long")
+           * F.lit(100000000) + F.col("o_orderkey"))
+    return (o.groupBy("o_orderpriority")
+            .agg(F.max_by("o_orderkey", key).alias("biggest_order"),
+                 F.min_by("o_orderkey", key).alias("smallest_order"),
+                 F.max("o_totalprice").alias("max_price"),
+                 F.min("o_totalprice").alias("min_price")))
