@@ -313,3 +313,34 @@ def join_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c.key").isNull(), "kept")
          .when(F.col("b.key").isNull(), "inserted")
          .otherwise("updated").alias("merge_action"))
+
+
+@query(
+    "join_salted_skew", "joins",
+    oracle=f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           {oracle_exact_sum('l.l_extendedprice', 2)} AS total_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    description="salted skew join: row-identical to the plain join, oracle-gated",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The manual skew weapon (for when AQE's runtime splitting isn't
+    # available — e.g. the key skew is in a broadcast-ineligible dim):
+    # the fact side gets a salt from a high-cardinality discriminator,
+    # the dim side explodes n_salt copies, and the join key becomes
+    # (key, salt) — one hot key's rows spread over n_salt tasks. The
+    # oracle is the PLAIN join: salting must never change results,
+    # only the shuffle distribution (operators/skew.py).
+    from ..operators.skew import salted_join
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li.withColumnRenamed("l_partkey", "p_partkey"), p,
+                         key="p_partkey", discriminator="l_orderkey",
+                         n_salt=16)
+    return (joined.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 exact_sum(F.col("l_extendedprice"), 2).alias("total_price")))
