@@ -630,3 +630,49 @@ def storage_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_interleave_expr()} AS zkey
         FROM xy
     """)
+
+
+@query(
+    "source_format_agreement", "sql_surface",
+    oracle="""
+    SELECT fmt,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           COUNT(DISTINCT s_nationkey) AS n_nations
+    FROM (SELECT unnest(['parquet', 'csv', 'json', 'orc', 'xml']) AS fmt),
+         supplier
+    GROUP BY fmt
+    """,
+    description="cross-format consistency: parquet/CSV/JSON/ORC/XML scans agree exactly",
+)
+def source_format_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Every format reader must produce the SAME table: the same rows,
+    # types, and aggregate fingerprints, whether the bytes came from
+    # parquet footers, headered CSV, JSON lines, ORC stripes, or XML
+    # rows. The oracle is one stanza cross-joined over the format
+    # labels — any reader that drops a row, mangles a double, or
+    # misparses a type breaks its row of the hash. (Types are always
+    # DECLARED on text formats; see sources/files.py.)
+    from ..catalog import load_table
+    frames = {
+        "parquet": load_table(spark, sf_dir, "supplier"),
+        "csv": read_csv_with_schema(spark, sf_dir, "supplier"),
+        "json": read_json_with_schema(spark, sf_dir, "supplier"),
+        "orc": read_orc(spark, sf_dir, "supplier"),
+        "xml": read_xml_with_schema(spark, sf_dir, "supplier"),
+    }
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    stats = [
+        df.agg(F.count(F.lit(1)).alias("n_rows"),
+               F.sum(cents).alias("bal_cents"),
+               F.sum("s_suppkey").alias("key_sum"),
+               F.countDistinct("s_nationkey").alias("n_nations"))
+          .select(F.lit(fmt).alias("fmt"), "*")
+        for fmt, df in frames.items()
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
