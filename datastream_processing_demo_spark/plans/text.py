@@ -502,3 +502,97 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("chars_removed"),
                 (~F.col("clean").contains("@")).alias("no_residual_at"),
             ))
+
+
+@query(
+    "text_pipeline_full", "text",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id, lang,
+               text || ' contact user' || doc_id || '@' || source ||
+               '.example.com' AS raw
+        FROM documents),
+    redacted AS (
+        SELECT doc_id, lang,
+               regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+\.com',
+                              '<EMAIL>', 'g') AS clean
+        FROM injected),
+    quality AS (
+        SELECT doc_id, lang, clean,
+               len(string_split(clean, ' ')) AS n_words
+        FROM redacted
+        WHERE len(string_split(clean, ' ')) >= 20),
+    exact_kept AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(clean)),
+    survivors AS (
+        SELECT q.* FROM quality q JOIN exact_kept k USING (doc_id)),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(clean, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(clean, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM survivors),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    neardup_b AS (
+        SELECT DISTINCT doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+    final AS (
+        SELECT s.*,
+               CASE WHEN substr(md5(clean), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(clean), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_b FROM neardup_b))
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM final
+    GROUP BY split, lang
+    """,
+    description="composed training pipeline: redact -> quality -> dedup -> near-dup -> split",
+)
+def text_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The whole training-data prep chain as ONE declarative plan —
+    # Catalyst sees every stage, so column pruning and predicate
+    # pushdown cross stage boundaries (no materialization walls
+    # between steps, unlike a multi-job pipeline). Stage shapes at
+    # 100 TB: redact/quality are map-only; exact dedup one hash
+    # shuffle on content hash; near-dup is the inverted-index join
+    # (LSH replaces it at scale, operators/dedup.py); the split is a
+    # map-side md5 bucket. Inject->redact mirrors text_pii_redact so
+    # the scrub provably fires.
+    from ..operators.dedup import ngram_jaccard_pairs
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                   F.lit("@"), F.col("source"), F.lit(".example.com"))
+    clean = F.regexp_replace(raw, r"[a-z0-9]+@[a-z0-9.]+\.com", "<EMAIL>")
+    redacted = d.select("doc_id", "lang", clean.alias("clean"))
+    quality = (redacted
+               .withColumn("n_words", F.size(F.split("clean", " ")))
+               .filter(F.col("n_words") >= 20))
+    keeper = (quality.groupBy(F.md5(F.col("clean").cast("binary")))
+              .agg(F.min("doc_id").alias("doc_id")))
+    survivors = quality.join(keeper, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(survivors, threshold=0.5, n=3,
+                                text_col="clean")
+    dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    bucket = F.substring(F.md5(F.col("clean").cast("binary")), 1, 2)
+    final = (survivors.join(dup_b, "doc_id", "left_anti")
+             .withColumn("split",
+                         F.when(bucket < "cc", "train")
+                          .when(bucket < "e6", "val")
+                          .otherwise("test")))
+    return (final.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("total_words"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
