@@ -57,6 +57,7 @@ HEADLINE = [
     "json_variant",            # Variant parse + typed extraction
     "text_pii_redact",         # map-only regex PII scrub
     "fn_string_distance",      # blocked fuzzy self-join (bounded levenshtein)
+    "text_pipeline_full",      # composed redact->quality->dedup->split pipeline
 ]
 
 RUNS = 3
