@@ -676,3 +676,34 @@ def source_format_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+@query(
+    "source_csv_badrecords", "sql_surface",
+    oracle="""
+    SELECT COUNT(*) AS n_good,
+           5 AS n_bad,
+           CAST(SUM(s_suppkey) AS BIGINT) AS good_key_sum,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS good_bal_cents
+    FROM supplier
+    """,
+    description="CSV bad-record side channel: malformed rows quarantined, not fatal",
+)
+def source_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PERMISSIVE parse: 5 injected garbage lines land in
+    # _corrupt_record; every well-formed row parses to typed columns.
+    # The aggregate proves the quarantine is exact — good-row stats
+    # equal the clean table, bad count equals the injection. (The
+    # reference would crash instead; see sources/files.py.)
+    from ..sources.files import read_csv_with_badrecords
+    df = read_csv_with_badrecords(spark, sf_dir, "supplier", n_bad=5)
+    df = df.cache()  # corrupt-record parsing requires a stable pass
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("int").alias("n_bad"),
+        F.sum(F.when(~bad, F.col("s_suppkey"))).cast("long")
+            .alias("good_key_sum"),
+        F.sum(F.when(~bad, cents)).cast("long").alias("good_bal_cents"))

@@ -126,3 +126,41 @@ def read_binary_files(spark: SparkSession, sf_dir: str,
             pass
     return (spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.bin").load(out))
+
+
+def read_csv_with_badrecords(spark: SparkSession, sf_dir: str,
+                             name: str = "supplier",
+                             n_bad: int = 5) -> DataFrame:
+    """CSV scan with a bad-record side channel (PERMISSIVE mode).
+
+    Materializes the table as CSV with n_bad deterministic malformed
+    lines appended, then reads it back with an explicit schema plus a
+    `_corrupt_record` column: well-formed rows parse to typed columns,
+    malformed rows land whole in the side channel instead of failing
+    the task. The reference has NO bad-record path — a garbage header
+    crashes the job (DataStreamProcessingJob.java:60, Long.parseLong);
+    at 100 TB a single bad line must never kill a 1000-executor scan.
+    """
+    from pyspark.sql import types as T
+    good = _materialize(spark, sf_dir, name, "csv")
+    out = _cache_dir(sf_dir, f"{name}_bad{n_bad}", "csv")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        import shutil
+        part = next(f for f in os.listdir(good)
+                    if f.startswith("part-") and f.endswith(".csv"))
+        dst = os.path.join(out, "data.csv")
+        shutil.copy(os.path.join(good, part), dst)
+        with open(dst, "a") as f:
+            for i in range(n_bad):
+                f.write(f"BAD_ROW_{i},not-a-number\n")
+        with open(marker, "w"):
+            pass
+    schema = T.StructType(
+        list(TABLE_SCHEMAS[name].fields)
+        + [T.StructField("_corrupt_record", T.StringType())])
+    return (spark.read.schema(schema)
+            .option("header", "true").option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(out))
