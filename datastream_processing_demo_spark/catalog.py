@@ -24,20 +24,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Schema comes from the parquet footer (exact types,
     no inference cost); schemas.py documents the expected shape.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark has no native
-    type for: we read it as a long (legacy nanosAsLong) and truncate to
-    microseconds — exactly what DuckDB does when it reads the same file
-    into its µs TIMESTAMP, so both engines see identical values. The
-    conversion costs pushdown on `ts` (it becomes a derived column);
-    at scale you'd re-encode the source to µs parquet instead.
+    `events.ts` has shipped as either TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+    parquet across testdata generations. Spark has no nanos type: with
+    `nanosAsLong` it surfaces as a long we truncate to µs — exactly what
+    DuckDB does reading the same file into its µs TIMESTAMP, so both
+    engines see identical values. µs files read as native timestamps and
+    need no conversion (and keep full pushdown on `ts`).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
