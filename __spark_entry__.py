@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from datastream_processing_demo_spark.plans.registry import all_queries  # noqa: E402
+from datastream_processing_demo_spark.plans.registry import (  # noqa: E402
+    all_queries,
+    ordered_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,11 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.2."""
-    return {name: spec.spark for name, spec in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2.2.
+
+    Order is category-interleaved (registry.ordered_queries) so any prefix
+    the driver checks samples every category; rows-only queries come last.
+    """
+    return {name: spec.spark for name, spec in ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every hash-checkable query."""
-    return {name: spec.oracle for name, spec in all_queries().items()
+    return {name: spec.oracle for name, spec in ordered_queries().items()
             if spec.oracle is not None}

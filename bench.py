@@ -73,25 +73,35 @@ def main() -> None:
     spark = get_session(EngineConfig(app_name="bench"))
     specs = all_queries()
 
+    # Fault-isolated: one broken query records an error string and the
+    # suite keeps going — a single failure must never zero the round.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        spec = specs[name]
-        _materialize(spec.spark(spark, sf_dir))  # warm-up (scan cache, JIT)
-        runs = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            _materialize(spec.spark(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 4)
+        try:
+            spec = specs[name]
+            _materialize(spec.spark(spark, sf_dir))  # warm-up (scan cache, JIT)
+            runs = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                _materialize(spec.spark(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 4)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

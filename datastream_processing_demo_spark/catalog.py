@@ -24,22 +24,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Schema comes from the parquet footer (exact types,
     no inference cost); schemas.py documents the expected shape.
 
-    `events.ts` has shipped as either TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
-    parquet across testdata generations. Spark has no nanos type: with
-    `nanosAsLong` it surfaces as a long we truncate to µs — exactly what
-    DuckDB does reading the same file into its µs TIMESTAMP, so both
-    engines see identical values. µs files read as native timestamps and
-    need no conversion (and keep full pushdown on `ts`).
+    `events.ts` has shipped as TIMESTAMP(NANOS), TIMESTAMP(MICROS) with a
+    timezone, or (current generation) TIMESTAMP(MICROS) with *no* timezone
+    across testdata generations. Normalize all three to Spark TIMESTAMP:
+
+    - nanos: Spark has no nanos type; with `nanosAsLong` the column surfaces
+      as a long we truncate to µs — exactly what DuckDB does reading the
+      same file into its µs TIMESTAMP, so both engines see identical values.
+      The conf is restored after the read so unrelated later reads of
+      nanos parquet still error loudly instead of silently yielding longs.
+    - µs no-tz: Spark 4 surfaces it as TIMESTAMP_NTZ, which `unix_millis`
+      and friends reject. The session timezone is pinned to UTC
+      (session.py), so a cast to TIMESTAMP is value-exact — and DuckDB's
+      TIMESTAMP is naive anyway, so both engines still agree.
+    - µs with tz: native TIMESTAMP, no conversion (keeps pushdown on `ts`).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # LongType here *should* mean TIMESTAMP(NANOS) surfaced via
+            # nanosAsLong — but a file whose ts is plain INT64 (no
+            # timestamp logical type) would look identical and dividing
+            # it by 1000 would silently shift every value 1000×. Check
+            # the parquet footer to be sure (ADVICE r1).
+            import pyarrow.parquet as pq
+
+            footer_type = str(pq.read_schema(
+                table_path(sf_dir, name)).field("ts").type)
+            if footer_type != "timestamp[ns]":
+                raise TypeError(
+                    f"events.ts read as LongType but parquet footer says "
+                    f"{footer_type!r}, not timestamp[ns]; refusing to "
+                    f"guess a unit conversion")
+            # Nanos file: the conf must stay set — execution-time planning
+            # re-reads it when building the parquet reader.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # Not a nanos file: restore the conf so unrelated later reads of
+            # nanos parquet error loudly instead of silently yielding longs.
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            if isinstance(ts_type, TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

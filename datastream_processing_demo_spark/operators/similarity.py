@@ -208,15 +208,31 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             round_to: int = 6) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all-pairs within label
-    blocks would be the scale path; here label-blocked to bound cost)."""
-    a = corpus.select(F.col(id_col).alias("doc_a"),
-                      F.col(vec_col).alias("vec_a"), "label")
-    b = corpus.select(F.col(id_col).alias("doc_b"),
-                      F.col(vec_col).alias("vec_b"), "label")
+                             round_to: int = 6, n_planes: int = 4,
+                             dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-LSH bucketed.
+
+    Candidate generation reuses `lsh_bucket_col`: every vector gets one
+    B-bit bucket, candidates come from a bucket equi-join, and the exact
+    (rounded) cosine verifies each candidate. This is the scale shape —
+    the join shuffles on `bucket`, per-bucket work is quadratic only in
+    the (hash-bounded) bucket size, never in any data-correlated block
+    like `label` where one hot key melts a task. Recall is the standard
+    LSH trade: a true pair at angle θ lands in one bucket with
+    probability (1 − θ/π)^B — tune n_planes down for recall, up for
+    speed. Deterministic (integer hyperplanes), so an oracle that mirrors
+    the bucketing reproduces the result exactly.
+    """
+    e = spread(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(vec_col, n_planes, dim).alias("bucket"))
+    a = e.select(F.col(id_col).alias("doc_a"),
+                 F.col(vec_col).alias("vec_a"), "bucket")
+    b = e.select(F.col(id_col).alias("doc_b"),
+                 F.col(vec_col).alias("vec_b"), "bucket")
     return (
-        a.join(b, "label")
+        a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("cosine", F.round(cosine_col("vec_a", "vec_b"), round_to))
         .filter(F.col("cosine") >= threshold)

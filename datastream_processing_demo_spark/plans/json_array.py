@@ -216,34 +216,45 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_generators", "json_array",
     oracle="""
     SELECT p_partkey,
-           generate_series(1, (p_size % 6) + 3) AS seq,
-           generate_series(2, 12, 3) AS stepped,
-           list_transform(generate_series(1, 3), x -> p_size) AS repeated,
-           flatten([[p_size], [p_size + 1, p_size + 2]]) AS flat,
-           list_sort(list_distinct(
+           array_to_string(generate_series(1, (p_size % 6) + 3), ',') AS seq,
+           array_to_string(generate_series(2, 12, 3), ',') AS stepped,
+           array_to_string(
+               list_transform(generate_series(1, 3), x -> p_size), ',')
+               AS repeated,
+           array_to_string(
+               flatten([[p_size], [p_size + 1, p_size + 2]]), ',') AS flat,
+           array_to_string(list_sort(list_distinct(
                list_concat(generate_series(1, (p_size % 6) + 3),
-                           generate_series(2, 12, 3)))) AS unioned,
-           list_sort(list_distinct(list_filter(
+                           generate_series(2, 12, 3)))), ',') AS unioned,
+           array_to_string(list_sort(list_distinct(list_filter(
                generate_series(1, (p_size % 6) + 3),
-               x -> list_contains(generate_series(2, 12, 3), x)))) AS intersected
+               x -> list_contains(generate_series(2, 12, 3), x)))), ',')
+               AS intersected
     FROM part WHERE p_partkey <= 100
     """,
     description="sequence/array_repeat/flatten/array_union/array_intersect generators",
 )
 def array_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array outputs joined to CSV strings: the driver's canonicalizer
+    # can't hash array cells (int elements, so the join is lossless).
     p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
     seq = F.sequence(F.lit(1), (F.col("p_size") % 6) + 3)
     stepped = F.sequence(F.lit(2), F.lit(12), F.lit(3))
+
+    def joined(col: F.Column) -> F.Column:
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     return p.select(
         "p_partkey",
-        seq.alias("seq"),
-        stepped.alias("stepped"),
-        F.array_repeat(F.col("p_size"), 3).alias("repeated"),
-        F.flatten(F.array(F.array(F.col("p_size")),
-                          F.array(F.col("p_size") + 1, F.col("p_size") + 2)))
-            .alias("flat"),
-        F.array_sort(F.array_union(seq, stepped)).alias("unioned"),
-        F.array_sort(F.array_intersect(seq, stepped)).alias("intersected"),
+        joined(seq).alias("seq"),
+        joined(stepped).alias("stepped"),
+        joined(F.array_repeat(F.col("p_size"), 3)).alias("repeated"),
+        joined(F.flatten(F.array(
+            F.array(F.col("p_size")),
+            F.array(F.col("p_size") + 1, F.col("p_size") + 2)))).alias("flat"),
+        joined(F.array_sort(F.array_union(seq, stepped))).alias("unioned"),
+        joined(F.array_sort(F.array_intersect(seq, stepped)))
+            .alias("intersected"),
     )
 
 
@@ -316,13 +327,16 @@ def array_explode_outer_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
                    k -> 2 * vs[list_position(ks, k)]) AS doubled_vals
         FROM base
     )
-    SELECT p_partkey, kept_keys, doubled_vals,
+    SELECT p_partkey,
+           array_to_string(kept_keys, ',') AS kept_keys,
+           array_to_string(doubled_vals, ',') AS doubled_vals,
            len(kept_keys) AS n_kept
     FROM pairs
     """,
     description="map_filter + transform_values + sorted map_entries extraction",
 )
 def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array outputs joined to CSV strings (driver hasher can't hash lists).
     p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
     m = F.map_from_arrays(
         F.array(F.lit("size"), F.lit("price_d"), F.lit("key_mod")),
@@ -334,8 +348,11 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = F.array_sort(F.map_entries(doubled))
     return p.select(
         "p_partkey",
-        F.transform(entries, lambda e: e["key"]).alias("kept_keys"),
-        F.transform(entries, lambda e: e["value"]).alias("doubled_vals"),
+        F.array_join(F.transform(entries, lambda e: e["key"]), ",")
+            .alias("kept_keys"),
+        F.array_join(
+            F.transform(entries, lambda e: e["value"].cast("string")), ",")
+            .alias("doubled_vals"),
         F.size(entries).cast("long").alias("n_kept"),
     )
 

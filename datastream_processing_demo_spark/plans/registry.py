@@ -53,5 +53,37 @@ def all_queries() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def ordered_queries() -> dict[str, QuerySpec]:
+    """Registry round-robin-interleaved across categories.
+
+    A driver that checks only the first N entries gets a representative
+    sample of every category instead of burning its whole window on the
+    first few modules registered (CORRECTNESS_r01 checked 50 of 185, all
+    from relational/joins/aggregates). Oracle-less (rows-only) queries go
+    last: they can never hash-match, so they must not occupy checked slots
+    ahead of exactly-oracled queries.
+    """
+    by_cat: dict[str, list[QuerySpec]] = {}
+    for spec in all_queries().values():
+        by_cat.setdefault(spec.category, []).append(spec)
+
+    def interleave(specs_by_cat: dict[str, list[QuerySpec]]) -> list[QuerySpec]:
+        out: list[QuerySpec] = []
+        queues = {c: list(v) for c, v in specs_by_cat.items() if v}
+        while queues:
+            for cat in list(queues):
+                out.append(queues[cat].pop(0))
+                if not queues[cat]:
+                    del queues[cat]
+        return out
+
+    with_oracle = {c: [s for s in v if s.oracle is not None]
+                   for c, v in by_cat.items()}
+    without_oracle = {c: [s for s in v if s.oracle is None]
+                      for c, v in by_cat.items()}
+    ordered = interleave(with_oracle) + interleave(without_oracle)
+    return {s.name: s for s in ordered}
+
+
 def get(name: str) -> QuerySpec:
     return all_queries()[name]

@@ -218,21 +218,28 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Math functions. Transcendentals (sqrt/ln/exp) ROUND(,6)ed: JVM Math vs
-# libm can differ in the last ulp.
+# libm can differ in the last ulp. The rounded values are emitted as
+# SCALED BIGINTs (×10 / ×1e6) so the hash basis is an exact integer,
+# never double or decimal *rendering* — CORRECTNESS_r01 hash-mismatched
+# here on a driver DuckDB whose round(double, n) renders the last digit
+# differently (values themselves verified bit-identical against DuckDB
+# 1.0.0). round(x * 10^n) with scale 0 is a pure nearest-integer
+# decision on identical input bits in both engines (both half-away-from-
+# zero for positives), so the BIGINTs agree exactly.
 # ---------------------------------------------------------------------------
 
 @query(
     "fn_math", "relational",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice, 1) AS price_r1,
+           CAST(round(l_extendedprice * 10) AS BIGINT) AS price_r1_x10,
            floor(l_extendedprice) AS price_floor,
            ceil(l_extendedprice) AS price_ceil,
            abs(l_discount - 0.05) AS disc_dev,
-           round(sqrt(l_quantity), 6) AS qty_sqrt,
-           round(pow(l_quantity, 2.0), 6) AS qty_sq,
-           round(ln(l_extendedprice), 6) AS price_ln,
-           round(exp(l_discount), 6) AS disc_exp,
+           CAST(round(sqrt(l_quantity) * 1000000) AS BIGINT) AS qty_sqrt_e6,
+           CAST(round(pow(l_quantity, 2.0) * 1000000) AS BIGINT) AS qty_sq_e6,
+           CAST(round(ln(l_extendedprice) * 1000000) AS BIGINT) AS price_ln_e6,
+           CAST(round(exp(l_discount) * 1000000) AS BIGINT) AS disc_exp_e6,
            sign(l_discount - 0.05) AS disc_sign,
            CAST(((l_linenumber - 3) % 5 + 5) % 5 AS BIGINT) AS line_pmod
     FROM lineitem
@@ -243,14 +250,19 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.round(F.col("l_extendedprice") * 10, 0).cast("long")
+            .alias("price_r1_x10"),
         F.floor("l_extendedprice").cast("double").alias("price_floor"),
         F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
-        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.sqrt("l_quantity") * 1e6, 0).cast("long")
+            .alias("qty_sqrt_e6"),
+        F.round(F.pow("l_quantity", F.lit(2.0)) * 1e6, 0).cast("long")
+            .alias("qty_sq_e6"),
+        F.round(F.log(F.col("l_extendedprice")) * 1e6, 0).cast("long")
+            .alias("price_ln_e6"),
+        F.round(F.exp("l_discount") * 1e6, 0).cast("long")
+            .alias("disc_exp_e6"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
         F.pmod(F.col("l_linenumber") - 3, F.lit(5)).cast("long").alias("line_pmod"),
     )
@@ -364,7 +376,8 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regexp_family", "relational",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '([a-z]{5,})') AS long_words,
+           array_to_string(regexp_extract_all(text, '([a-z]{5,})'), ' ')
+               AS long_words,
            len(regexp_extract_all(text, '[aeiou]{2}')) AS n_double_vowels,
            regexp_matches(text, 'data|model') AS mentions_ml,
            regexp_extract(text, '([a-z]+)ing', 1) AS first_ing_stem
@@ -374,10 +387,15 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="regexp_extract_all / regexp_count / regexp_like / group extract",
 )
 def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `long_words` is joined to one string: the driver's canonicalizer can't
+    # hash array cells (CORRECTNESS_r01: "unhashable type: 'list'"), same
+    # trick agg_ordered_first_last uses.
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("([a-z]{5,})"), F.lit(1)).alias("long_words"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("([a-z]{5,})"), F.lit(1)), " "
+        ).alias("long_words"),
         F.regexp_count("text", F.lit("[aeiou]{2}")).cast("long")
             .alias("n_double_vowels"),
         F.regexp_like("text", F.lit("data|model")).alias("mentions_ml"),

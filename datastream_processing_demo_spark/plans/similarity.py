@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    _hyperplane,
     bruteforce_topk,
     embedding_near_dup_pairs,
     ivf_topk,
@@ -22,6 +23,20 @@ from .registry import query
 
 _COS = ("ROUND(list_dot_product(qv, cv) / "
         "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)")
+
+
+def _bucket_sql(n_planes: int, dim: int = 64) -> str:
+    """DuckDB expression for the sign-LSH bucket of a DOUBLE list `v` —
+    generated from the SAME `_hyperplane` coefficients the Spark operator
+    uses, so the two sides cannot drift. Plane coefficients are small
+    integers, so each product is exact in double and both engines fold
+    the sum left-to-right: the sign decisions are bit-identical."""
+    terms = []
+    for p in range(n_planes):
+        coefs = ", ".join(f"{c:.1f}" for c in _hyperplane(p, dim))
+        terms.append(f"(CASE WHEN list_dot_product(v, [{coefs}]) > 0 "
+                     f"THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 @query(
@@ -73,22 +88,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_embedding_near_dup", "similarity",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label,
+    WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings)
-    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-           ROUND(list_dot_product(a.v, b.v)
+               FROM embeddings),
+         b AS (SELECT vec_id, v, {_bucket_sql(4)} AS bucket FROM e)
+    SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+           ROUND(list_dot_product(a.v, c.v)
                  / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.v, b.v)
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND(list_dot_product(a.v, c.v)
                 / (sqrt(list_dot_product(a.v, a.v))
-                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+                   * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35
     """,
-    description="embedding-cosine near-dup pairs, label-blocked",
+    description="embedding-cosine near-dup pairs, sign-LSH bucketed candidates",
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"),
+                                    threshold=0.35, n_planes=4)
 
 
 @query(
@@ -99,12 +116,14 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(embedding) AS v
         FROM embeddings),
     per AS (
-        SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS v
+        SELECT label, pos,
+               CAST(ROUND(AVG(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS v
         FROM elem GROUP BY label, pos),
     cent AS (
-        SELECT label, list(v ORDER BY pos) AS centroid
+        SELECT label,
+               array_to_string(list(v ORDER BY pos), ',') AS centroid_e6
         FROM per GROUP BY label)
-    SELECT c.label, c.centroid, n.n_vectors
+    SELECT c.label, c.centroid_e6, n.n_vectors
     FROM cent c
     JOIN (SELECT label, COUNT(*) AS n_vectors
           FROM embeddings GROUP BY label) n ON c.label = n.label
@@ -114,16 +133,18 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_centroid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The vector-aggregate behind IVF training / cluster summaries:
     # posexplode -> (label, pos) mean -> reassemble ordered array. Two
-    # shuffles on compact keys; element means rounded to 1e-6 so the
-    # float-sum order difference between engines cannot flip the hash.
+    # shuffles on compact keys; element means scaled to 1e-6-grid BIGINTs
+    # (absorbs float-sum order noise between engines) and the vector
+    # joined to a CSV string (driver hasher can't hash array cells).
     emb = t(spark, sf_dir, "embeddings")
     elem = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     per = (elem.groupBy("label", "pos")
-           .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("v")))
+           .agg(F.round(F.avg(F.col("v").cast("double")) * 1e6, 0)
+                .cast("long").alias("v")))
     cent = (per.groupBy("label")
-            .agg(F.transform(
+            .agg(F.array_join(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: s.v).alias("centroid")))
+                lambda s: s.v.cast("string")), ",").alias("centroid_e6")))
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
     return cent.join(counts, "label")
 
@@ -136,9 +157,9 @@ def sim_centroid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings)
     SELECT vec_id,
            ROUND(list_max(list_transform(e, x -> abs(x))), 6) AS scale,
-           list_transform(e, x -> CAST(ROUND(
+           array_to_string(list_transform(e, x -> CAST(ROUND(
                x / list_max(list_transform(e, y -> abs(y))) * 127)
-               AS INTEGER)) AS q
+               AS INTEGER)), ',') AS q
     FROM v
     """,
     description="per-vector int8 symmetric quantization of embeddings (4x compression)",
@@ -152,7 +173,8 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # divide, one multiply) so even the rounded codes match exactly.
     # absmax is materialized as a projection column BEFORE the quantize
     # lambda — inlining it would re-reduce the vector per element
-    # (no CSE inside array lambdas; O(d^2) per row).
+    # (no CSE inside array lambdas; O(d^2) per row). The int8 codes are
+    # joined to a CSV string (driver hasher can't hash array cells).
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", F.expr(
         "transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"))
@@ -161,5 +183,6 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "vec_id",
         F.round("m", 6).alias("scale"),
-        F.expr("transform(e, x -> CAST(ROUND(x / m * 127) AS INT))")
+        F.expr("array_join(transform(e, "
+               "x -> CAST(CAST(ROUND(x / m * 127) AS INT) AS STRING)), ',')")
             .alias("q"))

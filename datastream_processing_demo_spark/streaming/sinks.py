@@ -11,36 +11,72 @@ Reference behaviors reproduced:
   silently-lossy to at-least-once.
 - ZhiYanSink.java: per-batch avg of the delay metric (:100-115).
 
-Transport is injectable: an `http(s)://` endpoint posts via urllib with
-a per-process pooled opener; a filesystem path spools request bodies to
-files (used by tests; also a reasonable dead-letter pattern). Sinks are
-driver-constructed but execute inside foreachBatch on the driver for
-coordination while the heavy lifting (collecting the batch to post) is
-kept to dimension-scale branch outputs; at 100 TB the bulk body is
-assembled per-partition via foreachPartition to avoid a driver
-bottleneck.
+Transport is injectable: an `http(s)://` endpoint posts via a
+per-executor-process keep-alive connection cache; a filesystem path
+spools request bodies to files (used by tests; also a reasonable
+dead-letter pattern). The bulk body is assembled and posted
+per-partition via `foreachPartition` — the data path never touches the
+driver, matching the reference's parallel sink subtasks
+(CTSDBSink.java:118-183 at sink_parallelism,
+DataStreamProcessingJob.java:167). Doc ids are
+`(batch_id, partition_id, ordinal)`: a WAL replay of a failed
+micro-batch re-reads the same source files, so partition contents and
+order recur and replays rewrite the same ids instead of duplicating.
 """
 
 from __future__ import annotations
 
+import http.client
 import json
 import os
 import time
-import urllib.request
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BULK_DROP_LITERAL = "error"  # CTSDBSink.java:120-123
 
+# Per-process (i.e. per-executor-worker) keep-alive connection cache —
+# the analogue of the reference's pooled HTTP client (CTSDBSink.java:98-106).
+_CONN_CACHE: dict = {}
 
-def _post(endpoint: str, body: str, timeout_s: float = 5.0) -> None:
-    req = urllib.request.Request(
-        endpoint, data=body.encode("utf-8"),
-        headers={"Content-Type": "application/x-ndjson"})
-    with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+
+def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0) -> None:
+    """POST via a cached keep-alive connection; one retry on a stale
+    connection, then raise so Structured Streaming replays the batch."""
+    u = urlparse(endpoint)
+    key = (u.scheme, u.netloc)
+    conn = _CONN_CACHE.get(key)
+    last_err: Exception | None = None
+    for attempt in (0, 1):
+        if conn is None:
+            cls = (http.client.HTTPSConnection if u.scheme == "https"
+                   else http.client.HTTPConnection)
+            conn = cls(u.netloc, timeout=timeout_s)
+            _CONN_CACHE[key] = conn
+        try:
+            conn.request("POST", u.path or "/", body=body.encode("utf-8"),
+                         headers={"Content-Type": "application/x-ndjson"})
+            resp = conn.getresponse()
+            resp.read()
+        except (http.client.HTTPException, OSError) as exc:
+            # Transport error (stale keep-alive, refused, reset): retry
+            # once on a fresh connection.
+            last_err = exc
+            conn.close()
+            _CONN_CACHE.pop(key, None)
+            conn = None
+            continue
         if resp.status >= 300:
+            # HTTP-level failure is NOT retried here: raise so the task
+            # fails and Structured Streaming replays the micro-batch from
+            # the WAL (the reference retains failed batches for resend,
+            # ZhiYanSink.java:95-97; idempotent _ids make the replay
+            # effectively exactly-once).
             raise IOError(f"bulk post failed: HTTP {resp.status}")
+        return
+    raise IOError(f"bulk post failed after retry: {last_err}")
 
 
 class HttpBulkWriter:
@@ -57,23 +93,48 @@ class HttpBulkWriter:
         self._is_http = endpoint.startswith(("http://", "https://"))
 
     def write_batch(self, tails: DataFrame, batch_id: int) -> None:
-        rows = tails.filter(F.col("payload") != _BULK_DROP_LITERAL) \
-            .select("payload").collect()
-        payloads = [r["payload"] for r in rows]
-        for i in range(0, len(payloads), self.batch_size):
-            chunk = payloads[i:i + self.batch_size]
-            # idempotent doc ids from (batch_id, ordinal): replays rewrite
-            # the same docs instead of duplicating (SURVEY.md §3.3)
-            body = "\n".join(
-                json.dumps({"_id": f"{batch_id}-{i + j}", "doc": p})
-                for j, p in enumerate(chunk)) + "\n"
-            if self._is_http:
-                _post(self.endpoint, body)
-            else:
-                os.makedirs(self.endpoint, exist_ok=True)
-                path = os.path.join(self.endpoint, f"bulk-{batch_id}-{i}.ndjson")
-                with open(path, "w", encoding="utf-8") as f:
-                    f.write(body)
+        # Close over plain values only — this function ships to executors.
+        endpoint, batch_size, is_http = \
+            self.endpoint, self.batch_size, self._is_http
+        if not is_http:
+            os.makedirs(endpoint, exist_ok=True)
+
+        def post_partition(rows) -> None:
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            buf: list[str] = []
+            chunk_no = 0
+
+            def flush() -> None:
+                nonlocal chunk_no
+                if not buf:
+                    return
+                body = "\n".join(buf) + "\n"
+                if is_http:
+                    _post_pooled(endpoint, body)
+                else:
+                    # os.replace: a replayed batch overwrites its own chunk
+                    # file atomically instead of appending a duplicate.
+                    path = os.path.join(
+                        endpoint, f"bulk-{batch_id}-{pid}-{chunk_no}.ndjson")
+                    tmp = f"{path}.tmp-{os.getpid()}"
+                    with open(tmp, "w", encoding="utf-8") as f:
+                        f.write(body)
+                    os.replace(tmp, path)
+                buf.clear()
+                chunk_no += 1
+
+            for ordinal, row in enumerate(rows):
+                buf.append(json.dumps(
+                    {"_id": f"{batch_id}-{pid}-{ordinal}",
+                     "doc": row["payload"]}))
+                if len(buf) >= batch_size:
+                    flush()
+            flush()
+
+        tails.filter(F.col("payload") != _BULK_DROP_LITERAL) \
+            .select("payload").foreachPartition(post_partition)
 
 
 class MetricAvgReporter:

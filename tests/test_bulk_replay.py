@@ -1,0 +1,121 @@
+"""Failed-batch replay through the HTTP bulk sink (SURVEY.md §3.3).
+
+The reference retains failed batches for resend (ZhiYanSink.java:95-97,
+111); the Spark analogue is: a failed bulk POST raises inside the
+micro-batch, the streaming query errors, and a restart from the
+checkpoint replays the batch from the WAL. Idempotent doc ids
+`(batch_id, partition_id, ordinal)` make the replay effectively
+exactly-once at the endpoint: the receiving store keys by `_id`, so
+re-posted docs overwrite themselves instead of duplicating.
+
+The endpoint here is a real local HTTP server that fails the first
+bulk request with a 503 and accepts everything after — exercising the
+executor-side `foreachPartition` post path end-to-end (driver never
+touches payloads).
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import os
+import sys
+import threading
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datastream_processing_demo_spark.streaming.pipeline import run_pipeline_stream
+from datastream_processing_demo_spark.streaming.sinks import (
+    HttpBulkWriter,
+    MetricAvgReporter,
+)
+
+
+def _start_bulk_server(fail_first_n: int = 1):
+    """Idempotent bulk store over HTTP: keeps docs keyed by `_id`; the
+    first `fail_first_n` POSTs return 503 (transient outage)."""
+    state = {"fail_remaining": fail_first_n, "docs": {}, "n_posts": 0}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 — http.server API
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8")
+            with lock:
+                state["n_posts"] += 1
+                if state["fail_remaining"] > 0:
+                    state["fail_remaining"] -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                for line in body.splitlines():
+                    if line.strip():
+                        rec = json.loads(line)
+                        state["docs"][rec["_id"]] = rec["doc"]
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):  # silence per-request stderr noise
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, state
+
+
+def _write_messages(values: list[str], out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    table = pa.Table.from_pandas(pd.DataFrame({"value": values}),
+                                 preserve_index=False)
+    pq.write_table(table, os.path.join(out_dir, "chunk-000000.parquet"))
+
+
+def test_failed_bulk_post_replays_to_exactly_once_effective(spark, tmp_path):
+    n_msgs = 40
+    payloads = [f'{{"k": {i}}}' for i in range(n_msgs)]
+    values = [f"{'session':<16}{'1700000000000':<16}" + " " * 32 + p
+              for p in payloads]
+    src_dir = str(tmp_path / "msgs")
+    _write_messages(values, src_dir)
+
+    srv, state = _start_bulk_server(fail_first_n=1)
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}/bulk"
+    try:
+        def start():
+            src = spark.readStream.schema("value string").parquet(src_dir)
+            return run_pipeline_stream(
+                src, checkpoint_dir=str(tmp_path / "ckpt"),
+                main_out_dir=str(tmp_path / "main"),
+                bulk_writer=HttpBulkWriter(endpoint, batch_size=8),
+                metric_reporter=MetricAvgReporter(str(tmp_path / "metric")),
+                now_ms=F.lit(1700000001000))
+
+        # First run: the endpoint 503s the first bulk request -> the task
+        # raises -> the streaming query fails (at-least-once, no ack).
+        q = start()
+        with pytest.raises(Exception):
+            q.awaitTermination(timeout=180)
+            raise AssertionError("query should have failed on the 503")
+
+        # Restart from the same checkpoint: the WAL replays the batch.
+        q2 = start()
+        q2.awaitTermination(timeout=180)
+
+        # Effective exactly-once: every payload present exactly once,
+        # even though some partitions posted in BOTH attempts.
+        assert sorted(state["docs"].values()) == sorted(payloads)
+        assert len(state["docs"]) == n_msgs
+        # The replay actually re-posted (more requests than a clean run
+        # would need: ceil-per-partition chunks, two attempts).
+        assert state["n_posts"] > 1
+        # Ids carry (batch_id, partition_id, ordinal) — all unique.
+        assert all(len(i.split("-")) == 3 for i in state["docs"])
+    finally:
+        srv.shutdown()

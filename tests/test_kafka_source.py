@@ -1,0 +1,62 @@
+"""Kafka source contract (SURVEY.md §2.1 S1 — the Pulsar-source analogue).
+
+No broker (or connector jar) exists in this container, so these tests
+pin the *contract*: the reference-property -> Kafka-option mapping
+(PulsarSource.java:142-151 subscribe semantics, :121 parallelism,
+DataStreamProcessingJob.java:140 topics) and that the reader builds and
+deserializes to the pipeline's `value: string` shape when the connector
+is present.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datastream_processing_demo_spark.sources.kafka import (
+    kafka_stream_options,
+    read_kafka_messages,
+)
+
+
+def test_kafka_option_mapping_full():
+    opts = kafka_stream_options(
+        "topic-a,topic-b", "b1:9092,b2:9092",
+        starting_offsets="latest",
+        max_offsets_per_trigger=1000,
+        min_partitions=64)
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "topic-a,topic-b",   # comma-split, like pulsar_topics
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "1000",   # backpressure rate cap
+        "minPartitions": "64",            # source_parallelism analogue
+    }
+
+
+def test_kafka_option_mapping_defaults():
+    opts = kafka_stream_options("events", "localhost:9092")
+    assert opts["startingOffsets"] == "earliest"
+    assert "maxOffsetsPerTrigger" not in opts
+    assert "minPartitions" not in opts
+
+
+def test_kafka_reader_builds_without_broker(spark):
+    """Building the reader needs no broker — only .load() resolution
+    needs the connector jar; skip (not fail) where it isn't shipped."""
+    try:
+        df = read_kafka_messages(spark, "events", "localhost:9092",
+                                 max_offsets_per_trigger=500)
+    except Exception as ex:
+        msg = str(ex)
+        if "Failed to find data source" in msg or "kafka" in msg.lower():
+            pytest.skip("kafka connector jar not shipped in this container")
+        raise
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["value"]
+    assert df.schema["value"].dataType.simpleString() == "string"
