@@ -57,6 +57,32 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def find_active_query(spark, name: str):
+    """Job discovery by name — the analogue of the reference launcher's
+    `flink list | grep $JOB_NAME` (flink/run_datastream_job.sh:40-46)."""
+    for q in spark.streams.active:
+        if q.name == name:
+            return q
+    return None
+
+
+def stop_and_replace(spark, name: str, start_fn, timeout_s: int = 120):
+    """Stop-and-replace deploy: if a streaming query with this name is
+    already running, cancel it, then (re)submit — the reference's
+    detect-cancel-resubmit loop (flink/run_datastream_job.sh:40-52).
+
+    The new incarnation starts from the same checkpoint, so state and
+    source offsets carry over exactly (checkpoint recovery across query
+    incarnations is proven by `stream_live_restart`,
+    plans/streaming_live.py). Returns the new StreamingQuery.
+    """
+    existing = find_active_query(spark, name)
+    if existing is not None:
+        existing.stop()
+        existing.awaitTermination(timeout_s)
+    return start_fn()
+
+
 def run(argv: list[str] | None = None, await_termination: bool = True):
     args = build_parser().parse_args(argv)
     cfg = load_config(args.config)
@@ -69,6 +95,13 @@ def run(argv: list[str] | None = None, await_termination: bool = True):
         app_name=cfg.get("job_name", "datastream-job"),
         parallelism=int(cfg["parallelism"]),
     ))
+    # Stop-and-replace: cancel a previous incarnation of this job before
+    # resubmitting (reference launcher behavior); the checkpoint carries
+    # offsets/state into the new query.
+    prior = find_active_query(spark, "datastream-pipeline")
+    if prior is not None:
+        prior.stop()
+        prior.awaitTermination(120)
     raw = spark.readStream.schema("value string").parquet(cfg["source_dir"])
     trigger = {"processingTime": f"{int(cfg['checkpoint_interval'])} milliseconds"}
     if cfg.get("run_once", "false").lower() == "true":

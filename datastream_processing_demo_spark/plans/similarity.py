@@ -66,7 +66,35 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_lsh_topk", "similarity",
-    oracle=None,  # approximate (bucket pruning); recall property-tested
+    # The bucketing is deterministic (integer hyperplanes), so even the
+    # approximate result has an EXACT oracle: mirror the bucket codes and
+    # the Hamming-1 multiprobe in SQL.
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         b AS (SELECT vec_id, v, {_bucket_sql(8)} AS bucket FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket
+               FROM b WHERE vec_id < 10),
+         probes AS (
+             SELECT query_id, qv,
+                    unnest(list_concat(
+                        [bucket],
+                        list_transform(range(8), p -> xor(bucket, 1 << p))))
+                        AS bucket
+             FROM q),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+         scored AS (
+             SELECT DISTINCT query_id, neighbor_id, {_COS} AS score
+             FROM probes JOIN c USING (bucket)
+             WHERE query_id != neighbor_id),
+         ranked AS (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id)
+                       AS rank
+             FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
     description="sign-LSH bucketed approximate top-k (the 100 TB path)",
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

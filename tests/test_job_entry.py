@@ -48,3 +48,69 @@ metric_spool_dir={tmp_path}/metrics
     assert len(bulk_lines) == 20  # session tails only
     metrics = glob.glob(f"{tmp_path}/metrics/*.json")
     assert metrics, "metric reporter produced no batches"
+
+
+def test_stop_and_replace_cancels_then_resubmits(spark, tmp_path):
+    """Reference launcher semantics (run_datastream_job.sh:40-52): a
+    second submit of the same job name cancels the running incarnation
+    and resumes from its checkpoint — old rows NOT reprocessed, new rows
+    processed exactly once by the replacement."""
+    from datastream_processing_demo_spark.job import (
+        find_active_query,
+        stop_and_replace,
+    )
+    from datastream_processing_demo_spark.streaming.pipeline import (
+        run_pipeline_stream,
+    )
+    from datastream_processing_demo_spark.streaming.sinks import (
+        HttpBulkWriter,
+        MetricAvgReporter,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_msgs(fname: str, tag: str, n: int) -> None:
+        msgs = pd.DataFrame({"value": [
+            f"{'session':<16}{'1700000000000':<16}" + " " * 32 + f"{tag}-{i}"
+            for i in range(n)]})
+        pq.write_table(pa.Table.from_pandas(msgs), str(src / fname))
+
+    def start():
+        raw = spark.readStream.schema("value string").parquet(str(src))
+        return run_pipeline_stream(
+            raw, checkpoint_dir=str(tmp_path / "ckpt"),
+            main_out_dir=str(tmp_path / "main"),
+            bulk_writer=HttpBulkWriter(str(tmp_path / "bulk")),
+            metric_reporter=MetricAvgReporter(str(tmp_path / "metrics")),
+            now_ms=F.lit(1700000005000),
+            trigger={"processingTime": "1 second"})
+
+    write_msgs("a.parquet", "first", 10)
+    q1 = start()
+    assert find_active_query(spark, "datastream-pipeline") is not None
+    # wait until the first incarnation has drained the first file
+    import time
+    for _ in range(60):
+        if os.path.isdir(f"{tmp_path}/main") and \
+                glob.glob(f"{tmp_path}/main/*.parquet"):
+            if spark.read.parquet(str(tmp_path / "main")).count() >= 10:
+                break
+        time.sleep(1)
+    assert spark.read.parquet(str(tmp_path / "main")).count() == 10
+
+    # deploy the replacement; the old query must be gone, the new active
+    q2 = stop_and_replace(spark, "datastream-pipeline", start)
+    assert not q1.isActive
+    assert q2.isActive
+    assert find_active_query(spark, "datastream-pipeline").id == q2.id
+
+    write_msgs("b.parquet", "second", 7)
+    for _ in range(60):
+        if spark.read.parquet(str(tmp_path / "main")).count() >= 17:
+            break
+        time.sleep(1)
+    q2.stop()
+    # 10 from before the deploy + 7 after, nothing duplicated
+    assert spark.read.parquet(str(tmp_path / "main")).count() == 17
