@@ -160,6 +160,66 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+# --- portable MinHash: engine-independent hash family ---------------------
+# Base hash = top 60 bits of md5(shingle) reduced mod P (P = 2^31-1, prime);
+# permutation i is (a_i·x + b_i) mod P with a_i,b_i derived from i by fixed
+# integer arithmetic. Every step is exact 64-bit integer math both Spark
+# and DuckDB reproduce bit-for-bit, so the LSH banding result has an EXACT
+# SQL oracle — unlike the xxhash64 family below, which is JVM-specific.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i; a in [1, P-1], b in [0, P-1]."""
+    a = (i * 2_654_435_761 + 12_345) % (MINHASH_P - 1) + 1
+    b = (i * 40_503 + 987) % MINHASH_P
+    return a, b
+
+
+def minhash_portable_signatures(docs: DataFrame, num_hashes: int = 16,
+                                n: int = 3, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Portable MinHash signature: one explode + one aggregate pass, like
+    `minhash_signatures`, but over the md5-based hash family above."""
+    sh = doc_shingles(docs, id_col, text_col, n, hash_keys=False)
+    x = (F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15),
+                16, 10).cast("long") % MINHASH_P)
+    hashed = sh.select(id_col, x.alias("x"))
+    mins = []
+    for i in range(num_hashes):
+        a, b = minhash_perm_coeffs(i)
+        mins.append(F.min((F.col("x") * a + b) % MINHASH_P).alias(f"h{i}"))
+    agg = hashed.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("signature"))
+
+
+def lsh_portable_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """Band the signature and bucket-join on the band CONTENT (joined to a
+    CSV string — portable, no band hashing needed; the string is exact)."""
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = signatures.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.array_join(F.transform(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string")), ",").alias("key"),
+            ))).alias("bb"),
+    ).select(id_col, "bb.band", "bb.key")
+    l = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
+    r = banded.select(F.col(id_col).alias("doc_b"), "band", "key")
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """MinHash signature per doc: sig[h] = min over shingles of
@@ -203,13 +263,24 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 
 
 def simhash_col_df(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text", bits: int = 63) -> DataFrame:
-    """63-bit SimHash per document (bit 63 omitted to keep the value a
-    non-negative long): per token hash, each bit position votes ±1;
-    positive totals set the bit."""
+                   text_col: str = "text", bits: int = 63,
+                   portable: bool = False) -> DataFrame:
+    """SimHash per document (63 bits default; bit 63 omitted to keep the
+    value a non-negative long): per token hash, each bit position votes
+    ±1; positive totals set the bit.
+
+    portable=True swaps xxhash64 for the md5-based 60-bit hash (use
+    bits<=60 with it) — slower (string md5) but engine-independent, so
+    the result has an exact SQL oracle."""
     toks = spread(docs).select(
         id_col, F.explode(F.split(text_col, " ")).alias("tok"))
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    if portable:
+        tok_hash = F.conv(
+            F.substring(F.md5(F.col("tok").cast("binary")), 1, 15),
+            16, 10).cast("long")
+    else:
+        tok_hash = F.xxhash64("tok")
+    hashed = toks.select(id_col, tok_hash.alias("h"))
     votes = hashed.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
@@ -230,14 +301,14 @@ def simhash_col_df(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 8,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id", bits: int = 63) -> DataFrame:
     """Pairs with Hamming distance <= max_hamming, via PIGEONHOLE
-    blocking: the 63 bits split into max_hamming+1 blocks — any pair
+    blocking: the `bits` bits split into max_hamming+1 blocks — any pair
     within the distance budget must agree on at least one whole block
     (GUARANTEED recall), so the self-join runs per (block index, block
     value) bucket instead of all-pairs."""
     n_blocks = max_hamming + 1
-    bits_per = 63 // n_blocks
+    bits_per = bits // n_blocks
     blocked = simhashes.select(
         id_col, "simhash",
         F.explode(F.array(*[

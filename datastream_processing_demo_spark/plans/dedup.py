@@ -99,6 +99,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=8)
 
 
+def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB oracle for the portable MinHash+LSH — generated from the
+    SAME permutation coefficients the Spark operator uses (no drift).
+    Base hash, permutations, mins, banding: all exact integer/string
+    operations both engines reproduce bit-for-bit."""
+    from ..operators.dedup import MINHASH_P, minhash_perm_coeffs
+    rows = num_hashes // bands
+    min_exprs = ",\n               ".join(
+        f"min((x * {minhash_perm_coeffs(i)[0]} + {minhash_perm_coeffs(i)[1]})"
+        f" % {MINHASH_P}) AS h{i}"
+        for i in range(num_hashes))
+    sig_list = ", ".join(f"h{i}" for i in range(num_hashes))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM documents),
+    hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS x
+        FROM sh),
+    sig AS (
+        SELECT doc_id,
+               {min_exprs}
+        FROM hx GROUP BY doc_id),
+    arr AS (SELECT doc_id, [{sig_list}] AS s FROM sig),
+    banded AS (
+        SELECT doc_id, bt.b AS band,
+               array_to_string(
+                   list_slice(s, bt.b * {rows} + 1, (bt.b + 1) * {rows}), ',')
+                   AS key
+        FROM arr CROSS JOIN (SELECT unnest(range({bands})) AS b) bt)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM banded a
+    JOIN banded c ON a.band = c.band AND a.key = c.key
+                 AND a.doc_id < c.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "dedup_minhash_portable", "dedup",
+    oracle=_minhash_portable_oracle(),
+    description="portable-hash MinHash(16) + LSH(4 bands), exact-oracled banding",
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same banding algorithm as dedup_minhash_lsh but over the md5-based
+    # portable hash family, so the ENTIRE MinHash->band->bucket-join
+    # pipeline sits under the exact-hash driver gate (the xxhash64
+    # variant stays the production path: JVM codegen, no string md5).
+    from ..operators.dedup import (
+        lsh_portable_candidate_pairs,
+        minhash_portable_signatures,
+    )
+    sigs = minhash_portable_signatures(t(spark, sf_dir, "documents"),
+                                       num_hashes=16, n=3)
+    return lsh_portable_candidate_pairs(sigs, bands=4)
+
+
 @query(
     "dedup_simhash", "dedup",
     oracle=None,  # xxhash64-based; property-tested (hamming vs jaccard)
@@ -108,6 +172,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_col_df, simhash_near_pairs
     return simhash_near_pairs(simhash_col_df(t(spark, sf_dir, "documents")),
                               max_hamming=8)
+
+
+def _simhash_portable_oracle(bits: int = 60, max_hamming: int = 8) -> str:
+    """DuckDB oracle mirroring the portable SimHash + pigeonhole pairs:
+    md5-based 60-bit token hash, ±1 bit votes, block join, bit_count."""
+    n_blocks = max_hamming + 1
+    bits_per = bits // n_blocks
+    mask = (1 << bits_per) - 1
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks),
+    votes AS (
+        SELECT doc_id, bt.bit,
+               SUM(((h >> bt.bit) & 1) * 2 - 1) AS total
+        FROM hx CROSS JOIN (SELECT unnest(range({bits})) AS bit) bt
+        GROUP BY doc_id, bt.bit),
+    sims AS (
+        SELECT doc_id,
+               SUM(CASE WHEN total > 0
+                        THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id),
+    blocked AS (
+        SELECT doc_id, simhash, bt.i AS block_idx,
+               (simhash >> (bt.i * {bits_per})) & {mask} AS block_val
+        FROM sims CROSS JOIN (SELECT unnest(range({n_blocks})) AS i) bt)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocked a
+    JOIN blocked b ON a.block_idx = b.block_idx
+                  AND a.block_val = b.block_val
+                  AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    GROUP BY 1, 2, 3
+    """
+
+
+@query(
+    "dedup_simhash_portable", "dedup",
+    oracle=_simhash_portable_oracle(),
+    description="portable-hash 60-bit SimHash pairs (hamming <= 8), exact-oracled",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same pigeonhole-blocked algorithm as dedup_simhash but over the
+    # md5-based portable hash, putting the vote/blocking/Hamming logic
+    # under the exact-hash driver gate (xxhash64 stays the fast path).
+    from ..operators.dedup import simhash_col_df, simhash_near_pairs
+    sims = simhash_col_df(t(spark, sf_dir, "documents"), bits=60,
+                          portable=True)
+    return simhash_near_pairs(sims, max_hamming=8, bits=60)
 
 
 @query(
