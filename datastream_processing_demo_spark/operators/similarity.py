@@ -205,6 +205,55 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_write_index(corpus: DataFrame, path: str, n_cells: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    lloyd_iters: int = 1) -> list:
+    """Persist an IVF index: corpus vectors written partitionBy(cell_id),
+    centroids returned as metadata (persist them next to the index in a
+    real deployment). At 100 TB the index is written once; every query
+    then prunes to n_probe partition DIRECTORIES at scan time — the scan
+    never opens non-probed cells (PartitionFilters, not PushedFilters).
+    """
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col, lloyd_iters)
+    assigned = corpus.select(
+        F.element_at(_nearest_cells_expr(vec_col, cent, 1), 1).alias("cell_id"),
+        F.col(id_col), F.col(vec_col))
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    return cent
+
+
+def ivf_topk_persisted(spark, path: str, centroids: list,
+                       queries: DataFrame, k: int = 5, n_probe: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       round_to: int = 6) -> DataFrame:
+    """Approximate top-k over a persisted IVF index. The probed cell set
+    (union over the query batch) lands as a partition-column filter, so
+    only those directories are scanned; the per-query candidate join
+    stays cell-equi like the in-memory `ivf_topk` and produces identical
+    results (asserted in tests/test_storage_layout.py)."""
+    q = queries.select(
+        F.explode(_nearest_cells_expr(vec_col, centroids, n_probe))
+            .alias("cell_id"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_cells = sorted({r["cell_id"] for r in
+                          q.select("cell_id").distinct().collect()})
+    c = (spark.read.parquet(path)
+         .filter(F.col("cell_id").isin(probe_cells))
+         .select("cell_id", F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("c_vec")))
+    scored = (
+        c.join(F.broadcast(q), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_col("q_vec", "c_vec"), round_to))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
