@@ -331,3 +331,41 @@ def test_zorder_layout_tightens_both_dimensions(spark, sf_dir, tmp_path):
     # z-order: meaningfully tight on BOTH dimensions
     assert z_frac["x"] <= 0.60 and z_frac["y"] <= 0.60, z_frac
     assert z_frac["y"] <= x_frac["y"] / 1.5, (z_frac, x_frac)
+
+
+def test_text_pipeline_full_no_cartesian_no_python(spark, sf_dir):
+    # The composed training pipeline must stay one declarative Catalyst
+    # plan: no cartesian/nested-loop pair generation (the near-dup stage
+    # is the inverted-index join) and no Python evaluation anywhere
+    # (redact/quality/split are all built-in expressions).
+    plan = _plan(spark, sf_dir, "text_pipeline_full")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_delay_metric_prunes_and_pushes(spark, sf_dir):
+    # The reference-parity delay pipeline reads only the columns that
+    # form the message (event_id/ts/event_type/props); the unused
+    # user_id and value columns must prune out of the events scan.
+    plan = _plan(spark, sf_dir, "pipeline_delay_metric")
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "user_id" not in read_schema and "value" not in read_schema, \
+        f"delay metric reads unreferenced columns: {read_schema}"
+
+
+def test_embedding_near_dup_is_bucket_equi_join(spark, sf_dir):
+    # Candidates must come from the sign-LSH bucket equi-join — never a
+    # cartesian or a data-correlated block join (VERDICT r1 #6).
+    plan = _plan(spark, sf_dir, "sim_embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_portable_minhash_no_cartesian(spark, sf_dir):
+    # Portable MinHash banding joins on (band, key) buckets only.
+    plan = _plan(spark, sf_dir, "dedup_minhash_portable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
