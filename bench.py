@@ -67,6 +67,55 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _streaming_throughput(spark, sf_dir: str) -> dict:
+    """End-to-end msgs/sec through the reference-parity three-sink
+    pipeline (parse -> route -> delay -> bulk/metric/main sinks), the
+    number BASELINE.md's operational envelope speaks in (the reference's
+    batch-fill regime implies >= 200 msgs/s/subtask). File-stream source
+    in 8 micro-batches, spool sinks, full checkpointing — the real
+    streaming path, not a batch proxy."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datastream_processing_demo_spark.catalog import load_table
+    from datastream_processing_demo_spark.streaming.messages import (
+        messages_from_events,
+    )
+    from datastream_processing_demo_spark.streaming.pipeline import (
+        run_pipeline_stream,
+    )
+    from datastream_processing_demo_spark.streaming.sinks import (
+        HttpBulkWriter,
+        MetricAvgReporter,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n_msgs = events.count()
+    work = tempfile.mkdtemp(prefix="bench-stream-")
+    try:
+        src_dir = os.path.join(work, "src")
+        messages_from_events(events).repartition(8) \
+            .write.mode("overwrite").parquet(src_dir)
+        src = (spark.readStream.schema("value string")
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        t0 = time.perf_counter()
+        q = run_pipeline_stream(
+            src, checkpoint_dir=os.path.join(work, "ckpt"),
+            main_out_dir=os.path.join(work, "main"),
+            bulk_writer=HttpBulkWriter(os.path.join(work, "bulk")),
+            metric_reporter=MetricAvgReporter(os.path.join(work, "metric")),
+            now_ms=F.lit(1700000000000))
+        q.awaitTermination(timeout=600)
+        wall = time.perf_counter() - t0
+        return {"streaming_msgs": n_msgs,
+                "streaming_wall_sec": round(wall, 4),
+                "streaming_msgs_per_sec": round(n_msgs / wall, 1)}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -99,6 +148,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    try:
+        out.update(_streaming_throughput(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001 — never zero the batch numbers
+        errors["_streaming"] = f"{type(exc).__name__}: {exc}"[:500]
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
