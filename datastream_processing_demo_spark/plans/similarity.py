@@ -65,6 +65,32 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_bruteforce_pandas", "similarity",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+               FROM embeddings),
+         scored AS (
+             SELECT query_id, neighbor_id, {_COS} AS score
+             FROM q, c WHERE query_id != neighbor_id),
+         ranked AS (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS rank
+             FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    description="brute-force top-5 via Arrow-batched pandas-UDF cosine (same oracle as the expression form)",
+)
+def sim_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import bruteforce_topk_pandas
+    emb = t(spark, sf_dir, "embeddings")
+    return bruteforce_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
     "sim_lsh_topk", "similarity",
     # The bucketing is deterministic (integer hyperplanes), so even the
     # approximate result has an EXACT oracle: mirror the bucket codes and
