@@ -76,11 +76,11 @@ def cosine_pandas_udf():
     when scoring logic outgrows Column expressions (learned metrics,
     quantized dot products): Arrow batches in, numpy out, no per-row
     Python."""
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def _cos(a, b):
+    def _cos(a: "pd.Series", b: "pd.Series") -> "pd.Series":
         import numpy as np
-        import pandas as pd
         av = np.stack(a.to_numpy()).astype(np.float64)
         bv = np.stack(b.to_numpy()).astype(np.float64)
         num = (av * bv).sum(axis=1)
@@ -88,9 +88,11 @@ def cosine_pandas_udf():
                * np.sqrt((bv * bv).sum(axis=1)))
         return pd.Series(num / den)
 
-    # functionType spelled explicitly (no type hints): SCALAR pandas UDF
-    from pyspark.sql.functions import PandasUDFType
-    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)
+    # resolve the string hints against this frame's globals/locals so
+    # pandas_udf sees a SCALAR (Series -> Series) signature
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                            "return": pd.Series}
+    return pandas_udf(_cos, "double")
 
 
 def bruteforce_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int = 5,
