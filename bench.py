@@ -58,6 +58,7 @@ HEADLINE = [
     "text_pii_redact",         # map-only regex PII scrub
     "fn_string_distance",      # blocked fuzzy self-join (bounded levenshtein)
     "text_pipeline_full",      # composed redact->quality->dedup->split pipeline
+    "text_pipeline_full_lsh",  # same pipeline, near-dup via MinHash+LSH (scale mode)
 ]
 
 RUNS = 3

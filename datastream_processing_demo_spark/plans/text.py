@@ -596,3 +596,124 @@ def text_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_words").cast("long").alias("total_words"),
                  F.min("doc_id").alias("min_doc"),
                  F.max("doc_id").alias("max_doc")))
+
+
+def _pipeline_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Oracle for the LSH-mode composed pipeline: the same
+    inject->redact->quality->exact-dedup CTEs as text_pipeline_full, with
+    the near-dup stage swapped for portable MinHash banding (generated
+    from the operator's own permutation coefficients)."""
+    from ..operators.dedup import MINHASH_P, minhash_perm_coeffs
+    rows = num_hashes // bands
+    min_exprs = ",\n               ".join(
+        f"min((x * {minhash_perm_coeffs(i)[0]} + {minhash_perm_coeffs(i)[1]})"
+        f" % {MINHASH_P}) AS h{i}"
+        for i in range(num_hashes))
+    sig_list = ", ".join(f"h{i}" for i in range(num_hashes))
+    return rf"""
+    WITH injected AS (
+        SELECT doc_id, lang,
+               text || ' contact user' || doc_id || '@' || source ||
+               '.example.com' AS raw
+        FROM documents),
+    redacted AS (
+        SELECT doc_id, lang,
+               regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+\.com',
+                              '<EMAIL>', 'g') AS clean
+        FROM injected),
+    quality AS (
+        SELECT doc_id, lang, clean,
+               len(string_split(clean, ' ')) AS n_words
+        FROM redacted
+        WHERE len(string_split(clean, ' ')) >= 20),
+    exact_kept AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(clean)),
+    survivors AS (
+        SELECT q.* FROM quality q JOIN exact_kept k USING (doc_id)),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(clean, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(clean, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM survivors),
+    hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS x
+        FROM sh),
+    sig AS (
+        SELECT doc_id,
+               {min_exprs}
+        FROM hx GROUP BY doc_id),
+    arr AS (SELECT doc_id, [{sig_list}] AS s FROM sig),
+    banded AS (
+        SELECT doc_id, bt.b AS band,
+               array_to_string(
+                   list_slice(s, bt.b * {rows} + 1, (bt.b + 1) * {rows}), ',')
+                   AS key
+        FROM arr CROSS JOIN (SELECT unnest(range({bands})) AS b) bt),
+    neardup_b AS (
+        SELECT DISTINCT c.doc_id AS doc_b
+        FROM banded a
+        JOIN banded c ON a.band = c.band AND a.key = c.key
+                     AND a.doc_id < c.doc_id),
+    final AS (
+        SELECT s.*,
+               CASE WHEN substr(md5(clean), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(clean), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_b FROM neardup_b))
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM final
+    GROUP BY split, lang
+    """
+
+
+@query(
+    "text_pipeline_full_lsh", "text",
+    oracle=_pipeline_lsh_oracle(),
+    description="composed training pipeline, near-dup stage swapped to MinHash+LSH (the 100 TB mode), exact-oracled end-to-end",
+)
+def text_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text_pipeline_full with the documented scale swap APPLIED: the
+    # exact-Jaccard near-dup stage replaced by portable MinHash+LSH
+    # banding — signatures are one aggregate pass, candidates one bucket
+    # join; no posting-list quadratic term anywhere. Still ONE Catalyst
+    # plan end-to-end, and still exact-oracled because the portable hash
+    # family reproduces bit-for-bit in SQL.
+    from ..operators.dedup import (
+        lsh_portable_candidate_pairs,
+        minhash_portable_signatures,
+    )
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                   F.lit("@"), F.col("source"), F.lit(".example.com"))
+    clean = F.regexp_replace(raw, r"[a-z0-9]+@[a-z0-9.]+\.com", "<EMAIL>")
+    redacted = d.select("doc_id", "lang", clean.alias("clean"))
+    quality = (redacted
+               .withColumn("n_words", F.size(F.split("clean", " ")))
+               .filter(F.col("n_words") >= 20))
+    keeper = (quality.groupBy(F.md5(F.col("clean").cast("binary")))
+              .agg(F.min("doc_id").alias("doc_id")))
+    survivors = quality.join(keeper, "doc_id", "left_semi")
+    sigs = minhash_portable_signatures(survivors, num_hashes=16, n=3,
+                                       text_col="clean")
+    pairs = lsh_portable_candidate_pairs(sigs, bands=4)
+    dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    bucket = F.substring(F.md5(F.col("clean").cast("binary")), 1, 2)
+    final = (survivors.join(dup_b, "doc_id", "left_anti")
+             .withColumn("split",
+                         F.when(bucket < "cc", "train")
+                          .when(bucket < "e6", "val")
+                          .otherwise("test")))
+    return (final.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("total_words"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
