@@ -47,6 +47,16 @@ def main() -> None:
     neighbors = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
     neighbors.show()
 
+    # 4. the 100 TB dedup mode: MinHash+LSH candidate pairs (portable
+    #    hash family — same answer in any engine), one aggregate pass
+    #    for signatures, one bucket join for candidates
+    from datastream_processing_demo_spark.operators.dedup import (
+        lsh_portable_candidate_pairs,
+        minhash_portable_signatures,
+    )
+    sigs = minhash_portable_signatures(docs, num_hashes=16)
+    print("LSH candidate pairs:", lsh_portable_candidate_pairs(sigs).count())
+
     spark.stop()
 
 

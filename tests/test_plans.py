@@ -369,3 +369,13 @@ def test_portable_minhash_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_minhash_portable")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_pipeline_no_cartesian_no_python(spark, sf_dir):
+    # The LSH-mode composed pipeline must keep the same discipline as
+    # the exact one: single declarative plan, candidates from the band
+    # bucket join, no Python evaluation.
+    plan = _plan(spark, sf_dir, "text_pipeline_full_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
