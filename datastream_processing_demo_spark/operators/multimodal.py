@@ -81,6 +81,49 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         run, schema="doc_id long, width long, height long, channels long, first_byte long")
 
 
+AUDIO_WINDOW = 256  # samples per analysis window for the audio stage
+
+
+def audio_window_features(df: DataFrame, id_col: str = "doc_id",
+                          window: int = AUDIO_WINDOW) -> DataFrame:
+    """mapInPandas audio feature stage: binary payload in, per-doc
+    loudness features out. The DECODE is the deterministic fake codec
+    (byte b -> PCM sample (b-128)/128, i.e. unsigned 8-bit PCM) — a real
+    pipeline swaps it for soundfile/ffmpeg; everything else (Arrow
+    batches, numpy vectorization, windowing, schema) is the real shape.
+
+    Output: n_samples, n_windows (ceil), rms_w1 = RMS of the first
+    window, peak = max |sample| — both rounded to 1e-6 so an oracle that
+    recomputes them from the same bytes matches exactly.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def feats(b: bytes):
+            s = (np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+            n = len(s)
+            w1 = s[:window]
+            rms = float(np.sqrt((w1 * w1).mean())) if n else 0.0
+            peak = float(np.abs(s).max()) if n else 0.0
+            return n, -(-n // window), round(rms, 6), round(peak, 6)
+
+        for pdf in batches:
+            rows = pdf["payload"].map(feats)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "n_samples": rows.map(lambda r: r[0]),
+                "n_windows": rows.map(lambda r: r[1]),
+                "rms_w1": rows.map(lambda r: r[2]),
+                "peak": rows.map(lambda r: r[3]),
+            })
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema=("doc_id long, n_samples long, n_windows long, "
+                     "rms_w1 double, peak double"))
+
+
 def frames_col(text_col: str = "text", frame_bytes: int = FRAME_BYTES) -> Column:
     """Chunk a payload into fixed-size 'frames' (array<binary>)."""
     n_frames = F.ceil(F.length(text_col) / frame_bytes).cast("int")

@@ -84,6 +84,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_audio_rms", "multimodal",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+    s AS (
+        SELECT doc_id, n,
+               list_transform(range(1, least(n, 256) + 1),
+                   i -> (CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT)
+                         - 128) / 128.0) AS w1,
+               list_transform(range(1, n + 1),
+                   i -> abs((CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT)
+                             - 128) / 128.0)) AS absall
+        FROM b)
+    SELECT doc_id, n AS n_samples,
+           CAST(ceil(n / 256.0) AS BIGINT) AS n_windows,
+           ROUND(sqrt(list_aggregate(list_transform(w1, x -> x*x), 'avg')), 6)
+               AS rms_w1,
+           ROUND(list_aggregate(absall, 'max'), 6) AS peak
+    FROM s
+    """,
+    description="audio lane: mapInPandas PCM decode (fake codec) + windowed RMS/peak",
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The audio modality stage: opaque binary in, loudness features out.
+    # Decode is the deterministic fake (u8 PCM from payload bytes; a
+    # real pipeline swaps in soundfile/ffmpeg) — the windowing, Arrow
+    # batching and numpy vectorization are the real 100 TB shape
+    # (map-only, no shuffle, constant memory per batch). The oracle
+    # recomputes the identical features from the same bytes in SQL:
+    # (b-128)/128 is exact in double (power-of-two divide), so only
+    # summation order differs and the 1e-6 rounding absorbs it.
+    from ..operators.multimodal import audio_window_features
+    return audio_window_features(to_binary_payload(t(spark, sf_dir, "documents")))
+
+
+@query(
     "mm_resize", "multimodal",
     oracle="""
     SELECT doc_id,
