@@ -1,0 +1,84 @@
+"""Guards on the driver-facing query ordering (registry.ordered_queries).
+
+The driver checks a fixed-size prefix (50 in rounds 1-2) of the ordering
+that __spark_entry__.queries() exposes. These tests lock in the rotation
+contract so prefix starvation (round 1: window burned on three
+categories; round 2: window re-checked already-green queries) cannot
+recur:
+
+- any 50-prefix samples every category;
+- exactly-oracled queries all come before rows-only ones;
+- queries whose latest official verdict is red lead the window;
+- already-green queries never displace never-checked ones in the window
+  beyond the one-representative-per-category head block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datastream_processing_demo_spark.plans.registry import (
+    all_queries,
+    ordered_queries,
+)
+
+_LEDGER_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "DRIVER_LEDGER.json")
+
+WINDOW = 50
+
+
+def _ledger() -> dict:
+    with open(_LEDGER_PATH) as f:
+        return json.load(f)
+
+
+def test_every_category_in_any_window_prefix():
+    ordered = list(ordered_queries().values())
+    prefix_cats = {s.category for s in ordered[:WINDOW]}
+    all_cats = {s.category for s in ordered}
+    assert prefix_cats == all_cats, (
+        f"missing from first {WINDOW}: {sorted(all_cats - prefix_cats)}")
+
+
+def test_rows_only_queries_sit_after_all_oracled():
+    ordered = list(ordered_queries().values())
+    n_oracled = sum(1 for s in ordered if s.oracle is not None)
+    for pos, spec in enumerate(ordered):
+        if spec.oracle is None:
+            assert pos >= n_oracled, (
+                f"rows-only {spec.name} at position {pos} < {n_oracled}")
+
+
+def test_red_queries_lead_the_window():
+    ledger = _ledger()
+    reds = {n for n, rec in ledger.items()
+            if rec["verdict"] == "red" and n in all_queries()
+            and all_queries()[n].oracle is not None}
+    prefix = set(list(ordered_queries())[:WINDOW])
+    assert reds <= prefix, f"red queries outside window: {sorted(reds - prefix)}"
+
+
+def test_window_prefers_unverified_over_green():
+    """Green-ledger queries may appear in the window only via the
+    one-per-category representative head (when their category has no
+    red/never-checked query left)."""
+    ledger = _ledger()
+    ordered = list(ordered_queries().values())
+    n_cats = len({s.category for s in ordered})
+    greens_in_window = [
+        s.name for s in ordered[:WINDOW]
+        if ledger.get(s.name, {}).get("verdict") == "green"]
+    assert len(greens_in_window) <= n_cats, greens_in_window
+
+
+def test_ledger_names_match_registry():
+    """Every ledger entry refers to a live registered query (catches
+    renames that would silently break rotation)."""
+    unknown = set(_ledger()) - set(all_queries())
+    assert not unknown, f"ledger entries not in registry: {sorted(unknown)}"
