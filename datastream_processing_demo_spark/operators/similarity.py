@@ -176,16 +176,35 @@ def l2sq_col(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dot_py(a: list, b: list) -> float:
+    """Python sequential-fold dot product — the same left-to-right IEEE
+    sequence as `dot_col` / DuckDB's list_dot_product, so a value folded
+    here is bit-identical to one folded in either engine."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
 def _nearest_cells_expr(vec_col: Column | str, centroids: list,
                         n_probe: int) -> Column:
     """Array of the n_probe nearest cell_ids, as a pure projection: the
     centroid table is index METADATA (n_cells × dim floats), embedded as
     a literal so assignment costs zero shuffle — one codegen'd pass over
-    the vectors, exactly how a coarse quantizer should run at 100 TB."""
+    the vectors, exactly how a coarse quantizer should run at 100 TB.
+
+    The squared distance is computed in dot-product form
+    ``dot(v,v) - 2*dot(v,c) + dot(c,c)`` with dot(c,c) prefolded in
+    Python: every term is a sequential left fold, so an ANSI-SQL oracle
+    that writes the same three list_dot_product terms reproduces the
+    assignment bit-for-bit (which a zip_with (x-y)^2 fold would not —
+    that is a different IEEE op sequence)."""
+    dvv = dot_col(vec_col, vec_col)
     cells = F.array(*[
         F.named_struct(
-            F.lit("l2"), l2sq_col(_as_double(vec_col),
-                                  F.array(*[F.lit(float(x)) for x in vec])),
+            F.lit("l2"),
+            dvv - F.lit(2.0) * dot_col(vec_col, F.array(
+                *[F.lit(float(x)) for x in vec])) + F.lit(_dot_py(vec, vec)),
             F.lit("cell_id"), F.lit(cid))
         for cid, vec in centroids
     ])
@@ -197,9 +216,18 @@ def _nearest_cells_expr(vec_col: Column | str, centroids: list,
 def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   lloyd_iters: int = 1) -> list:
-    """IVF coarse quantizer, fully deterministic: seeds are the n_cells
-    lowest-id corpus vectors, refined by `lloyd_iters` rounds of
-    assign-to-nearest + per-dimension mean. Returns [(cell_id, [float])].
+    """IVF coarse quantizer, fully deterministic AND engine-portable:
+    seeds are the n_cells lowest-id corpus vectors, refined by
+    `lloyd_iters` rounds of assign-to-nearest + per-dimension mean.
+    Returns [(cell_id, [float])].
+
+    The mean is computed as an exact integer sum on a 1e-6 grid —
+    ``CAST(SUM(CAST(ROUND(x*1e6) AS BIGINT)) AS DOUBLE) / (n * 1e6)`` —
+    which is order-independent (integer adds commute) and finishes with
+    one double division, so Spark, DuckDB, and any ANSI engine produce
+    bit-identical centroids regardless of partitioning. A float AVG()
+    would be summation-order-dependent and break cross-engine equality
+    for vectors near a cell boundary.
 
     Training cost per iteration is one shuffle of (cell_id, pos, x)
     triples — at 100 TB you train on a sample once and persist the
@@ -213,7 +241,11 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
             .alias("cell_id"),
             F.posexplode(_as_double(vec_col)).alias("pos", "x"))
         means = (
-            assigned.groupBy("cell_id", "pos").agg(F.avg("x").alias("m"))
+            assigned.groupBy("cell_id", "pos")
+            .agg((F.sum(F.round(F.col("x") * 1e6, 0).cast("long"))
+                  .cast("double")
+                  / (F.count(F.lit(1)).cast("double") * F.lit(1e6)))
+                 .alias("m"))
             .groupBy("cell_id")
             .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
                              lambda s: s["m"]).alias("v"))

@@ -482,30 +482,70 @@ def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_bernoulli", "relational",
-    oracle=None,  # sampling is engine-specific; bounds property-tested
-    description="Bernoulli row sampling with fixed seed (reproducible)",
+    # The sampled ROW SET is engine-internal (seeded per-partition
+    # XORShift), so no ANSI oracle can reproduce it — but the sampling
+    # CONTRACT is still driver-checkable: the exact population count and
+    # a 5-sigma binomial bound on the sample size. If Spark's sampler
+    # drifted out of bounds the boolean flips and the hash mismatches.
+    # Content-deterministic sampling (same rows in every engine) is the
+    # sample_hash_bernoulli query.
+    oracle="""
+    SELECT 'bernoulli_p10_seed42' AS sample_kind,
+           COUNT(*) AS n_total,
+           CAST(1 AS BIGINT) AS within_5sigma
+    FROM lineitem
+    """,
+    description="Bernoulli row sampling with fixed seed; binomial-bound property oracle",
 )
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition Bernoulli draw — no shuffle, scales linearly; the
     # seed fixes the draw so repeated runs return identical samples
     li = t(spark, sf_dir, "lineitem")
-    return (li.sample(fraction=0.1, seed=42)
-            .select("l_orderkey", "l_linenumber", "l_returnflag"))
+    n_sampled = (li.sample(fraction=0.1, seed=42)
+                 .agg(F.count(F.lit(1)).alias("n_sampled")))
+    n_total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    return n_sampled.crossJoin(n_total).select(
+        F.lit("bernoulli_p10_seed42").alias("sample_kind"),
+        "n_total",
+        (F.abs(F.col("n_sampled") - 0.1 * F.col("n_total"))
+         <= 5.0 * F.sqrt(0.1 * 0.9 * F.col("n_total")))
+        .cast("long").alias("within_5sigma"))
+
+
+_STRATA_FRACTIONS = {"R": 0.05, "A": 0.10, "N": 0.20}
 
 
 @query(
     "sample_stratified", "relational",
-    oracle=None,  # sampling is engine-specific; bounds property-tested
-    description="stratified sampling: per-stratum fractions via sampleBy",
+    # Same property-oracle shape as sample_bernoulli, per stratum: exact
+    # stratum sizes plus a 5-sigma binomial bound on each stratum's
+    # sampled count. Content-deterministic stratified sampling is the
+    # sample_hash_stratified query.
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_total,
+           CAST(1 AS BIGINT) AS within_5sigma
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="stratified sampling via sampleBy; per-stratum binomial-bound property oracle",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-key fractions (downsample hot strata, keep rare ones whole) —
     # the balance-a-training-corpus primitive; map-side only, no shuffle
     li = t(spark, sf_dir, "lineitem")
-    sampled = li.sampleBy("l_returnflag",
-                          {"R": 0.05, "A": 0.10, "N": 0.20}, seed=7)
-    return sampled.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_sampled"))
+    sampled_counts = (li.sampleBy("l_returnflag", _STRATA_FRACTIONS, seed=7)
+                      .groupBy("l_returnflag")
+                      .agg(F.count(F.lit(1)).alias("n_sampled")))
+    totals = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_total"))
+    frac = F.when(F.col("l_returnflag") == "R", 0.05) \
+            .when(F.col("l_returnflag") == "A", 0.10).otherwise(0.20)
+    return (totals.join(sampled_counts, "l_returnflag", "left")
+            .select(
+                "l_returnflag", "n_total",
+                (F.abs(F.coalesce(F.col("n_sampled"), F.lit(0))
+                       - frac * F.col("n_total"))
+                 <= 5.0 * F.sqrt(frac * (1.0 - frac) * F.col("n_total")))
+                .cast("long").alias("within_5sigma")))
 
 
 @query(

@@ -128,10 +128,70 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8)
 
 
+# Squared L2 in dot-product form — the exact IEEE op sequence the Spark
+# operator uses (operators/similarity._nearest_cells_expr), so the SQL
+# mirror reproduces every cell assignment bit-for-bit. {v}/{c} are
+# DOUBLE-list column names.
+def _l2_dot_form(v: str, c: str) -> str:
+    return (f"list_dot_product({v}, {v}) "
+            f"- 2.0 * list_dot_product({v}, {c}) "
+            f"+ list_dot_product({c}, {c})")
+
+
 @query(
     "sim_ivf_topk", "similarity",
-    oracle=None,  # approximate (cell pruning); recall property-tested
-    description="IVF cell-probed approximate top-k (FAISS-style coarse quantizer)",
+    # The whole IVF pipeline is deterministic — seeds are the 16
+    # lowest-id vectors, one Lloyd round with EXACT integer-scaled means
+    # (order-independent), dot-form L2 with (l2, cell_id) tiebreaks —
+    # so even this approximate index has an exact ANSI mirror: train the
+    # same centroids in SQL, assign, probe 4 cells per query, rank.
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS sv
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+    assign0 AS (
+        SELECT e.vec_id, e.v, s.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_l2_dot_form('e.v', 's.sv')}, s.cell_id) AS rn
+        FROM e CROSS JOIN seeds s),
+    elem AS (
+        SELECT cell_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+        FROM assign0 WHERE rn = 1),
+    cmean AS (
+        SELECT cell_id, pos,
+               CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
+        FROM elem GROUP BY cell_id, pos),
+    cvec AS (
+        SELECT cell_id, list(m ORDER BY pos) AS cm
+        FROM cmean GROUP BY cell_id),
+    cassign AS (
+        SELECT e.vec_id, e.v, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_l2_dot_form('e.v', 'c.cm')}, c.cell_id) AS rn
+        FROM e CROSS JOIN cvec c),
+    corpus AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell_id
+        FROM cassign WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cell_id
+        FROM cassign WHERE vec_id < 10 AND rn <= 4),
+    scored AS (
+        SELECT query_id, neighbor_id, {_COS} AS score
+        FROM probes JOIN corpus USING (cell_id)
+        WHERE query_id != neighbor_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    description="IVF cell-probed approximate top-k (FAISS-style coarse quantizer), exact SQL-mirrored training",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")

@@ -37,9 +37,15 @@ def test_approx_count_distinct_bounds(spark, sf_dir, oracle_con):
 
 
 def test_bernoulli_sample_bounds_and_reproducible(spark, sf_dir, oracle_con):
-    spec = all_queries()["sample_bernoulli"]
-    a = spec.spark(spark, sf_dir).collect()
-    b = spec.spark(spark, sf_dir).collect()
+    # content reproducibility of the raw seeded sampler (the registered
+    # sample_bernoulli query reduces it to the driver-checkable binomial
+    # property, so the row-level check lives here)
+    from datastream_processing_demo_spark.catalog import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.sample(fraction=0.1, seed=42) \
+          .select("l_orderkey", "l_linenumber").collect()
+    b = li.sample(fraction=0.1, seed=42) \
+          .select("l_orderkey", "l_linenumber").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)), \
         "same seed must reproduce the same sample"
     n_total = oracle_con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
@@ -48,21 +54,32 @@ def test_bernoulli_sample_bounds_and_reproducible(spark, sf_dir, oracle_con):
     sigma = math.sqrt(n_total * 0.1 * 0.9)
     assert abs(len(a) - 0.1 * n_total) <= 5 * sigma, \
         f"sample size {len(a)} far from {0.1 * n_total}"
+    # and the registered property query must report in-bounds for it
+    rows = all_queries()["sample_bernoulli"].spark(spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0]["within_5sigma"] == 1
 
 
 def test_stratified_sample_fractions(spark, sf_dir, oracle_con):
     import math
-    spec = all_queries()["sample_stratified"]
-    got = {r["l_returnflag"]: r["n_sampled"]
-           for r in spec.spark(spark, sf_dir).collect()}
+    from datastream_processing_demo_spark.catalog import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    fracs = {"R": 0.05, "A": 0.10, "N": 0.20}
+    got = {r["l_returnflag"]: r["n"]
+           for r in li.sampleBy("l_returnflag", fracs, seed=7)
+           .groupBy("l_returnflag").count()
+           .withColumnRenamed("count", "n").collect()}
     strata = dict(oracle_con.execute(
         "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag"
     ).fetchall())
-    for flag, frac in {"R": 0.05, "A": 0.10, "N": 0.20}.items():
+    for flag, frac in fracs.items():
         n = strata[flag]
         sigma = math.sqrt(n * frac * (1 - frac))
         assert abs(got.get(flag, 0) - frac * n) <= 5 * sigma, \
             f"{flag}: {got.get(flag)} vs expected {frac * n}"
+    # registered property query: every stratum in bounds
+    rows = all_queries()["sample_stratified"].spark(spark, sf_dir).collect()
+    assert {r["l_returnflag"] for r in rows} == set(fracs)
+    assert all(r["within_5sigma"] == 1 for r in rows)
 
 
 def test_engine_introspection_properties(spark, sf_dir):
