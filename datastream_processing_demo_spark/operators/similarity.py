@@ -335,11 +335,30 @@ def ivf_topk_persisted(spark, path: str, centroids: list,
     )
 
 
+def auto_n_planes(n_rows: int, target_bucket_size: int = 1024,
+                  min_planes: int = 4, max_planes: int = 48) -> int:
+    """Sign-LSH plane count sized to the corpus: 2^B buckets with an
+    expected ~target_bucket_size members each, i.e.
+    B = ceil(log2(n / target_bucket_size)), clamped to [min, max].
+
+    This is the 100 TB sizing rule: per-bucket candidate work is
+    quadratic in bucket size, so a FIXED B melts as the corpus grows
+    (16 buckets over 10^9 docs = 10^15 comparisons per bucket-pair
+    round). Scaling B with n keeps every bucket's quadratic term bounded
+    by ~target_bucket_size^2 while total work stays ~n * target."""
+    import math
+    if n_rows <= target_bucket_size:
+        return min_planes
+    b = math.ceil(math.log2(n_rows / target_bucket_size))
+    return max(min_planes, min(max_planes, b))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             round_to: int = 6, n_planes: int = 4,
-                             dim: int = 64) -> DataFrame:
+                             round_to: int = 6, n_planes: int | None = None,
+                             dim: int = 64,
+                             target_bucket_size: int = 1024) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, sign-LSH bucketed.
 
     Candidate generation reuses `lsh_bucket_col`: every vector gets one
@@ -352,7 +371,16 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     probability (1 − θ/π)^B — tune n_planes down for recall, up for
     speed. Deterministic (integer hyperplanes), so an oracle that mirrors
     the bucketing reproduces the result exactly.
+
+    When ``n_planes`` is None (the default) it is derived from the
+    corpus size via `auto_n_planes` — one metadata count() job, then
+    B = ceil(log2(n / target_bucket_size)) — so the bucket count grows
+    with the corpus and per-bucket quadratic work stays bounded. Pass
+    ``n_planes`` explicitly when the corpus size is already known (at
+    100 TB you know it) or when an oracle mirrors a specific B.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count(), target_bucket_size)
     e = spread(corpus).select(
         F.col(id_col),
         F.col(vec_col),

@@ -103,3 +103,38 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
 def test_real_codec_hook_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_auto_n_planes_sizing_rule():
+    # bucket count must GROW with the corpus: B = ceil(log2(n/target)),
+    # clamped — the guard against a fixed-16-bucket default melting at
+    # 100 TB (per-bucket candidate work is quadratic in bucket size).
+    from datastream_processing_demo_spark.operators.similarity import (
+        auto_n_planes,
+    )
+    sizes = [10**3, 10**5, 10**7, 10**9, 10**12]
+    planes = [auto_n_planes(n, target_bucket_size=1024) for n in sizes]
+    assert planes == sorted(planes), "n_planes must be monotone in corpus size"
+    assert planes[0] == 4                      # floor: tiny corpus
+    assert auto_n_planes(10**9, 1024) >= 20    # 2^20 buckets for 1e9 docs
+    assert auto_n_planes(10**12, 1024) <= 48   # clamp: code stays in a long
+    # expected bucket occupancy stays ~target as n scales 1000x
+    for n in (10**6, 10**9):
+        b = auto_n_planes(n, 1024)
+        assert n / 2**b <= 1024 * 1.01 or b == 48
+
+
+def test_embedding_near_dup_default_derives_planes(spark, sf_dir):
+    from datastream_processing_demo_spark.operators.similarity import (
+        auto_n_planes,
+        embedding_near_dup_pairs,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # a small target forces the derived B above the floor at test scale
+    auto = embedding_near_dup_pairs(emb, threshold=0.35,
+                                    target_bucket_size=32)
+    explicit = embedding_near_dup_pairs(
+        emb, threshold=0.35, n_planes=auto_n_planes(n, 32))
+    assert sorted(map(tuple, auto.collect())) \
+        == sorted(map(tuple, explicit.collect()))
