@@ -2,12 +2,16 @@
 opaque binary payload columns with typed metadata, a decode/feature
 pandas-UDF stage, and frame sampling over chunked payloads.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake (features derived from the bytes themselves) behind
-`decode_image_real`, which raises NotImplementedError — the Spark-side
-plumbing (BinaryType columns, mapInPandas batch iteration, schema,
-partitioning) is real and tested, and swapping the fake for a codec
-(PIL/ffmpeg) changes one function.
+The container has no IMAGE codecs (no PIL/ffmpeg/libvips), so the image
+decode step is a deterministic fake (features derived from the bytes
+themselves) behind `decode_image_real`, which raises
+NotImplementedError — swapping the fake for a codec changes one
+function. The AUDIO lane, however, runs a REAL container codec:
+`decode_wav_real` parses genuine RIFF/WAVE files (stdlib `wave` +
+numpy PCM decode, 8/16-bit, multichannel downmix) and plugs into the
+same windowed-feature stage as the fake PCM path
+(`audio_window_features(codec="wav")`), proving the decode hook
+end-to-end without any third-party install.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY — scans
 prune them unless projected; mapInPandas streams Arrow batches so a
@@ -84,25 +88,93 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 AUDIO_WINDOW = 256  # samples per analysis window for the audio stage
 
 
+def encode_wav_u8(payload: bytes, sample_rate: int = 8000) -> bytes:
+    """Wrap raw bytes as a genuine mono 8-bit-PCM RIFF/WAVE file
+    (stdlib `wave` writer — canonical 44-byte header + data chunk).
+    8-bit WAV is unsigned PCM, so the data chunk is the payload verbatim:
+    a decode must recover exactly these samples. Deterministic."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(payload)
+    return buf.getvalue()
+
+
+def decode_wav_real(payload: bytes) -> dict:
+    """REAL audio container codec: parse a RIFF/WAVE file and decode its
+    PCM frames to float64 samples in [-1, 1). Stdlib `wave` does the
+    container parsing (chunk layout, fmt header, frame extraction);
+    numpy does the PCM conversion. Supports 8-bit unsigned and 16-bit
+    signed little-endian PCM — the two classic WAV encodings — and
+    downmixes multichannel to mono by averaging.
+
+    This is the `decode_image_real`-shaped hook the audio lane actually
+    fills: no fake, no third-party dependency, raises `wave.Error` on a
+    non-WAV payload."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 1:          # 8-bit WAV is unsigned
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif width == 2:        # 16-bit WAV is signed little-endian
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    if n_channels > 1:
+        s = s.reshape(-1, n_channels).mean(axis=1)
+    return {"sample_rate": rate, "n_channels": n_channels, "samples": s}
+
+
+def _pcm_u8_samples(b: bytes):
+    """Fake codec: interpret raw bytes as unsigned 8-bit PCM."""
+    import numpy as np
+    return (np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+            - 128.0) / 128.0
+
+
 def audio_window_features(df: DataFrame, id_col: str = "doc_id",
-                          window: int = AUDIO_WINDOW) -> DataFrame:
+                          window: int = AUDIO_WINDOW,
+                          codec: str = "pcm_u8") -> DataFrame:
     """mapInPandas audio feature stage: binary payload in, per-doc
-    loudness features out. The DECODE is the deterministic fake codec
-    (byte b -> PCM sample (b-128)/128, i.e. unsigned 8-bit PCM) — a real
-    pipeline swaps it for soundfile/ffmpeg; everything else (Arrow
-    batches, numpy vectorization, windowing, schema) is the real shape.
+    loudness features out. The decode is pluggable and both settings
+    share every other moving part (Arrow batches, numpy vectorization,
+    windowing, output schema):
+
+    - ``codec="pcm_u8"`` — deterministic fake: raw bytes as unsigned
+      8-bit PCM samples;
+    - ``codec="wav"``    — REAL codec: payloads are RIFF/WAVE files,
+      parsed by `decode_wav_real` (stdlib wave + numpy).
 
     Output: n_samples, n_windows (ceil), rms_w1 = RMS of the first
     window, peak = max |sample| — both rounded to 1e-6 so an oracle that
     recomputes them from the same bytes matches exactly.
     """
+    if codec not in ("pcm_u8", "wav"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def to_samples(b: bytes):
+            if codec == "wav":
+                return decode_wav_real(b)["samples"]
+            return _pcm_u8_samples(b)
+
         def feats(b: bytes):
-            s = (np.frombuffer(b, dtype=np.uint8).astype(np.float64)
-                 - 128.0) / 128.0
+            s = to_samples(b)
             n = len(s)
             w1 = s[:window]
             rms = float(np.sqrt((w1 * w1).mean())) if n else 0.0
@@ -122,6 +194,26 @@ def audio_window_features(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, "payload").mapInPandas(
         run, schema=("doc_id long, n_samples long, n_windows long, "
                      "rms_w1 double, peak double"))
+
+
+def wrap_payloads_as_wav(df: DataFrame, id_col: str = "doc_id",
+                         sample_rate: int = 8000) -> DataFrame:
+    """mapInPandas encode stage: raw binary payloads -> genuine WAV
+    containers (mono u8 PCM). Paired with
+    ``audio_window_features(codec="wav")`` it exercises the real codec
+    end-to-end: real RIFF bytes on the wire between two Arrow stages,
+    real container parsing on the far side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "payload": pdf["payload"].map(
+                    lambda b: encode_wav_u8(b, sample_rate)),
+            })
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema="doc_id long, payload binary")
 
 
 def frames_col(text_col: str = "text", frame_bytes: int = FRAME_BYTES) -> Column:

@@ -83,9 +83,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mm_audio_rms", "multimodal",
-    oracle="""
+# Loudness features recomputed from the documents' own bytes in SQL:
+# (b-128)/128 is exact in double (power-of-two divide), so only summation
+# order differs between engines and the 1e-6 rounding absorbs it. Shared
+# by the fake-PCM lane and the real-WAV-codec lane: a u8 WAV wrapping of
+# byte string B decodes back to exactly B's samples, so both lanes must
+# produce these values.
+_AUDIO_FEATURES_ORACLE = """
     WITH b AS (
         SELECT doc_id, hex(encode(text)) AS hx,
                octet_length(encode(text)) AS n
@@ -105,7 +109,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rms_w1,
            ROUND(list_aggregate(absall, 'max'), 6) AS peak
     FROM s
-    """,
+    """
+
+
+@query(
+    "mm_audio_rms", "multimodal",
+    oracle=_AUDIO_FEATURES_ORACLE,
     description="audio lane: mapInPandas PCM decode (fake codec) + windowed RMS/peak",
 )
 def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,6 +128,29 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # summation order differs and the 1e-6 rounding absorbs it.
     from ..operators.multimodal import audio_window_features
     return audio_window_features(to_binary_payload(t(spark, sf_dir, "documents")))
+
+
+@query(
+    "mm_audio_wav_real", "multimodal",
+    oracle=_AUDIO_FEATURES_ORACLE,
+    description="audio lane with the REAL WAV codec: RIFF-wrap payloads, parse with stdlib wave, identical features",
+)
+def mm_audio_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end REAL container codec (the one decode the sandbox can
+    # prove without installs): each document's bytes are wrapped as a
+    # genuine mono u8-PCM RIFF/WAVE file in one Arrow stage, and the
+    # next stage parses that container with stdlib `wave` + numpy
+    # (operators/multimodal.decode_wav_real) — no fake in the path.
+    # Because u8 WAV stores samples verbatim, the decoded features must
+    # equal the fake-PCM lane's, so the same exact oracle gates both;
+    # a header mis-parse, off-by-one frame count, or sample-scale bug
+    # would hash-mismatch here.
+    from ..operators.multimodal import (
+        audio_window_features,
+        wrap_payloads_as_wav,
+    )
+    wav = wrap_payloads_as_wav(to_binary_payload(t(spark, sf_dir, "documents")))
+    return audio_window_features(wav, codec="wav")
 
 
 @query(
