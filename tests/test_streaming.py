@@ -414,3 +414,65 @@ def test_stream_static_broadcast_join(spark, sf_dir, stream_dir):
     got = got.sort_values("n_name", ignore_index=True)
     batch = batch.sort_values("n_name", ignore_index=True)
     assert got.equals(batch), "stream-static join != batch join"
+
+
+def test_failed_metric_report_replays_same_metric_file(spark, tmp_path):
+    """Metric-reporter failure path (reference retain-retry,
+    ZhiYanSink.java:95-97): the first report attempt dies before the
+    metric lands (endpoint outage), the streaming query fails, and the
+    checkpoint restart replays the SAME micro-batch — re-emitting
+    metric-{batch_id}.json with identical batch_id and values."""
+    import pandas as pd
+
+    n_msgs = 24
+    values = [f"{'session':<16}{'1700000000000':<16}" + " " * 32
+              + f'{{"k": {i}}}' for i in range(n_msgs)]
+    src_dir = str(tmp_path / "msgs")
+    os.makedirs(src_dir)
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"value": values}),
+                             preserve_index=False),
+        os.path.join(src_dir, "chunk-000000.parquet"))
+
+    metric_dir = str(tmp_path / "metric")
+    outage_marker = str(tmp_path / "outage-pending")
+    with open(outage_marker, "w") as f:
+        f.write("1")
+
+    class OutageThenOkReporter(MetricAvgReporter):
+        def report_batch(self, delays, batch_id):
+            if os.path.exists(outage_marker):
+                os.remove(outage_marker)
+                raise IOError("metric endpoint unreachable (simulated)")
+            super().report_batch(delays, batch_id)
+
+    def start():
+        src = spark.readStream.schema("value string").parquet(src_dir)
+        return run_pipeline_stream(
+            src, checkpoint_dir=str(tmp_path / "ckpt"),
+            main_out_dir=str(tmp_path / "main"),
+            bulk_writer=HttpBulkWriter(str(tmp_path / "bulk"), batch_size=8),
+            metric_reporter=OutageThenOkReporter(metric_dir),
+            now_ms=F.lit(1700000001000))
+
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination(timeout=180)
+        raise AssertionError("query should have failed on the metric outage")
+    # nothing was reported by the failed attempt
+    assert not glob.glob(os.path.join(metric_dir, "metric-*.json"))
+
+    q2 = start()
+    q2.awaitTermination(timeout=180)
+
+    files = glob.glob(os.path.join(metric_dir, "metric-*.json"))
+    assert len(files) == 1, files
+    with open(files[0]) as f:
+        rec = json.load(f)
+    # same batch id as the failed attempt (WAL replay), same values:
+    # every message carries send_ts 1700000000000 against the frozen
+    # clock 1700000001000 -> delay 1000 ms
+    assert os.path.basename(files[0]) == f"metric-{rec['batch_id']}.json"
+    assert rec["batch_id"] == 0
+    assert rec["n"] == n_msgs
+    assert rec["avg_delay_ms"] == 1000.0
