@@ -108,8 +108,14 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
             bulk_writer=HttpBulkWriter(os.path.join(work, "bulk")),
             metric_reporter=MetricAvgReporter(os.path.join(work, "metric")),
             now_ms=F.lit(1700000000000))
-        q.awaitTermination(timeout=600)
+        finished = q.awaitTermination(timeout=600)
         wall = time.perf_counter() - t0
+        if not finished:
+            # Timed out: stop the query and report an error instead of a
+            # bogus ~600 s-denominator throughput (ADVICE r2).
+            q.stop()
+            return {"streaming_msgs": n_msgs,
+                    "streaming_error": "streaming query not finished after 600s"}
         return {"streaming_msgs": n_msgs,
                 "streaming_wall_sec": round(wall, 4),
                 "streaming_msgs_per_sec": round(n_msgs / wall, 1)}

@@ -55,15 +55,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # timestamp logical type) would look identical and dividing
             # it by 1000 would silently shift every value 1000×. Check
             # the parquet footer to be sure (ADVICE r1).
+            import glob
+            import os
+
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            footer_type = str(pq.read_schema(
-                table_path(sf_dir, name)).field("ts").type)
-            if footer_type != "timestamp[ns]":
+            # Typed check, not string equality: 'timestamp[ns, tz=UTC]'
+            # (isAdjustedToUTC nanos) is just as legitimate as plain
+            # 'timestamp[ns]'. For a directory-style dataset read the
+            # footer of the first fragment (ADVICE r2).
+            footer_path = table_path(sf_dir, name)
+            if os.path.isdir(footer_path):
+                frags = sorted(glob.glob(
+                    os.path.join(footer_path, "**", "*.parquet"),
+                    recursive=True))
+                if not frags:
+                    raise FileNotFoundError(
+                        f"no parquet fragments under {footer_path!r}")
+                footer_path = frags[0]
+            footer_type = pq.read_schema(footer_path).field("ts").type
+            if not (pa.types.is_timestamp(footer_type)
+                    and footer_type.unit == "ns"):
                 raise TypeError(
                     f"events.ts read as LongType but parquet footer says "
-                    f"{footer_type!r}, not timestamp[ns]; refusing to "
-                    f"guess a unit conversion")
+                    f"{footer_type!r}, not a nanosecond timestamp; "
+                    f"refusing to guess a unit conversion")
             # Nanos file: the conf must stay set — execution-time planning
             # re-reads it when building the parquet reader.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -95,28 +95,28 @@ def run(argv: list[str] | None = None, await_termination: bool = True):
         app_name=cfg.get("job_name", "datastream-job"),
         parallelism=int(cfg["parallelism"]),
     ))
-    # Stop-and-replace: cancel a previous incarnation of this job before
-    # resubmitting (reference launcher behavior); the checkpoint carries
-    # offsets/state into the new query.
-    prior = find_active_query(spark, "datastream-pipeline")
-    if prior is not None:
-        prior.stop()
-        prior.awaitTermination(120)
-    raw = spark.readStream.schema("value string").parquet(cfg["source_dir"])
     trigger = {"processingTime": f"{int(cfg['checkpoint_interval'])} milliseconds"}
     if cfg.get("run_once", "false").lower() == "true":
         trigger = {"availableNow": True}
-    query = run_pipeline_stream(
-        raw,
-        checkpoint_dir=cfg["checkpoint_location"],
-        main_out_dir=cfg["main_out_dir"],
-        bulk_writer=HttpBulkWriter(cfg["bulk_endpoint"],
-                                   int(cfg["bulk_batch_size"])),
-        metric_reporter=MetricAvgReporter(cfg["metric_spool_dir"]),
-        now_ms=(F.lit(int(cfg["frozen_now_ms"]))
-                if "frozen_now_ms" in cfg else None),
-        trigger=trigger,
-    )
+
+    def start_fn():
+        raw = spark.readStream.schema("value string").parquet(cfg["source_dir"])
+        return run_pipeline_stream(
+            raw,
+            checkpoint_dir=cfg["checkpoint_location"],
+            main_out_dir=cfg["main_out_dir"],
+            bulk_writer=HttpBulkWriter(cfg["bulk_endpoint"],
+                                       int(cfg["bulk_batch_size"])),
+            metric_reporter=MetricAvgReporter(cfg["metric_spool_dir"]),
+            now_ms=(F.lit(int(cfg["frozen_now_ms"]))
+                    if "frozen_now_ms" in cfg else None),
+            trigger=trigger,
+        )
+
+    # Stop-and-replace deploy through the tested helper (the reference
+    # launcher's detect-cancel-resubmit); the checkpoint carries
+    # offsets/state into the new query incarnation.
+    query = stop_and_replace(spark, "datastream-pipeline", start_fn)
     if await_termination:
         query.awaitTermination()
     return query

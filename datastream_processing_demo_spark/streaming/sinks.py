@@ -55,6 +55,13 @@ def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0) -> None:
                    else http.client.HTTPConnection)
             conn = cls(u.netloc, timeout=timeout_s)
             _CONN_CACHE[key] = conn
+        # The cached connection was built with the FIRST caller's
+        # timeout; honor this call's value on the live socket too. Cached
+        # connections live until the executor worker exits (keep-alive is
+        # the point); the OS reaps them with the process.
+        conn.timeout = timeout_s
+        if conn.sock is not None:
+            conn.sock.settimeout(timeout_s)
         try:
             conn.request("POST", u.path or "/", body=body.encode("utf-8"),
                          headers={"Content-Type": "application/x-ndjson"})
@@ -98,6 +105,20 @@ class HttpBulkWriter:
             self.endpoint, self.batch_size, self._is_http
         if not is_http:
             os.makedirs(endpoint, exist_ok=True)
+            # A replay of this batch may partition differently than the
+            # failed attempt (e.g. shuffle-partitions changed across
+            # restarts), which would leave the first attempt's chunk
+            # files for partition/chunk ids the replay never rewrites —
+            # duplicated docs downstream. Clear the batch's spool files
+            # driver-side before the executors write (ADVICE r2). The
+            # HTTP path gets the same guarantee from _id-keyed upserts
+            # only when partitioning is deterministic across attempts —
+            # true for WAL file-replay (same files, same splits), which
+            # is the supported replay mode.
+            import glob as _glob
+            for stale in _glob.glob(
+                    os.path.join(endpoint, f"bulk-{batch_id}-*.ndjson")):
+                os.remove(stale)
 
         def post_partition(rows) -> None:
             from pyspark import TaskContext
