@@ -547,6 +547,89 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_bounds", "aggregates",
+    # Driver-checkable companion to agg_approx: the HLL estimate and the
+    # t-digest median are engine-internal VALUES (no ANSI oracle can
+    # reproduce them), but their error CONTRACTS are checkable — emit
+    # the exact quantities both engines agree on plus in-bounds flags
+    # that Spark verifies empirically. A sketch regression (estimate
+    # drifting past its documented rsd) flips a flag and hash-fails.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           COUNT(*) AS n_rows,
+           CAST(1 AS BIGINT) AS hll_within_bounds,
+           CAST(1 AS BIGINT) AS median_within_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="approx_count_distinct + percentile_approx error contracts as a property oracle",
+)
+def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    approx_parts = F.approx_count_distinct("l_partkey")
+    exact_parts = F.countDistinct("l_partkey")
+    approx_med = F.percentile_approx("l_extendedprice", 0.5)
+    exact_med = F.expr("percentile(l_extendedprice, 0.5)")
+    return li.groupBy("l_returnflag").agg(
+        exact_parts.alias("n_parts_exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+        # default rsd 5%; same 4-sigma-ish envelope the pytest bound uses
+        (F.abs(approx_parts - exact_parts)
+         <= F.greatest(0.20 * exact_parts, F.lit(5.0)))
+        .cast("long").alias("hll_within_bounds"),
+        ((F.abs(approx_med - exact_med) / exact_med) < 0.05)
+        .cast("long").alias("median_within_bounds"))
+
+
+@query(
+    "agg_sketch_bounds", "aggregates",
+    # Property-oracle companion to agg_sketch_rollup: exact per-grain
+    # distinct counts (both engines compute them exactly) plus a flag
+    # that every unioned-sketch estimate lands inside the DataSketches
+    # HLL error envelope. The EXACT distinct here is the verification
+    # harness, not the scale path — at 100 TB it's precisely what the
+    # mergeable sketches exist to avoid recomputing per grain.
+    oracle="""
+    SELECT CASE WHEN grouping(m) = 0 THEN 'minute'
+                WHEN grouping(h) = 0 THEN 'hour'
+                ELSE 'day' END AS resolution,
+           coalesce(m, h, d) AS bucket,
+           COUNT(DISTINCT user_id) AS n_exact,
+           CAST(1 AS BIGINT) AS within_bounds
+    FROM (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m,
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                 user_id
+          FROM events)
+    GROUP BY GROUPING SETS ((m), (h), (d))
+    """,
+    description="HLL sketch-rollup error contract per grain as a property oracle",
+)
+def agg_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = agg_sketch_rollup(spark, sf_dir)
+    e = t(spark, sf_dir, "events")
+    e.select(F.date_trunc("minute", "ts").alias("m"),
+             F.date_trunc("hour", "ts").alias("h"),
+             F.date_trunc("day", "ts").alias("d"),
+             "user_id").createOrReplaceTempView("sk_bounds_grain")
+    exact = spark.sql("""
+        SELECT CASE WHEN grouping(m) = 0 THEN 'minute'
+                    WHEN grouping(h) = 0 THEN 'hour'
+                    ELSE 'day' END AS resolution,
+               coalesce(m, h, d) AS bucket,
+               COUNT(DISTINCT user_id) AS n_exact
+        FROM sk_bounds_grain
+        GROUP BY GROUPING SETS ((m), (h), (d))
+    """)
+    return (exact.join(est, ["resolution", "bucket"])
+            .select("resolution", "bucket", "n_exact",
+                    # lgK=12 HLL: ~1.6% rsd; 4-sigma envelope + small-n slack
+                    (F.abs(F.col("approx_users") - F.col("n_exact"))
+                     <= F.greatest(0.08 * F.col("n_exact"), F.lit(4.0)))
+                    .cast("long").alias("within_bounds")))
+
+
+@query(
     "agg_approx_top_k", "aggregates",
     oracle="""
     SELECT tok AS token, CAST(n AS BIGINT) AS n_occurrences
