@@ -145,6 +145,104 @@ def stream_live_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_chunk_dir_late(spark: SparkSession, sf_dir: str,
+                           n_chunks: int = 4) -> str:
+    """Events replayed OUT OF ORDER (idempotent build): a deterministic
+    'late echo' subset — event_id % 11 == 0 with ts inside the FIRST
+    QUARTER of the stream's time range — is held back and arrives as the
+    FINAL chunk, after the on-time chunks have driven the watermark far
+    past those rows' windows.
+
+    The first-quarter restriction matters because Spark's late filter
+    acts on a watermark lagged ONE batch behind the displayed one
+    (tests/test_watermark_late_drop.py documents the observed
+    semantics): at the late batch the filtering watermark derives from
+    the on-time chunks 1..n-1, i.e. ~the 75th-percentile timestamp minus
+    the 1h delay. Early-range rows sit 6h-window + delay + days below
+    that under any chunking of a multi-week stream, so every held-back
+    row is provably behind the filtering watermark on arrival. The
+    stream max is always on time, so the late chunk never advances the
+    watermark."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = os.path.join(_CACHE_ROOT, tag, "events_stream_late_chunks")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = (load_table(spark, sf_dir, "events")
+               .orderBy("ts", "event_id").toPandas())
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        # exact integer-microsecond quarter point (mirrors the oracle's
+        # epoch_us arithmetic — no float boundary ambiguity)
+        ts_us = pdf["ts"].astype("int64")
+        cutoff_us = ts_us.min() + (ts_us.max() - ts_us.min()) // 4
+        late_mask = (pdf["event_id"] % 11 == 0) & (ts_us < cutoff_us)
+        on_time, late = pdf[~late_mask], pdf[late_mask]
+        os.makedirs(out, exist_ok=True)
+        step = (len(on_time) + n_chunks - 1) // n_chunks
+        for i in range(0, len(on_time), step):
+            pq.write_table(
+                pa.Table.from_pandas(on_time.iloc[i:i + step],
+                                     preserve_index=False),
+                os.path.join(out, f"chunk-{i:08d}.parquet"),
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+        pq.write_table(
+            pa.Table.from_pandas(late, preserve_index=False),
+            os.path.join(out, "chunk-99999999-late.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True)
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "stream_live_late_drop", "streaming",
+    # Closed form of the watermark's late-data contract: the emitted
+    # table is exactly the watermark-closed windows over the ON-TIME
+    # rows. Had Spark accepted a held-back row into a closed window, its
+    # count would bump (or the window would re-emit as a duplicate key)
+    # and the hash fails.
+    oracle=f"""
+    WITH rng AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events)
+    SELECT make_timestamp(CAST(floor(epoch(ts) / {_6H}) * {_6H} AS BIGINT) * 1000000)
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events
+    WHERE NOT (event_id % 11 = 0
+               AND epoch_us(ts) < (SELECT epoch_us(mn)
+                                   + (epoch_us(mx) - epoch_us(mn)) // 4
+                                   FROM rng))
+    GROUP BY 1, 2
+    HAVING window_start + INTERVAL 6 HOUR
+           <= (SELECT mx - INTERVAL 1 HOUR FROM rng)
+    """,
+    description="LIVE watermark late-data drop: held-back rows arrive behind the watermark and are excluded",
+)
+def stream_live_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _stream_chunk_dir_late(spark, sf_dir)
+    from ..schemas import EVENTS
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    agg = tumbling_counts(src, width="6 hours", watermark="1 hour")
+    name = f"stream_live_late_drop_{next(_NAMES)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("stream_live_late_drop did not finish in 300s")
+    return spark.table(name)
+
+
 def _message_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     """Fixed-width messages synthesized from events (deterministic,
     streaming/messages.py layout), chunked for multi-micro-batch replay

@@ -476,3 +476,16 @@ def test_failed_metric_report_replays_same_metric_file(spark, tmp_path):
     assert rec["batch_id"] == 0
     assert rec["n"] == n_msgs
     assert rec["avg_delay_ms"] == 1000.0
+
+
+def test_live_late_drop_fixture_nonvacuous(spark, sf_dir):
+    """stream_live_late_drop's oracle compare is meaningful only if the
+    replay really holds rows back — guard the fixture builder."""
+    from datastream_processing_demo_spark.plans.streaming_live import (
+        _stream_chunk_dir_late,
+    )
+    import pyarrow.parquet as pq
+
+    d = _stream_chunk_dir_late(spark, sf_dir)
+    late = pq.read_table(os.path.join(d, "chunk-99999999-late.parquet"))
+    assert late.num_rows > 0, "late chunk must hold rows back"
