@@ -698,3 +698,55 @@ def stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("stream_live_sliding did not finish in 300s")
     return spark.table(name)
+
+
+@query(
+    "stream_live_stateful_totals", "streaming",
+    # The custom-stateful-operator contract in closed form: after the
+    # whole stream is consumed, each user's FINAL emitted state must
+    # equal the batch aggregate over all their events. n_events is
+    # strictly monotone per key across emissions (a key emits only when
+    # it has rows in the batch), so "final" is selectable exactly: the
+    # max-n_events row per user. Lost state, a missed batch, or a
+    # float-drifting accumulator all hash-fail.
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM events GROUP BY user_id
+    """,
+    description="LIVE custom stateful operator (applyInPandasWithState): final per-user running totals == batch aggregate",
+)
+def stream_live_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # applyInPandasWithState running totals over 5 replayed micro-batches
+    # (update mode: one row per active key per batch lands in the sink);
+    # the state tuple is O(distinct users), integer-cents accumulation
+    # keeps the running sum exact under any batch split.
+    from pyspark.sql import Window as W
+
+    from ..schemas import EVENTS
+    from ..streaming.stateful import running_user_totals
+    src_dir = _stream_chunk_dir(spark, sf_dir)
+    src = (spark.readStream.schema(EVENTS)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    upd = running_user_totals(src, watermark="1 hour")
+    name = f"stream_live_stateful_totals_{next(_NAMES)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (upd.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not finished:
+        q.stop()
+        raise RuntimeError("stream_live_stateful_totals did not finish in 300s")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "total_value", "n_purchases"))
