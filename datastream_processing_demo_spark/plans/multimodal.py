@@ -131,7 +131,7 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "mm_audio_wav_real", "multimodal",
+    "mm_audio_wav_real", "multimodal", boost=True,
     oracle=_AUDIO_FEATURES_ORACLE,
     description="audio lane with the REAL WAV codec: RIFF-wrap payloads, parse with stdlib wave, identical features",
 )

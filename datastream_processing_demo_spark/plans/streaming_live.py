@@ -197,7 +197,7 @@ def _stream_chunk_dir_late(spark: SparkSession, sf_dir: str,
 
 
 @query(
-    "stream_live_late_drop", "streaming",
+    "stream_live_late_drop", "streaming", boost=True,
     # Closed form of the watermark's late-data contract: the emitted
     # table is exactly the watermark-closed windows over the ON-TIME
     # rows. Had Spark accepted a held-back row into a closed window, its
@@ -701,7 +701,7 @@ def stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_live_stateful_totals", "streaming",
+    "stream_live_stateful_totals", "streaming", boost=True,
     # The custom-stateful-operator contract in closed form: after the
     # whole stream is consumed, each user's FINAL emitted state must
     # equal the batch aggregate over all their events. n_events is
