@@ -32,12 +32,66 @@ from pyspark.sql import functions as F
 FRAME_BYTES = 16  # synthetic "frame" chunk size for the frame-sampling op
 
 
-def decode_image_real(payload: bytes) -> dict:
-    """Real codec hook — not available in this container (no PIL/ffmpeg).
+def encode_ppm_rgb(payload: bytes, width: int = 32) -> bytes:
+    """Wrap raw bytes as a genuine binary PPM (netpbm P6) image: bytes
+    become the RGB raster row-major, zero-padded to a whole
+    width x height x 3 grid (height = ceil(n / (width*3)), min 1). The
+    header includes a comment line, so a decoder must do real
+    whitespace/comment-tolerant netpbm parsing, not fixed offsets."""
+    n = len(payload)
+    height = max(1, -(-n // (width * 3)))
+    data = payload + b"\x00" * (width * height * 3 - n)
+    header = b"P6\n# synthetic corpus image\n%d %d\n255\n" % (width, height)
+    return header + data
 
-    Cited stub per the project brief; replace with e.g. PIL.Image.open
-    on a cluster image that ships codecs."""
-    raise NotImplementedError("image codecs not available in this container")
+
+def decode_ppm_real(payload: bytes) -> dict:
+    """REAL image container codec: parse a binary netpbm file (P6 RGB /
+    P5 grayscale) with numpy alone — magic, whitespace- and
+    '#'-comment-tolerant header tokens (width, height, maxval), then the
+    raster as 8-bit or 16-bit big-endian samples per the netpbm spec.
+    Raises on a non-netpbm payload or a truncated raster."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload (magic {magic!r})")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = vals
+    channels = 3 if magic == b"P6" else 1
+    dtype, bpp = (">u2", 2) if maxval > 255 else (np.uint8, 1)
+    need = width * height * channels * bpp
+    raster = payload[pos:pos + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated raster: {len(raster)} of {need} bytes")
+    pixels = (np.frombuffer(raster, dtype=dtype).astype(np.int64)
+              .reshape(height, width, channels))
+    return {"width": width, "height": height, "channels": channels,
+            "maxval": maxval, "pixels": pixels}
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real image decode hook. Binary netpbm (P5/P6) decodes for real
+    via `decode_ppm_real` — a genuine container format needing no
+    third-party codec. Compressed formats (PNG/JPEG/...) need PIL or
+    ffmpeg, which this container does not ship; they raise until a
+    cluster image provides one."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm_real(payload)
+    raise NotImplementedError(
+        "compressed image codecs (PNG/JPEG) not available in this container")
 
 
 def fake_decode_features(payload: bytes) -> dict:
@@ -214,6 +268,53 @@ def wrap_payloads_as_wav(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, "payload").mapInPandas(
         run, schema="doc_id long, payload binary")
+
+
+def wrap_payloads_as_ppm(df: DataFrame, id_col: str = "doc_id",
+                         width: int = 32) -> DataFrame:
+    """mapInPandas encode stage: raw binary payloads -> genuine P6 PPM
+    images (bytes as zero-padded RGB raster)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "payload": pdf["payload"].map(
+                    lambda b: encode_ppm_rgb(b, width)),
+            })
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema="doc_id long, payload binary")
+
+
+def image_features_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas REAL-decode stage: netpbm containers in, typed image
+    features out — dims and channel count from the parsed header, exact
+    integer pixel sum from the raster (padding zeros are sum-neutral, so
+    an oracle can recompute it from the pre-wrap bytes). Same Arrow
+    plumbing as the fake lane; the decode is `decode_image_real`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feats(b: bytes):
+            d = decode_image_real(b)
+            return (d["width"], d["height"], d["channels"],
+                    d["width"] * d["height"] * d["channels"],
+                    int(d["pixels"].sum()))
+
+        for pdf in batches:
+            rows = pdf["payload"].map(feats)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "width": rows.map(lambda r: r[0]),
+                "height": rows.map(lambda r: r[1]),
+                "channels": rows.map(lambda r: r[2]),
+                "n_pixel_bytes": rows.map(lambda r: r[3]),
+                "sum_pixels": rows.map(lambda r: r[4]),
+            })
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema=("doc_id long, width long, height long, channels long, "
+                     "n_pixel_bytes long, sum_pixels long"))
 
 
 def frames_col(text_col: str = "text", frame_bytes: int = FRAME_BYTES) -> Column:

@@ -154,6 +154,44 @@ def mm_audio_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_image_ppm_real", "multimodal", boost=True,
+    # Real IMAGE container codec end-to-end (netpbm needs no PIL): each
+    # document's bytes become a genuine P6 PPM (comment-bearing header +
+    # zero-padded RGB raster) in one Arrow stage; the next stage parses
+    # the container for real (decode_image_real -> decode_ppm_real) and
+    # emits header dims + the exact raster pixel sum. The oracle
+    # recomputes everything from the pre-wrap bytes: a header mis-parse,
+    # wrong padding, or raster misread hash-fails.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents)
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS width,
+           GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 96.0) AS BIGINT))
+               AS height,
+           CAST(3 AS BIGINT) AS channels,
+           GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 96.0) AS BIGINT)) * 96
+               AS n_pixel_bytes,
+           CAST(coalesce(list_aggregate(
+               list_transform(range(1, n + 1),
+                   i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT)),
+               'sum'), 0) AS BIGINT) AS sum_pixels
+    FROM b
+    """,
+    description="image lane with the REAL netpbm codec: PPM-wrap payloads, parse header+raster, exact pixel sum",
+)
+def mm_image_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        image_features_real,
+        wrap_payloads_as_ppm,
+    )
+    ppm = wrap_payloads_as_ppm(to_binary_payload(t(spark, sf_dir, "documents")))
+    return image_features_real(ppm)
+
+
+@query(
     "mm_resize", "multimodal",
     oracle="""
     SELECT doc_id,

@@ -195,3 +195,52 @@ def test_audio_wav_lane_matches_fake_lane(spark, sf_dir):
     real = audio_window_features(wrap_payloads_as_wav(docs), codec="wav")
     assert fake.schema == real.schema
     assert sorted(map(tuple, fake.collect())) == sorted(map(tuple, real.collect()))
+
+
+def test_ppm_codec_roundtrip_p6_p5_16bit():
+    # REAL netpbm parsing: comment-tolerant header, 8- and 16-bit rasters
+    import numpy as np
+    from datastream_processing_demo_spark.operators.multimodal import (
+        decode_image_real,
+        decode_ppm_real,
+        encode_ppm_rgb,
+    )
+    payload = bytes(range(256))
+    ppm = encode_ppm_rgb(payload, width=32)
+    assert ppm.startswith(b"P6\n#")
+    got = decode_image_real(ppm)          # dispatches to the real parser
+    assert (got["width"], got["channels"], got["maxval"]) == (32, 3, 255)
+    assert got["height"] == -(-len(payload) // 96)
+    flat = got["pixels"].reshape(-1)
+    assert bytes(flat[:len(payload)].astype("uint8")) == payload
+    assert int(flat.sum()) == sum(payload)   # zero padding is sum-neutral
+
+    # hand-built P5 grayscale, 16-bit big-endian, maxval > 255
+    px = np.array([[0, 1], [256, 65535]], dtype=">u2")
+    p5 = b"P5\n# gray\n2 2\n65535\n" + px.tobytes()
+    g = decode_ppm_real(p5)
+    assert (g["width"], g["height"], g["channels"], g["maxval"]) == (2, 2, 1, 65535)
+    assert g["pixels"].reshape(-1).tolist() == [0, 1, 256, 65535]
+
+    with pytest.raises(ValueError):
+        decode_ppm_real(b"P6\n2 2\n255\n\x00\x01")  # truncated raster
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG\r\n")           # compressed formats
+
+
+def test_image_ppm_lane_schema_and_values(spark, sf_dir):
+    from datastream_processing_demo_spark.operators.multimodal import (
+        image_features_real,
+        to_binary_payload,
+        wrap_payloads_as_ppm,
+    )
+    docs = to_binary_payload(load_table(spark, sf_dir, "documents"))
+    out = image_features_real(wrap_payloads_as_ppm(docs))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    src = {r["doc_id"]: bytes(r["payload"]) for r in docs.collect()}
+    assert set(rows) == set(src)
+    for did, b in src.items():
+        r = rows[did]
+        assert r["width"] == 32 and r["channels"] == 3
+        assert r["n_pixel_bytes"] == 96 * r["height"] >= len(b)
+        assert r["sum_pixels"] == sum(b)
