@@ -379,3 +379,36 @@ def test_lsh_pipeline_no_cartesian_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multimodal_real_codec_lanes_are_map_only(spark, sf_dir):
+    # Two chained Arrow stages (wrap -> decode) must stay map-only:
+    # no Exchange anywhere — a shuffle in a per-row codec lane would be
+    # pure waste at 100 TB.
+    for name in ("mm_audio_wav_real", "mm_image_ppm_real"):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert "Exchange" not in plan, f"{name} must be shuffle-free"
+        assert plan.count("MapInPandas") == 2, \
+            f"{name}: expected wrap+decode Arrow stages"
+
+
+def test_sample_property_queries_stay_cheap(spark, sf_dir):
+    # The binomial-bound queries join two 1-row aggregates: the only
+    # join must be a broadcast of a single row, never a real shuffle of
+    # data rows, and sampling itself stays a map-side filter.
+    plan = _plan(spark, sf_dir, "sample_bernoulli", mode="simple")
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", "")
+    assert "Sample" in plan, "native sampler must be in the plan"
+
+
+def test_ivf_assignment_still_shuffle_free(spark, sf_dir):
+    # The dot-form L2 rewrite (exact-oracle round 3) must not have
+    # changed the scale shape: corpus cell-assignment stays a literal-
+    # centroid projection; the only SHUFFLE is the top-k window over
+    # cell-joined candidates (the query side's BroadcastExchange is the
+    # designed broadcast, not a shuffle).
+    plan = _plan(spark, sf_dir, "sim_ivf_topk", mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
