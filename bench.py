@@ -59,6 +59,8 @@ HEADLINE = [
     "fn_string_distance",      # blocked fuzzy self-join (bounded levenshtein)
     "text_pipeline_full",      # composed redact->quality->dedup->split pipeline
     "text_pipeline_full_lsh",  # same pipeline, near-dup via MinHash+LSH (scale mode)
+    "mm_audio_wav_real",       # REAL WAV codec lane (wrap + container parse)
+    "mm_image_ppm_real",       # REAL netpbm codec lane (wrap + container parse)
 ]
 
 RUNS = 3
