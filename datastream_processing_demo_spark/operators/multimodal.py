@@ -317,6 +317,47 @@ def image_features_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                      "n_pixel_bytes long, sum_pixels long"))
 
 
+def combined_codec_features(df: DataFrame, id_col: str = "doc_id",
+                            window: int = AUDIO_WINDOW,
+                            img_width: int = 32) -> DataFrame:
+    """ONE Arrow stage running BOTH real codecs per payload: wrap the
+    bytes as a genuine WAV and a genuine PPM, container-parse each, and
+    emit the audio loudness features next to the image features. A
+    two-lane design (separate wav/ppm stages + join on id) would scan
+    the binary column twice and shuffle once to re-join what was never
+    apart — at 100 TB the single fused map stage is the right shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def feats(b: bytes):
+            a = decode_wav_real(encode_wav_u8(b))["samples"]
+            im = decode_image_real(encode_ppm_rgb(b, img_width))
+            n = len(a)
+            w1 = a[:window]
+            rms = round(float(np.sqrt((w1 * w1).mean())), 6) if n else 0.0
+            peak = round(float(np.abs(a).max()), 6) if n else 0.0
+            return (n, -(-n // window), rms, peak,
+                    im["height"], int(im["pixels"].sum()))
+
+        for pdf in batches:
+            rows = pdf["payload"].map(feats)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "n_samples": rows.map(lambda r: r[0]),
+                "n_windows": rows.map(lambda r: r[1]),
+                "rms_w1": rows.map(lambda r: r[2]),
+                "peak": rows.map(lambda r: r[3]),
+                "img_height": rows.map(lambda r: r[4]),
+                "sum_pixels": rows.map(lambda r: r[5]),
+            })
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema=("doc_id long, n_samples long, n_windows long, "
+                     "rms_w1 double, peak double, img_height long, "
+                     "sum_pixels long"))
+
+
 def frames_col(text_col: str = "text", frame_bytes: int = FRAME_BYTES) -> Column:
     """Chunk a payload into fixed-size 'frames' (array<binary>)."""
     n_frames = F.ceil(F.length(text_col) / frame_bytes).cast("int")

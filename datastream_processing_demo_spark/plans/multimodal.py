@@ -191,6 +191,70 @@ def mm_image_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features_real(ppm)
 
 
+def _mm_pipeline_oracle() -> str:
+    from .text import QUALITY_SCORE_SQL
+    return f"""
+    WITH kept AS (
+        SELECT doc_id, text FROM documents
+        WHERE {QUALITY_SCORE_SQL} >= 0.5),
+    ded AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM kept)
+        WHERE doc_id = keeper),
+    b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n FROM ded),
+    s AS (
+        SELECT doc_id, n,
+               list_transform(range(1, least(n, 256) + 1),
+                   i -> (CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT)
+                         - 128) / 128.0) AS w1,
+               list_transform(range(1, n + 1),
+                   i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT))
+                   AS bytes_int
+        FROM b)
+    SELECT doc_id, n AS n_samples,
+           CAST(ceil(n / 256.0) AS BIGINT) AS n_windows,
+           ROUND(sqrt(list_aggregate(list_transform(w1, x -> x*x), 'avg')), 6)
+               AS rms_w1,
+           ROUND(list_aggregate(list_transform(bytes_int,
+                   x -> abs((x - 128) / 128.0)), 'max'), 6) AS peak,
+           GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 96.0) AS BIGINT))
+               AS img_height,
+           CAST(coalesce(list_aggregate(bytes_int, 'sum'), 0) AS BIGINT)
+               AS sum_pixels
+    FROM s
+    """
+
+
+@query(
+    "mm_pipeline_full", "multimodal",
+    oracle=_mm_pipeline_oracle(),
+    description="composed multimodal prep: quality gate -> exact dedup -> BOTH real codecs fused in one Arrow stage",
+)
+def mm_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The multimodal counterpart of text_pipeline_full, one Catalyst
+    # plan: deterministic quality gate (bit-identical score => the >=0.5
+    # cut is engine-stable), exact content-hash dedup via a window min
+    # (one shuffle on md5), then BOTH real container codecs — WAV wrap/
+    # parse and PPM wrap/parse — fused into a single Arrow stage
+    # (combined_codec_features), so the binary column is scanned once
+    # and no join reunites the lanes.
+    from pyspark.sql import Window as W
+
+    from ..operators.multimodal import combined_codec_features
+    from ..operators.spread import spread
+    from ..operators.text import quality_cols
+
+    d = spread(t(spark, sf_dir, "documents"))
+    kept = d.filter(quality_cols("text")["quality_score"] >= 0.5)
+    w = W.partitionBy(F.md5(F.col("text").cast("binary")))
+    ded = (kept.withColumn("_keeper", F.min("doc_id").over(w))
+           .filter(F.col("doc_id") == F.col("_keeper")))
+    return combined_codec_features(to_binary_payload(ded))
+
+
 @query(
     "mm_resize", "multimodal",
     oracle="""

@@ -88,9 +88,22 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The composite quality score as a DuckDB expression over column `text`
+# — the SQL mirror of operators/text.quality_cols()['quality_score']
+# (identical IEEE op sequence => bit-identical, so even a `>= threshold`
+# GATE on it is deterministic cross-engine). Shared by text_quality_score
+# and the composed multimodal pipeline's oracle.
+QUALITY_SCORE_SQL = r"""least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) * 0.3
+           + least(CAST(len(list_filter(string_split(text,' '),
+                        w -> w IN ('the','a','and','of'))) AS DOUBLE)
+                   / CAST(len(string_split(text,' ')) AS DOUBLE) * 5.0, 1.0) * 0.3"""
+
+
 @query(
     "text_quality_score", "text",
-    oracle=r"""
+    oracle=rf"""
     SELECT doc_id,
            (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text,' ')) AS DOUBLE) - 1))
                / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_word_len,
@@ -99,12 +112,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(string_split(text,' '),
                     w -> w IN ('the','a','and','of'))) AS DOUBLE)
                / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio,
-           least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
-           + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE)) * 0.3
-           + least(CAST(len(list_filter(string_split(text,' '),
-                        w -> w IN ('the','a','and','of'))) AS DOUBLE)
-                   / CAST(len(string_split(text,' ')) AS DOUBLE) * 5.0, 1.0) * 0.3
+           {QUALITY_SCORE_SQL}
                AS quality_score
     FROM documents
     """,

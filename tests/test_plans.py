@@ -412,3 +412,13 @@ def test_ivf_assignment_still_shuffle_free(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mm_pipeline_full_single_shuffle_fused_codecs(spark, sf_dir):
+    # Composed multimodal prep: exactly one shuffle (the md5 dedup
+    # window) and ONE fused Arrow codec stage — no join reuniting the
+    # audio/image lanes, binary column scanned once.
+    plan = _plan(spark, sf_dir, "mm_pipeline_full", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Join" not in plan, plan
