@@ -199,6 +199,19 @@ def _pcm_u8_samples(b: bytes):
             - 128.0) / 128.0
 
 
+def _round_half_away(x: float, decimals: int = 6) -> float:
+    """Round half AWAY from zero for non-negative x — the ROUND the SQL
+    oracles use. Python's builtin round() is half-to-even, which
+    diverges from DuckDB on exact grid ties (peak = k/128 is an exact
+    dyadic whose 7th decimal is 5 for every odd k): round(0.7578125, 6)
+    is 0.757812 in Python but 0.757813 in DuckDB. The tie value x*1e6
+    is exactly representable for these dyadics, so floor(x*1e6 + 0.5)
+    reproduces DuckDB bit-for-bit."""
+    import math
+    scale = 10.0 ** decimals
+    return math.floor(x * scale + 0.5) / scale
+
+
 def audio_window_features(df: DataFrame, id_col: str = "doc_id",
                           window: int = AUDIO_WINDOW,
                           codec: str = "pcm_u8") -> DataFrame:
@@ -233,12 +246,13 @@ def audio_window_features(df: DataFrame, id_col: str = "doc_id",
             w1 = s[:window]
             rms = float(np.sqrt((w1 * w1).mean())) if n else 0.0
             peak = float(np.abs(s).max()) if n else 0.0
-            return n, -(-n // window), round(rms, 6), round(peak, 6)
+            return (n, -(-n // window),
+                    _round_half_away(rms), _round_half_away(peak))
 
         for pdf in batches:
             rows = pdf["payload"].map(feats)
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "n_samples": rows.map(lambda r: r[0]),
                 "n_windows": rows.map(lambda r: r[1]),
                 "rms_w1": rows.map(lambda r: r[2]),
@@ -246,7 +260,7 @@ def audio_window_features(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.select(id_col, "payload").mapInPandas(
-        run, schema=("doc_id long, n_samples long, n_windows long, "
+        run, schema=(f"{id_col} long, n_samples long, n_windows long, "
                      "rms_w1 double, peak double"))
 
 
@@ -261,13 +275,13 @@ def wrap_payloads_as_wav(df: DataFrame, id_col: str = "doc_id",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "payload": pdf["payload"].map(
                     lambda b: encode_wav_u8(b, sample_rate)),
             })
 
     return df.select(id_col, "payload").mapInPandas(
-        run, schema="doc_id long, payload binary")
+        run, schema=f"{id_col} long, payload binary")
 
 
 def wrap_payloads_as_ppm(df: DataFrame, id_col: str = "doc_id",
@@ -278,13 +292,13 @@ def wrap_payloads_as_ppm(df: DataFrame, id_col: str = "doc_id",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "payload": pdf["payload"].map(
                     lambda b: encode_ppm_rgb(b, width)),
             })
 
     return df.select(id_col, "payload").mapInPandas(
-        run, schema="doc_id long, payload binary")
+        run, schema=f"{id_col} long, payload binary")
 
 
 def image_features_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -304,7 +318,7 @@ def image_features_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             rows = pdf["payload"].map(feats)
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "width": rows.map(lambda r: r[0]),
                 "height": rows.map(lambda r: r[1]),
                 "channels": rows.map(lambda r: r[2]),
@@ -313,7 +327,7 @@ def image_features_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             })
 
     return df.select(id_col, "payload").mapInPandas(
-        run, schema=("doc_id long, width long, height long, channels long, "
+        run, schema=(f"{id_col} long, width long, height long, channels long, "
                      "n_pixel_bytes long, sum_pixels long"))
 
 
@@ -335,15 +349,15 @@ def combined_codec_features(df: DataFrame, id_col: str = "doc_id",
             im = decode_image_real(encode_ppm_rgb(b, img_width))
             n = len(a)
             w1 = a[:window]
-            rms = round(float(np.sqrt((w1 * w1).mean())), 6) if n else 0.0
-            peak = round(float(np.abs(a).max()), 6) if n else 0.0
+            rms = _round_half_away(float(np.sqrt((w1 * w1).mean()))) if n else 0.0
+            peak = _round_half_away(float(np.abs(a).max())) if n else 0.0
             return (n, -(-n // window), rms, peak,
                     im["height"], int(im["pixels"].sum()))
 
         for pdf in batches:
             rows = pdf["payload"].map(feats)
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "n_samples": rows.map(lambda r: r[0]),
                 "n_windows": rows.map(lambda r: r[1]),
                 "rms_w1": rows.map(lambda r: r[2]),
@@ -353,7 +367,7 @@ def combined_codec_features(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.select(id_col, "payload").mapInPandas(
-        run, schema=("doc_id long, n_samples long, n_windows long, "
+        run, schema=(f"{id_col} long, n_samples long, n_windows long, "
                      "rms_w1 double, peak double, img_height long, "
                      "sum_pixels long"))
 

@@ -169,13 +169,6 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def l2sq_col(a: Column, b: Column) -> Column:
-    """Squared L2 distance (sequential fold, deterministic)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x)
-
-
 def _dot_py(a: list, b: list) -> float:
     """Python sequential-fold dot product — the same left-to-right IEEE
     sequence as `dot_col` / DuckDB's list_dot_product, so a value folded

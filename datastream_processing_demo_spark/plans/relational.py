@@ -537,8 +537,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .agg(F.count(F.lit(1)).alias("n_sampled")))
     totals = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_total"))
-    frac = F.when(F.col("l_returnflag") == "R", 0.05) \
-            .when(F.col("l_returnflag") == "A", 0.10).otherwise(0.20)
+    # the bound must test the SAME fractions sampleBy draws with — build
+    # the expression from the one dict so they cannot drift
+    strata = iter(_STRATA_FRACTIONS.items())
+    k0, f0 = next(strata)
+    frac = F.when(F.col("l_returnflag") == k0, f0)
+    for k, fr in strata:
+        frac = frac.when(F.col("l_returnflag") == k, fr)
+    frac = frac.otherwise(None)
     return (totals.join(sampled_counts, "l_returnflag", "left")
             .select(
                 "l_returnflag", "n_total",

@@ -115,9 +115,11 @@ class HttpBulkWriter:
             # only when partitioning is deterministic across attempts —
             # true for WAL file-replay (same files, same splits), which
             # is the supported replay mode.
+            # the trailing * also catches .ndjson.tmp-{pid} orphans from
+            # an attempt that died between open() and os.replace()
             import glob as _glob
             for stale in _glob.glob(
-                    os.path.join(endpoint, f"bulk-{batch_id}-*.ndjson")):
+                    os.path.join(endpoint, f"bulk-{batch_id}-*.ndjson*")):
                 os.remove(stale)
 
         def post_partition(rows) -> None:

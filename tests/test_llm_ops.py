@@ -244,3 +244,36 @@ def test_image_ppm_lane_schema_and_values(spark, sf_dir):
         assert r["width"] == 32 and r["channels"] == 3
         assert r["n_pixel_bytes"] == 96 * r["height"] >= len(b)
         assert r["sum_pixels"] == sum(b)
+
+
+def test_audio_rounding_matches_duckdb_on_grid_ties():
+    # peak = k/128 is an exact dyadic whose 7th decimal digit is 5 for
+    # odd k; Python's builtin round() (half-to-even) would diverge from
+    # DuckDB's ROUND (half-away-from-zero) there. The lanes must use the
+    # half-away rule. Crafted payload: byte 0xE1 -> |225-128| = 97,
+    # peak = 97/128 = 0.7578125 exactly.
+    import duckdb
+    from datastream_processing_demo_spark.operators.multimodal import (
+        _round_half_away,
+    )
+    assert _round_half_away(0.7578125) == 0.757813
+    assert round(0.7578125, 6) == 0.757812  # the builtin would be wrong
+    got = duckdb.sql("SELECT ROUND(97.0/128.0, 6)").fetchone()[0]
+    assert got == 0.757813 == _round_half_away(97.0 / 128.0)
+
+
+def test_audio_lane_handles_tie_bytes_vs_oracle(spark):
+    # End-to-end on a crafted non-ASCII payload that lands on the tie:
+    # Spark lane (real WAV codec) vs the DuckDB formula the oracles use.
+    import duckdb
+    from datastream_processing_demo_spark.operators.multimodal import (
+        audio_window_features,
+        wrap_payloads_as_wav,
+    )
+    payload = b"abc\xe1def"   # max distance from 128 is |0xe1 - 128| = 97
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    row = audio_window_features(wrap_payloads_as_wav(df),
+                                codec="wav").collect()[0]
+    exp_peak = duckdb.sql("SELECT ROUND(97.0/128.0, 6)").fetchone()[0]
+    assert row["peak"] == exp_peak == 0.757813
