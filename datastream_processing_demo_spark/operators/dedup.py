@@ -53,7 +53,8 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         n: int = 3, id_col: str = "doc_id",
                         text_col: str = "text",
-                        prefix_filter: bool = False) -> DataFrame:
+                        prefix_filter: bool = False,
+                        hot_df_cap: int = 1024) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
     Returns (doc_a, doc_b, common, size_a, size_b, jaccard).
 
@@ -121,7 +122,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         # - rare hot shingles (df >= cap): per-shingle pair arrays would
         #   concentrate df²/2 structs in ONE row, so they fall back to
         #   the streaming self-join, which spreads pairs across tasks.
-        hot_df_cap = 1024
+        #   (hot_df_cap=1024 is the measured sweet spot at sf0.1 —
+        #   256..4096 swept in BASELINE.md round 3; flat within noise,
+        #   1024 the median winner.)
         postings = (sh.groupBy("shingle")
                     .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
                     .filter(F.size("ds") >= 2))
