@@ -122,9 +122,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         # - rare hot shingles (df >= cap): per-shingle pair arrays would
         #   concentrate df²/2 structs in ONE row, so they fall back to
         #   the streaming self-join, which spreads pairs across tasks.
-        #   (hot_df_cap=1024 is the measured sweet spot at sf0.1 —
-        #   256..4096 swept in BASELINE.md round 3; flat within noise,
-        #   1024 the median winner.)
+        #   (256..4096 swept at sf0.1, BASELINE.md round 3: medians flat
+        #   within per-run noise — the boundary is not a lever on this
+        #   corpus; 1024 kept as the default, re-sweep on a corpus with
+        #   a real df tail.)
         postings = (sh.groupBy("shingle")
                     .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
                     .filter(F.size("ds") >= 2))

@@ -22,6 +22,7 @@ after explode).
 
 from __future__ import annotations
 
+import math as _math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -128,7 +129,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             feats = pdf["payload"].map(fake_decode_features)
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "width": feats.map(lambda d: d["width"]),
                 "height": feats.map(lambda d: d["height"]),
                 "channels": feats.map(lambda d: d["channels"]),
@@ -136,7 +137,8 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             })
 
     return df.select(id_col, "payload").mapInPandas(
-        run, schema="doc_id long, width long, height long, channels long, first_byte long")
+        run, schema=f"{id_col} long, width long, height long, "
+                    "channels long, first_byte long")
 
 
 AUDIO_WINDOW = 256  # samples per analysis window for the audio stage
@@ -199,17 +201,20 @@ def _pcm_u8_samples(b: bytes):
             - 128.0) / 128.0
 
 
-def _round_half_away(x: float, decimals: int = 6) -> float:
-    """Round half AWAY from zero for non-negative x — the ROUND the SQL
-    oracles use. Python's builtin round() is half-to-even, which
-    diverges from DuckDB on exact grid ties (peak = k/128 is an exact
-    dyadic whose 7th decimal is 5 for every odd k): round(0.7578125, 6)
-    is 0.757812 in Python but 0.757813 in DuckDB. The tie value x*1e6
-    is exactly representable for these dyadics, so floor(x*1e6 + 0.5)
-    reproduces DuckDB bit-for-bit."""
-    import math
-    scale = 10.0 ** decimals
-    return math.floor(x * scale + 0.5) / scale
+_E6 = 10.0 ** 6
+
+
+def _round_half_away(x: float) -> float:
+    """Round half AWAY from zero (1e-6 grid) for non-negative x — the
+    ROUND the SQL oracles use. Python's builtin round() is half-to-even,
+    which diverges from DuckDB on exact grid ties (peak = k/128 is an
+    exact dyadic whose 7th decimal is 5 for every odd k):
+    round(0.7578125, 6) is 0.757812 in Python but 0.757813 in DuckDB.
+    The tie value x*1e6 is exactly representable for these dyadics, so
+    floor(x*1e6 + 0.5) reproduces DuckDB bit-for-bit. Called per row in
+    Arrow stages — keep it two arithmetic ops (math imported at module
+    scope, scale precomputed)."""
+    return _math.floor(x * _E6 + 0.5) / _E6
 
 
 def audio_window_features(df: DataFrame, id_col: str = "doc_id",
@@ -406,7 +411,7 @@ def resize_payloads(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             resized = pdf["payload"].map(_fake_resize)
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "out_w": out_w,
                 "out_h": out_h,
                 "n_out_bytes": resized.map(len),
@@ -414,5 +419,5 @@ def resize_payloads(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.select(id_col, "payload").mapInPandas(
-        run, schema=("doc_id long, out_w int, out_h int, "
+        run, schema=(f"{id_col} long, out_w int, out_h int, "
                      "n_out_bytes long, resized binary"))
