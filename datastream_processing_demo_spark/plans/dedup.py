@@ -299,3 +299,96 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"))
+
+
+_TRUE_PAIRS_09_SQL = """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+    """
+
+
+@query(
+    "dedup_minhash_recall", "dedup",
+    # The xxhash64 MinHash+LSH candidate SET is engine-internal, but its
+    # RECALL CONTRACT against the exactly-SQL-computable truth is not:
+    # every true pair (3-gram Jaccard >= 0.8) must appear among the LSH
+    # candidates. Banding theory puts a j=0.8 pair's miss probability at
+    # (1-0.8^4)^8 ~ 1e-2 per RANDOM hash family — but xxhash64 is a
+    # fixed function, so for a given corpus the outcome is deterministic
+    # and this data's outcome (verified at sf0.001 and sf0.01, and
+    # asserted by tests/test_llm_ops.py since round 1) is full recall.
+    # A banding bug, signature truncation, or bucket-join regression
+    # flips a found flag and hash-fails.
+    oracle=f"""
+    SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS found
+    FROM ({_TRUE_PAIRS_09_SQL})
+    """,
+    description="MinHash+LSH recall contract: every exact Jaccard>=0.8 pair is a candidate",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    docs = t(spark, sf_dir, "documents")
+    true_pairs = (ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+                  .select("doc_a", "doc_b"))
+    cands = (lsh_candidate_pairs(minhash_signatures(docs, num_hashes=32, n=3),
+                                 bands=8)
+             .select("doc_a", "doc_b").distinct()
+             .withColumn("_hit", F.lit(1)))
+    return (true_pairs.join(cands, ["doc_a", "doc_b"], "left")
+            .select("doc_a", "doc_b",
+                    F.coalesce(F.col("_hit"), F.lit(0)).cast("long")
+                    .alias("found")))
+
+
+@query(
+    "dedup_simhash_recall", "dedup",
+    # SimHash hamming distance correlates with similarity but carries no
+    # per-pair guarantee (unlike the pigeonhole blocking, which finds
+    # ALL pairs within max_hamming exactly), so the driver-checkable
+    # contract is aggregate: the count of true pairs (exact SQL) plus a
+    # flag that the 63-bit SimHash places >= 90% of them within
+    # hamming 8 — deterministic for a fixed corpus (xxhash64 is a fixed
+    # function; pinned by tests/test_llm_ops.py since round 1).
+    oracle=f"""
+    SELECT COUNT(*) AS n_true, CAST(1 AS BIGINT) AS recall_ge_90
+    FROM ({_TRUE_PAIRS_09_SQL})
+    """,
+    description="SimHash recall contract: >=90% of exact Jaccard>=0.8 pairs within hamming 8",
+)
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_col_df,
+        simhash_near_pairs,
+    )
+    docs = t(spark, sf_dir, "documents")
+    true_pairs = (ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+                  .select("doc_a", "doc_b"))
+    near = (simhash_near_pairs(simhash_col_df(docs), max_hamming=8)
+            .select("doc_a", "doc_b").distinct()
+            .withColumn("_hit", F.lit(1)))
+    joined = true_pairs.join(near, ["doc_a", "doc_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        (F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+         >= 0.9 * F.count(F.lit(1))).cast("long").alias("recall_ge_90"))

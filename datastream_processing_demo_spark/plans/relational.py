@@ -743,19 +743,38 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_engine_introspection", "relational",
-    oracle=None,  # ids/partitions are engine-physical; property-tested
-    description="monotonically_increasing_id / spark_partition_id / input_file_name",
+    # The VALUES (row uids, partition ids, file paths) are engine-
+    # physical, but their CONTRACTS are driver-checkable: exact row
+    # count, uid uniqueness, every source path a parquet file, at least
+    # one partition. A uid collision or broken file stamping flips a
+    # flag and hash-fails; the raw per-row surface stays available via
+    # the same select in tests.
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(1 AS BIGINT) AS uids_unique,
+           CAST(1 AS BIGINT) AS files_parquet,
+           CAST(1 AS BIGINT) AS has_partitions
+    FROM lineitem
+    """,
+    description="engine introspection contracts: unique row uids, parquet file lineage, live partitions",
 )
 def fn_engine_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # physical-introspection functions: unique-but-not-contiguous row
     # ids, the executing partition, and the originating file — the
     # lineage columns a 100 TB ingest job stamps on every record
     li = t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey", "l_linenumber",
+    d = li.select(
         F.monotonically_increasing_id().alias("row_uid"),
         F.spark_partition_id().alias("part_id"),
         F.input_file_name().alias("src_file"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.countDistinct("row_uid") == F.count(F.lit(1)))
+        .cast("long").alias("uids_unique"),
+        F.min(F.col("src_file").endswith(".parquet").cast("long"))
+        .alias("files_parquet"),
+        (F.countDistinct("part_id") >= 1).cast("long").alias("has_partitions"),
     )
 
 

@@ -83,13 +83,26 @@ def test_stratified_sample_fractions(spark, sf_dir, oracle_con):
 
 
 def test_engine_introspection_properties(spark, sf_dir):
-    df = all_queries()["fn_engine_introspection"].spark(spark, sf_dir)
+    # row-level checks on the raw introspection columns (the registered
+    # query reduces them to driver-checkable contract flags)
+    from pyspark.sql import functions as F
+    from datastream_processing_demo_spark.catalog import load_table
+    df = load_table(spark, sf_dir, "lineitem").select(
+        F.monotonically_increasing_id().alias("row_uid"),
+        F.spark_partition_id().alias("part_id"),
+        F.input_file_name().alias("src_file"))
     rows = df.collect()
     uids = [r["row_uid"] for r in rows]
     assert len(set(uids)) == len(uids), "row ids must be unique"
     assert all(r["src_file"].endswith(".parquet") for r in rows)
     n_parts = len({r["part_id"] for r in rows})
     assert 1 <= n_parts <= df.rdd.getNumPartitions()
+    # and the registered contract query reports all-green flags
+    flags = all_queries()["fn_engine_introspection"].spark(spark, sf_dir) \
+        .collect()[0]
+    assert flags["n_rows"] == len(rows)
+    assert (flags["uids_unique"], flags["files_parquet"],
+            flags["has_partitions"]) == (1, 1, 1)
 
 
 def test_sketch_rollup_merges_to_exact_distinct(spark, sf_dir, oracle_con):
