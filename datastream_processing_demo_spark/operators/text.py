@@ -46,6 +46,20 @@ def marker_count(words: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*markers))).cast("long")
 
 
+def word_ngrams(words_col_name: str, n: int) -> Column:
+    """Space-joined word n-grams of a pre-split array column, as an
+    array column (empty when the doc has fewer than n words). Pure
+    per-row expression — no explode, no shuffle; callers explode only
+    when they need corpus-level gram statistics. The column must be a
+    materialized projection (not an inline split) so the tokenization
+    isn't re-evaluated per gram (see text_repetition_filter's note)."""
+    return F.expr(
+        f"CASE WHEN size({words_col_name}) >= {n} THEN "
+        f"transform(sequence(0, size({words_col_name}) - {n}), "
+        f"i -> array_join(slice({words_col_name}, i + 1, {n}), ' ')) "
+        f"ELSE array() END")
+
+
 def lang_id_col(text: Column | str = "text") -> Column:
     """Stopword-marker language ID: argmax of per-language marker counts
     (fixed priority order breaks ties; 'und' when no marker hits)."""

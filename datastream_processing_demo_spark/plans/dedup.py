@@ -392,3 +392,107 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_true"),
         (F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
          >= 0.9 * F.count(F.lit(1))).cast("long").alias("recall_ge_90"))
+
+
+@query(
+    "dedup_decontaminate", "dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    ng AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
+    ),
+    ev AS (SELECT * FROM ng WHERE doc_id % 20 = 0),
+    tr AS (SELECT * FROM ng WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id AS doc_id,
+           COUNT(DISTINCT tr.gram) AS n_shared_grams,
+           COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+    FROM tr JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+    """,
+    description="train/eval decontamination: 8-gram overlap vs held-out docs",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 8-gram with the held-out eval split (here the deterministic
+    doc_id % 20 == 0 slice stands in for the benchmark set).
+
+    The standard training-data hygiene pass (GPT-3 appendix C / PaLM
+    style 8-gram collision check). Scale posture: the eval side is a
+    benchmark suite — thousands of docs, not billions — so its distinct
+    gram set is broadcast (no shuffle of the 100 TB training side by
+    gram); the train side explodes grams map-side, per-doc-distinct,
+    and aggregates once on doc_id. At real scale the broadcast set is
+    typically swapped for a bloom filter on gram hash — same shape,
+    lossy-but-tunable membership; the exact join here IS the oracle.
+    """
+    from ..operators.spread import spread
+    from ..operators.text import word_ngrams
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = (w.select("doc_id", F.explode(word_ngrams("ws", 8)).alias("gram"))
+             .distinct())
+    ev = (grams.filter(F.col("doc_id") % 20 == 0)
+          .withColumnRenamed("doc_id", "eval_doc_id"))
+    tr = grams.filter(F.col("doc_id") % 20 != 0)
+    return (tr.join(F.broadcast(ev), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_shared_grams"),
+                 F.countDistinct("eval_doc_id").alias("n_eval_docs")))
+
+
+@query(
+    "dedup_corpus_dup_fraction", "dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    ng AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+        FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+    ),
+    hot AS (SELECT gram FROM ng GROUP BY gram HAVING COUNT(*) >= 2)
+    SELECT ng.doc_id AS doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(hot.gram) AS n_dup_grams,
+           ROUND(CAST(COUNT(hot.gram) AS DOUBLE) / COUNT(*), 6)
+               AS dup_fraction,
+           CAST(COUNT(hot.gram) AS DOUBLE) / COUNT(*) > 0.5 AS is_near_dup
+    FROM ng LEFT JOIN hot ON ng.gram = hot.gram
+    GROUP BY ng.doc_id
+    """,
+    description="per-doc fraction of 5-grams duplicated elsewhere in the corpus",
+)
+def dedup_corpus_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style duplicated-span fraction: for each doc,
+    the share of its distinct word 5-grams that appear in >= 2 docs
+    corpus-wide; docs above 0.5 are near-dup suspects.
+
+    Unlike pairwise near-dup (MinHash et al.) this needs no candidate
+    pairs at all: one explode + per-doc distinct, one gram-count
+    aggregate, one join back, one doc aggregate. The `hot` side keeps
+    ONLY duplicated grams (a tiny slice of the gram universe — unique
+    grams, the overwhelming majority at corpus scale, are filtered
+    before the join), so AQE can usually broadcast it; otherwise it is
+    an equi-shuffle on gram. No quadratic term anywhere.
+    """
+    from ..operators.spread import spread
+    from ..operators.text import word_ngrams
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    gd = (w.select("doc_id", F.explode(word_ngrams("ws", 5)).alias("gram"))
+          .distinct())
+    hot = (gd.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") >= 2)
+           .select("gram", F.lit(1).alias("_hit")))
+    j = gd.join(hot, "gram", "left")
+    n_grams = F.count(F.lit(1))
+    n_dup = F.count("_hit")
+    frac = n_dup.cast("double") / n_grams
+    return (j.groupBy("doc_id")
+            .agg(n_grams.alias("n_grams"),
+                 n_dup.alias("n_dup_grams"),
+                 F.round(frac, 6).alias("dup_fraction"),
+                 (frac > 0.5).alias("is_near_dup")))

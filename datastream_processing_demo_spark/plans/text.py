@@ -725,3 +725,84 @@ def text_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_words").cast("long").alias("total_words"),
                  F.min("doc_id").alias("min_doc"),
                  F.max("doc_id").alias("max_doc")))
+
+
+@query(
+    "text_gopher_rules", "text",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               (n_chars - (len(ws) - 1)) / len(ws) AS mwl,
+               len(list_filter(ws,
+                   w -> w IN ('the','and','of','a','in','to'))) AS n_stop,
+               len(list_filter(ws,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               len(list_filter(ws,
+                   w -> contains(w, '#') OR contains(w, '...'))) AS n_sym
+        FROM s
+    )
+    SELECT doc_id, n_words,
+           ROUND(mwl, 6) AS mean_word_len,
+           n_stop AS n_stopwords,
+           n_words BETWEEN 25 AND 100000 AS ok_word_count,
+           mwl BETWEEN 3 AND 10 AS ok_mean_word_len,
+           CAST(n_sym AS DOUBLE) / n_words < 0.1 AS ok_symbol_ratio,
+           CAST(n_alpha AS DOUBLE) / n_words > 0.8 AS ok_alpha_frac,
+           n_stop >= 2 AS ok_stopwords,
+           (n_words BETWEEN 25 AND 100000) AND (mwl BETWEEN 3 AND 10)
+               AND CAST(n_sym AS DOUBLE) / n_words < 0.1
+               AND CAST(n_alpha AS DOUBLE) / n_words > 0.8
+               AND n_stop >= 2 AS passes_gopher
+    FROM m
+    """,
+    description="Gopher-style quality rule battery (word count / word length / symbol / alpha / stopword gates)",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (Rae et al. 2021, §A1.1) rule-based quality battery,
+    adapted to the newline-free synthetic corpus: word-count bounds,
+    mean-word-length band, symbol-to-word ratio (# / ellipsis), words-
+    with-alphabetic-char fraction, and minimum stopword evidence, plus
+    the conjunctive pass flag used as the training-data gate.
+
+    Pure per-row column expressions over one tokenization — map-only,
+    no shuffle, whole-stage codegen end to end; at 100 TB this runs at
+    scan speed and is the cheap first gate before any pairwise dedup.
+    Every ratio is an identical IEEE op sequence in Spark and DuckDB,
+    so even the boolean gates are bit-deterministic cross-engine.
+    (No spread(): that local-mode repartition would be this plan's only
+    Exchange — at scale the scan's own splits provide the parallelism.)
+    """
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.length("text").cast("double").alias("n_chars"))
+    n_words = F.size("ws")
+    mwl = (F.col("n_chars") - (n_words - F.lit(1))) / n_words
+    n_stop = F.size(F.filter(
+        "ws", lambda w: w.isin("the", "and", "of", "a", "in", "to")))
+    n_alpha = F.size(F.filter("ws", lambda w: w.rlike("[A-Za-z]")))
+    n_sym = F.size(F.filter(
+        "ws", lambda w: w.contains("#") | w.contains("...")))
+    ok_wc = (n_words >= 25) & (n_words <= 100000)
+    ok_mwl = (mwl >= 3) & (mwl <= 10)
+    ok_sym = n_sym.cast("double") / n_words < 0.1
+    ok_alpha = n_alpha.cast("double") / n_words > 0.8
+    ok_stop = n_stop >= 2
+    return base.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop)
+            .alias("passes_gopher"))

@@ -42,14 +42,29 @@ _BULK_DROP_LITERAL = "error"  # CTSDBSink.java:120-123
 _CONN_CACHE: dict = {}
 
 
-def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0) -> None:
-    """POST via a cached keep-alive connection; one retry on a stale
-    connection, then raise so Structured Streaming replays the batch."""
+def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0,
+                 retry_attempts: int = 3, backoff_s: float = 0.2) -> None:
+    """POST via a cached keep-alive connection, retaining THIS chunk for
+    in-task resend on transient failure.
+
+    The reference sink keeps only the *failed* sub-batch and resends it
+    on the next flush (ZhiYanSink.java:95-97,111) — earlier, already-
+    acknowledged sub-batches are never retransmitted. The Spark analogue:
+    a chunk that fails with a retryable signal (transport error, HTTP 429
+    or 5xx) is re-posted up to `retry_attempts` times with exponential
+    backoff, executor-side, without touching the chunks that already
+    succeeded. Only when retries are exhausted (or the status is a
+    non-retryable 4xx) does the task raise, falling back to the coarser
+    WAL micro-batch replay — where idempotent `_id`s keep the endpoint
+    exactly-once-effective.
+    """
     u = urlparse(endpoint)
     key = (u.scheme, u.netloc)
     conn = _CONN_CACHE.get(key)
-    last_err: Exception | None = None
-    for attempt in (0, 1):
+    last_err: str | Exception | None = None
+    for attempt in range(max(1, retry_attempts)):
+        if attempt > 0:
+            time.sleep(backoff_s * (2 ** (attempt - 1)))
         if conn is None:
             cls = (http.client.HTTPSConnection if u.scheme == "https"
                    else http.client.HTTPConnection)
@@ -68,22 +83,26 @@ def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0) -> None:
             resp = conn.getresponse()
             resp.read()
         except (http.client.HTTPException, OSError) as exc:
-            # Transport error (stale keep-alive, refused, reset): retry
-            # once on a fresh connection.
+            # Transport error (stale keep-alive, refused, reset): rebuild
+            # the connection and retry the same chunk.
             last_err = exc
             conn.close()
             _CONN_CACHE.pop(key, None)
             conn = None
             continue
+        if resp.status in (429,) or resp.status >= 500:
+            # Transient server-side failure: retain this chunk and retry
+            # after backoff (reference retain-for-resend).
+            last_err = f"HTTP {resp.status}"
+            continue
         if resp.status >= 300:
-            # HTTP-level failure is NOT retried here: raise so the task
+            # Non-retryable client error: raise immediately so the task
             # fails and Structured Streaming replays the micro-batch from
-            # the WAL (the reference retains failed batches for resend,
-            # ZhiYanSink.java:95-97; idempotent _ids make the replay
-            # effectively exactly-once).
+            # the WAL.
             raise IOError(f"bulk post failed: HTTP {resp.status}")
         return
-    raise IOError(f"bulk post failed after retry: {last_err}")
+    raise IOError(
+        f"bulk post failed after {max(1, retry_attempts)} attempts: {last_err}")
 
 
 class HttpBulkWriter:
@@ -94,15 +113,22 @@ class HttpBulkWriter:
     the micro-batch trigger cadence (SURVEY.md §2.1 A1 mapping).
     """
 
-    def __init__(self, endpoint: str, batch_size: int = 1000) -> None:
+    def __init__(self, endpoint: str, batch_size: int = 1000,
+                 retry_attempts: int = 3, backoff_s: float = 0.2) -> None:
         self.endpoint = endpoint
         self.batch_size = batch_size
+        # Chunk-level retain-retry budget (ZhiYanSink.java:95-97,111):
+        # transient HTTP failures resend only the failed chunk in-task;
+        # retry_attempts=1 disables and falls straight to WAL replay.
+        self.retry_attempts = retry_attempts
+        self.backoff_s = backoff_s
         self._is_http = endpoint.startswith(("http://", "https://"))
 
     def write_batch(self, tails: DataFrame, batch_id: int) -> None:
         # Close over plain values only — this function ships to executors.
         endpoint, batch_size, is_http = \
             self.endpoint, self.batch_size, self._is_http
+        retry_attempts, backoff_s = self.retry_attempts, self.backoff_s
         if not is_http:
             os.makedirs(endpoint, exist_ok=True)
             # A replay of this batch may partition differently than the
@@ -135,7 +161,9 @@ class HttpBulkWriter:
                     return
                 body = "\n".join(buf) + "\n"
                 if is_http:
-                    _post_pooled(endpoint, body)
+                    _post_pooled(endpoint, body,
+                                 retry_attempts=retry_attempts,
+                                 backoff_s=backoff_s)
                 else:
                     # os.replace: a replayed batch overwrites its own chunk
                     # file atomically instead of appending a duplicate.

@@ -40,8 +40,11 @@ from datastream_processing_demo_spark.streaming.sinks import (
 
 def _start_bulk_server(fail_first_n: int = 1):
     """Idempotent bulk store over HTTP: keeps docs keyed by `_id`; the
-    first `fail_first_n` POSTs return 503 (transient outage)."""
-    state = {"fail_remaining": fail_first_n, "docs": {}, "n_posts": 0}
+    first `fail_first_n` POSTs return 503 (transient outage). Records
+    the body of every failed and successful request so tests can assert
+    exactly WHICH chunks were retransmitted."""
+    state = {"fail_remaining": fail_first_n, "docs": {}, "n_posts": 0,
+             "failed_bodies": [], "ok_bodies": []}
     lock = threading.Lock()
 
     class Handler(http.server.BaseHTTPRequestHandler):
@@ -52,9 +55,11 @@ def _start_bulk_server(fail_first_n: int = 1):
                 state["n_posts"] += 1
                 if state["fail_remaining"] > 0:
                     state["fail_remaining"] -= 1
+                    state["failed_bodies"].append(body)
                     self.send_response(503)
                     self.end_headers()
                     return
+                state["ok_bodies"].append(body)
                 for line in body.splitlines():
                     if line.strip():
                         rec = json.loads(line)
@@ -93,7 +98,11 @@ def test_failed_bulk_post_replays_to_exactly_once_effective(spark, tmp_path):
             return run_pipeline_stream(
                 src, checkpoint_dir=str(tmp_path / "ckpt"),
                 main_out_dir=str(tmp_path / "main"),
-                bulk_writer=HttpBulkWriter(endpoint, batch_size=8),
+                # retry_attempts=1 disables the chunk-level retain-retry
+                # so this test keeps exercising the coarse WAL-replay
+                # fallback (the in-task retry path has its own test below).
+                bulk_writer=HttpBulkWriter(endpoint, batch_size=8,
+                                           retry_attempts=1),
                 metric_reporter=MetricAvgReporter(str(tmp_path / "metric")),
                 now_ms=F.lit(1700000001000))
 
@@ -117,5 +126,47 @@ def test_failed_bulk_post_replays_to_exactly_once_effective(spark, tmp_path):
         assert state["n_posts"] > 1
         # Ids carry (batch_id, partition_id, ordinal) — all unique.
         assert all(len(i.split("-")) == 3 for i in state["docs"])
+    finally:
+        srv.shutdown()
+
+
+def test_transient_503_retained_chunk_retries_in_task(spark, tmp_path):
+    """Within-batch partial retry retain (ZhiYanSink.java:95-97,111):
+    a transiently-503'd chunk is resent in-task after backoff — the
+    query never fails, no WAL replay happens, and chunks that already
+    succeeded are NOT retransmitted (only the failed sub-batch is
+    retained for resend)."""
+    n_msgs = 40
+    payloads = [f'{{"k": {i}}}' for i in range(n_msgs)]
+    values = [f"{'session':<16}{'1700000000000':<16}" + " " * 32 + p
+              for p in payloads]
+    src_dir = str(tmp_path / "msgs")
+    _write_messages(values, src_dir)
+
+    srv, state = _start_bulk_server(fail_first_n=2)
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}/bulk"
+    try:
+        src = spark.readStream.schema("value string").parquet(src_dir)
+        q = run_pipeline_stream(
+            src, checkpoint_dir=str(tmp_path / "ckpt"),
+            main_out_dir=str(tmp_path / "main"),
+            bulk_writer=HttpBulkWriter(endpoint, batch_size=8,
+                                       retry_attempts=3, backoff_s=0.05),
+            metric_reporter=MetricAvgReporter(str(tmp_path / "metric")),
+            now_ms=F.lit(1700000001000))
+        # Single run, no restart: the two 503s are absorbed in-task.
+        q.awaitTermination(timeout=180)
+
+        assert sorted(state["docs"].values()) == sorted(payloads)
+        assert len(state["docs"]) == n_msgs
+        # Each failed body was later re-posted verbatim (the retained
+        # sub-batch), and every successful body landed exactly once —
+        # already-acknowledged chunks were never retransmitted.
+        ok = state["ok_bodies"]
+        assert len(ok) == len(set(ok)), "an acknowledged chunk was re-sent"
+        for failed in state["failed_bodies"]:
+            assert failed in ok, "failed chunk was not resent"
+        # Total request count = unique chunks + the two failed attempts.
+        assert state["n_posts"] == len(ok) + 2
     finally:
         srv.shutdown()

@@ -422,3 +422,32 @@ def test_mm_pipeline_full_single_shuffle_fused_codecs(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("MapInPandas") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    # The Gopher rule battery is the cheap first gate at 100 TB: it must
+    # stay a map-only scan — one tokenization projection, zero Exchange,
+    # zero joins, zero Python evaluation.
+    plan = _plan(spark, sf_dir, "text_gopher_rules")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    # The eval/benchmark gram set is the small side by construction; the
+    # 100 TB training side must never shuffle by gram — the overlap join
+    # has to be a broadcast hash join, and never a cartesian.
+    plan = _plan(spark, sf_dir, "dedup_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_dup_fraction_no_cartesian(spark, sf_dir):
+    # Duplicated-span fraction needs no candidate pairs: gram-count agg
+    # + equi-join back. No quadratic operator may appear, and the join
+    # back must be an equi join on gram.
+    plan = _plan(spark, sf_dir, "dedup_corpus_dup_fraction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
