@@ -426,14 +426,19 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregates once on doc_id. At real scale the broadcast set is
     typically swapped for a bloom filter on gram hash — same shape,
     lossy-but-tunable membership; the exact join here IS the oracle.
+
+    Per-doc gram dedup is array_distinct BEFORE the explode — within-row,
+    so it costs zero shuffle (a post-explode .distinct() would shuffle
+    the entire gram stream, the thing this plan exists to avoid).
     """
     from ..operators.spread import spread
     from ..operators.text import word_ngrams
 
     docs = spread(t(spark, sf_dir, "documents"))
     w = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    grams = (w.select("doc_id", F.explode(word_ngrams("ws", 8)).alias("gram"))
-             .distinct())
+    grams = w.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("ws", 8))).alias("gram"))
     ev = (grams.filter(F.col("doc_id") % 20 == 0)
           .withColumnRenamed("doc_id", "eval_doc_id"))
     tr = grams.filter(F.col("doc_id") % 20 != 0)
@@ -475,15 +480,18 @@ def dedup_corpus_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY duplicated grams (a tiny slice of the gram universe — unique
     grams, the overwhelming majority at corpus scale, are filtered
     before the join), so AQE can usually broadcast it; otherwise it is
-    an equi-shuffle on gram. No quadratic term anywhere.
+    an equi-shuffle on gram. No quadratic term anywhere. Per-doc gram
+    dedup is array_distinct before the explode (within-row, shuffle-free
+    — see dedup_decontaminate).
     """
     from ..operators.spread import spread
     from ..operators.text import word_ngrams
 
     docs = spread(t(spark, sf_dir, "documents"))
     w = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    gd = (w.select("doc_id", F.explode(word_ngrams("ws", 5)).alias("gram"))
-          .distinct())
+    gd = w.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("ws", 5))).alias("gram"))
     hot = (gd.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
            .filter(F.col("df") >= 2)
            .select("gram", F.lit(1).alias("_hit")))
