@@ -27,7 +27,10 @@ from datastream_processing_demo_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
-from datastream_processing_demo_spark.operators.text import quality_cols
+from datastream_processing_demo_spark.operators.text import (
+    quality_cols,
+    word_ngrams,
+)
 from datastream_processing_demo_spark.session import EngineConfig, get_session
 
 
@@ -40,6 +43,14 @@ def main() -> None:
     # 1. quality gate: map-only scoring, keep the upper band
     q = quality_cols("text")["quality_score"]
     docs = docs.withColumn("q", q).filter(F.col("q") >= 0.5)
+
+    # 1b. Gopher-style rule gate (see text_gopher_rules for the full
+    # battery): word-count floor + stopword evidence, fused into the
+    # same map-only scan — no extra shuffle
+    wtoks = F.split("text", " ")
+    n_stop = F.size(F.filter(
+        wtoks, lambda w: w.isin("the", "and", "of", "a", "in", "to")))
+    docs = docs.filter((F.size(wtoks) >= 10) & (n_stop >= 1))
 
     # 2. repetition gate: map-only trigram dup-ratio inside each row
     # (words split once into a column — no CSE inside array lambdas)
@@ -69,6 +80,21 @@ def main() -> None:
     drop = (comps.filter(F.col("node") != F.col("cluster_id"))
             .select(F.col("node").alias("doc_id")))
     docs = docs.join(drop, "doc_id", "left_anti")
+
+    # 4b. decontamination: drop surviving docs that share any word
+    # 8-gram with the held-out eval slice (dedup_decontaminate's shape:
+    # eval gram set is broadcast, the training side never shuffles by
+    # gram; per-doc gram dedup is within-row via array_distinct)
+    g8 = (docs.select("doc_id", F.split("text", " ").alias("ws"))
+          .select("doc_id",
+                  F.explode(F.array_distinct(word_ngrams("ws", 8)))
+                  .alias("gram")))
+    ev_grams = (g8.filter(F.col("doc_id") % 20 == 0)
+                .select("gram").distinct())
+    contaminated = (g8.filter(F.col("doc_id") % 20 != 0)
+                    .join(F.broadcast(ev_grams), "gram")
+                    .select("doc_id").distinct())
+    docs = docs.join(contaminated, "doc_id", "left_anti")
 
     # 5. content-addressed train/val/test split (pure expression)
     bucket = F.substring(F.md5("text"), 1, 2)
