@@ -46,6 +46,12 @@ def marker_count(words: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*markers))).cast("long")
 
 
+# Stopword-evidence set for the Gopher rule battery (text_gopher_rules
+# and the example pipeline's gate); the oracle SQL derives its IN-list
+# from this same tuple so the two can't drift.
+GOPHER_STOPWORDS = ("the", "and", "of", "a", "in", "to")
+
+
 def word_ngrams(words_col_name: str, n: int) -> Column:
     """Space-joined word n-grams of a pre-split array column, as an
     array column (empty when the doc has fewer than n words). Pure

@@ -420,12 +420,17 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The standard training-data hygiene pass (GPT-3 appendix C / PaLM
     style 8-gram collision check). Scale posture: the eval side is a
-    benchmark suite — thousands of docs, not billions — so its distinct
-    gram set is broadcast (no shuffle of the 100 TB training side by
-    gram); the train side explodes grams map-side, per-doc-distinct,
-    and aggregates once on doc_id. At real scale the broadcast set is
-    typically swapped for a bloom filter on gram hash — same shape,
-    lossy-but-tunable membership; the exact join here IS the oracle.
+    benchmark suite — thousands of docs of fixed size, not a corpus
+    slice that grows with the data (the % 20 split here is only the
+    sandbox stand-in) — so it broadcasts, and the 100 TB training side
+    never shuffles by gram: it explodes grams map-side (per-doc
+    distinct via array_distinct, within-row) and aggregates once on
+    doc_id. What is broadcast here is the eval (gram, eval_doc) pair
+    set, because this query attributes n_eval_docs per hit; a pure
+    drop-contaminated pass broadcasts just the distinct gram set (see
+    examples/training_data_pipeline.py) or, at extreme eval sizes, a
+    bloom filter on gram hash — same shape, lossy-but-tunable
+    membership. The exact join here IS the oracle.
 
     Per-doc gram dedup is array_distinct BEFORE the explode — within-row,
     so it costs zero shuffle (a post-explode .distinct() would shuffle

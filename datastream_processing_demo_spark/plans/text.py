@@ -11,13 +11,17 @@ from pyspark.sql import functions as F
 
 from ..operators.text import (
     BPE_TOKEN_RE,
+    GOPHER_STOPWORDS,
     fingerprint_col,
     lang_id_col,
+    marker_count,
     normalized_md5_col,
     quality_cols,
     token_counts,
     words_col,
 )
+
+_GOPHER_STOPS_SQL = "(" + ",".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
 from ..operators.spread import spread
 from ._util import t
 from .registry import query
@@ -729,7 +733,7 @@ def text_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_gopher_rules", "text",
-    oracle=r"""
+    oracle=rf"""
     WITH s AS (
         SELECT doc_id, string_split(text, ' ') AS ws,
                CAST(length(text) AS DOUBLE) AS n_chars
@@ -739,7 +743,7 @@ def text_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(ws) AS n_words,
                (n_chars - (len(ws) - 1)) / len(ws) AS mwl,
                len(list_filter(ws,
-                   w -> w IN ('the','and','of','a','in','to'))) AS n_stop,
+                   w -> w IN {_GOPHER_STOPS_SQL})) AS n_stop,
                len(list_filter(ws,
                    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
                len(list_filter(ws,
@@ -784,8 +788,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("double").alias("n_chars"))
     n_words = F.size("ws")
     mwl = (F.col("n_chars") - (n_words - F.lit(1))) / n_words
-    n_stop = F.size(F.filter(
-        "ws", lambda w: w.isin("the", "and", "of", "a", "in", "to")))
+    n_stop = marker_count(F.col("ws"), GOPHER_STOPWORDS)
     n_alpha = F.size(F.filter("ws", lambda w: w.rlike("[A-Za-z]")))
     n_sym = F.size(F.filter(
         "ws", lambda w: w.contains("#") | w.contains("...")))

@@ -62,9 +62,15 @@ def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0,
     key = (u.scheme, u.netloc)
     conn = _CONN_CACHE.get(key)
     last_err: str | Exception | None = None
-    for attempt in range(max(1, retry_attempts)):
-        if attempt > 0:
-            time.sleep(backoff_s * (2 ** (attempt - 1)))
+    # One FREE immediate reconnect per call, outside the backoff budget:
+    # a stale pooled keep-alive (server closed the idle socket between
+    # micro-batches) is the common benign case and must not sleep, and
+    # it must survive even retry_attempts=1 (which disables only the
+    # HTTP-level retain-retry).
+    free_reconnect = 1
+    attempts_left = max(1, retry_attempts)
+    n_backoffs = 0
+    while True:
         if conn is None:
             cls = (http.client.HTTPSConnection if u.scheme == "https"
                    else http.client.HTTPConnection)
@@ -89,11 +95,24 @@ def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0,
             conn.close()
             _CONN_CACHE.pop(key, None)
             conn = None
+            if free_reconnect > 0:
+                free_reconnect -= 1
+                continue
+            attempts_left -= 1
+            if attempts_left <= 0:
+                break
+            n_backoffs += 1
+            time.sleep(backoff_s * (2 ** (n_backoffs - 1)))
             continue
         if resp.status in (429,) or resp.status >= 500:
             # Transient server-side failure: retain this chunk and retry
             # after backoff (reference retain-for-resend).
             last_err = f"HTTP {resp.status}"
+            attempts_left -= 1
+            if attempts_left <= 0:
+                break
+            n_backoffs += 1
+            time.sleep(backoff_s * (2 ** (n_backoffs - 1)))
             continue
         if resp.status >= 300:
             # Non-retryable client error: raise immediately so the task

@@ -1,12 +1,15 @@
 """End-to-end training-data prep pipeline composed from the engine's
-operators: quality filter -> repetition filter -> exact + near dedup ->
-content-addressed split -> sequence packing -> corpus stats.
+operators: quality + Gopher-rule filters -> repetition filter -> exact +
+near dedup -> decontamination -> content-addressed split -> sequence
+packing -> corpus stats.
 
 This is the "switch from the reference" story for an LLM data pipeline:
 every stage is a registered, oracle-checked operator (OPERATORS.md), and
-every stage is shuffle-minimal by construction (SCALE.md) — the whole
-pipeline shuffles the corpus exactly twice (near-dup candidate join and
-pack-window) regardless of scale.
+every stage is shuffle-minimal by construction (SCALE.md) — the corpus
+itself is shuffled only by the near-dup candidate join, the dedup
+anti-joins on doc_id, and the pack-window; every filter stage is
+map-only, and the decontamination join broadcasts the (small) eval gram
+set rather than shuffling the corpus by gram.
 
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python examples/training_data_pipeline.py
 """
@@ -28,6 +31,8 @@ from datastream_processing_demo_spark.operators.dedup import (
     minhash_signatures,
 )
 from datastream_processing_demo_spark.operators.text import (
+    GOPHER_STOPWORDS,
+    marker_count,
     quality_cols,
     word_ngrams,
 )
@@ -37,8 +42,16 @@ from datastream_processing_demo_spark.session import EngineConfig, get_session
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_session(EngineConfig(app_name="training-data-pipeline"))
-    docs = load_table(spark, sf_dir, "documents")
-    n_raw = docs.count()
+    raw = load_table(spark, sf_dir, "documents")
+    n_raw = raw.count()
+
+    # 0. carve out the held-out eval slice FIRST (doc_id % 20 == 0
+    # stands in for a benchmark set). Its grams — taken from the RAW
+    # slice, before any filter can hide a doc — drive decontamination
+    # in 4b, and the slice itself never enters the training corpus.
+    is_eval = F.col("doc_id") % 20 == 0
+    eval_docs = raw.filter(is_eval)
+    docs = raw.filter(~is_eval)
 
     # 1. quality gate: map-only scoring, keep the upper band
     q = quality_cols("text")["quality_score"]
@@ -46,11 +59,12 @@ def main() -> None:
 
     # 1b. Gopher-style rule gate (see text_gopher_rules for the full
     # battery): word-count floor + stopword evidence, fused into the
-    # same map-only scan — no extra shuffle
-    wtoks = F.split("text", " ")
-    n_stop = F.size(F.filter(
-        wtoks, lambda w: w.isin("the", "and", "of", "a", "in", "to")))
-    docs = docs.filter((F.size(wtoks) >= 10) & (n_stop >= 1))
+    # same map-only scan — no extra shuffle (tokenize once into a
+    # column; CSE does not reach inside array lambdas)
+    docs = (docs.withColumn("wtoks", F.split("text", " "))
+            .filter((F.size("wtoks") >= 10)
+                    & (marker_count(F.col("wtoks"), GOPHER_STOPWORDS) >= 1))
+            .drop("wtoks"))
 
     # 2. repetition gate: map-only trigram dup-ratio inside each row
     # (words split once into a column — no CSE inside array lambdas)
@@ -83,15 +97,21 @@ def main() -> None:
 
     # 4b. decontamination: drop surviving docs that share any word
     # 8-gram with the held-out eval slice (dedup_decontaminate's shape:
-    # eval gram set is broadcast, the training side never shuffles by
-    # gram; per-doc gram dedup is within-row via array_distinct)
-    g8 = (docs.select("doc_id", F.split("text", " ").alias("ws"))
-          .select("doc_id",
-                  F.explode(F.array_distinct(word_ngrams("ws", 8)))
-                  .alias("gram")))
-    ev_grams = (g8.filter(F.col("doc_id") % 20 == 0)
-                .select("gram").distinct())
-    contaminated = (g8.filter(F.col("doc_id") % 20 != 0)
+    # the DISTINCT eval gram set is broadcast, the training side never
+    # shuffles by gram; per-doc gram dedup is within-row via
+    # array_distinct). persist() first: docs feeds both the probe side
+    # and the final anti-join, and without it the whole upstream
+    # filter/dedup lineage would re-evaluate per use.
+    docs = docs.persist()
+
+    def grams8(df):
+        return (df.select("doc_id", F.split("text", " ").alias("ws"))
+                .select("doc_id",
+                        F.explode(F.array_distinct(word_ngrams("ws", 8)))
+                        .alias("gram")))
+
+    ev_grams = grams8(eval_docs).select("gram").distinct()
+    contaminated = (grams8(docs)
                     .join(F.broadcast(ev_grams), "gram")
                     .select("doc_id").distinct())
     docs = docs.join(contaminated, "doc_id", "left_anti")
