@@ -61,6 +61,7 @@ HEADLINE = [
     "text_pipeline_full_lsh",  # same pipeline, near-dup via MinHash+LSH (scale mode)
     "mm_audio_wav_real",       # REAL WAV codec lane (wrap + container parse)
     "mm_image_ppm_real",       # REAL netpbm codec lane (wrap + container parse)
+    "mm_image_png_real",       # REAL compressed PNG codec lane
     "text_gopher_rules",       # map-only Gopher quality gate
     "dedup_decontaminate",     # 8-gram eval-overlap broadcast join
     "dedup_corpus_dup_fraction",  # corpus duplicated-span fraction

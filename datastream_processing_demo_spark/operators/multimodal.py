@@ -2,16 +2,19 @@
 opaque binary payload columns with typed metadata, a decode/feature
 pandas-UDF stage, and frame sampling over chunked payloads.
 
-The container has no IMAGE codecs (no PIL/ffmpeg/libvips), so the image
-decode step is a deterministic fake (features derived from the bytes
-themselves) behind `decode_image_real`, which raises
-NotImplementedError — swapping the fake for a codec changes one
-function. The AUDIO lane, however, runs a REAL container codec:
-`decode_wav_real` parses genuine RIFF/WAVE files (stdlib `wave` +
-numpy PCM decode, 8/16-bit, multichannel downmix) and plugs into the
-same windowed-feature stage as the fake PCM path
-(`audio_window_features(codec="wav")`), proving the decode hook
-end-to-end without any third-party install.
+The container ships no third-party image codecs (no PIL/ffmpeg/
+libvips), so three lanes coexist: a deterministic FAKE decode (features
+derived from the bytes themselves) keeping the plumbing testable, and
+two REAL codecs built on stdlib+numpy alone — `decode_ppm_real` parses
+genuine binary netpbm (uncompressed container) and `decode_png_real`
+parses genuine PNG (a COMPRESSED container: CRC-verified chunk walk,
+zlib inflate, full five-filter scanline reconstruction). The AUDIO lane
+likewise runs a REAL container codec: `decode_wav_real` parses genuine
+RIFF/WAVE files (stdlib `wave` + numpy PCM decode, 8/16-bit,
+multichannel downmix) and plugs into the same windowed-feature stage as
+the fake PCM path (`audio_window_features(codec="wav")`). Only DCT
+formats (JPEG) still raise NotImplementedError — swapping in a codec
+changes one function.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY — scans
 prune them unless projected; mapInPandas streams Arrow batches so a
@@ -83,16 +86,162 @@ def decode_ppm_real(payload: bytes) -> dict:
             "maxval": maxval, "pixels": pixels}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png_rgb(payload: bytes, width: int = 32) -> bytes:
+    """Wrap raw bytes as a genuine COMPRESSED PNG image: bytes become
+    the 8-bit RGB raster row-major, zero-padded to width x height x 3
+    (height = ceil(n / (width*3)), min 1), scanlines are run through
+    the spec's filter transforms (cycling None/Sub/Up/Average/Paeth by
+    row, so a decoder must implement real unfiltering, not just
+    inflate), deflate-compressed into IDAT, and framed as signature +
+    CRC-verified IHDR/IDAT/IEND chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    n = len(payload)
+    height = max(1, -(-n // (width * 3)))
+    stride = width * 3
+    data = payload + b"\x00" * (stride * height - n)
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, stride)
+
+    filtered = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        row = rows[y].astype(np.int64)
+        ftype = y % 5
+        left = np.concatenate([np.zeros(3, dtype=np.int64), row[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int64), prev[:-3]])
+        if ftype == 0:
+            out = row
+        elif ftype == 1:    # Sub
+            out = row - left
+        elif ftype == 2:    # Up
+            out = row - prev
+        elif ftype == 3:    # Average
+            out = row - (left + prev) // 2
+        else:               # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            out = row - pred
+        filtered.append(ftype)
+        filtered.extend((out % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png_real(payload: bytes) -> dict:
+    """REAL compressed image codec: parse a PNG with stdlib zlib +
+    numpy alone — signature, CRC-verified chunk walk, IHDR geometry,
+    multi-IDAT concatenation, inflate, and full five-filter scanline
+    reconstruction (None/Sub/Up/Average/Paeth) per the PNG spec.
+    Supports 8-bit color types 2 (RGB) and 0 (grayscale),
+    non-interlaced; raises loudly on anything else, a bad CRC, or a
+    truncated raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, ctype_id, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_id not in (0, 2) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"unsupported PNG variant (depth={depth} color={ctype_id} "
+            f"interlace={interlace}); only 8-bit gray/RGB non-interlaced")
+    channels = 3 if ctype_id == 2 else 1
+    stride = width * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"truncated raster: {len(raw)} of {(stride + 1) * height} bytes")
+
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        line = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        ftype, row = line[0], np.frombuffer(
+            line[1:], dtype=np.uint8).astype(np.int64)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:    # Up
+            cur = (row + prev) % 256
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth read the already-reconstructed left
+            # pixel — sequential per pixel position. Plain Python lists:
+            # per-element numpy indexing is ~10x slower in this loop.
+            rl, pl = row.tolist(), prev.tolist()
+            cl = [0] * stride
+            for x in range(stride):
+                a = cl[x - channels] if x >= channels else 0
+                b = pl[x]
+                c = pl[x - channels] if x >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cl[x] = (rl[x] + pred) % 256
+            cur = np.array(cl, dtype=np.int64)
+        else:
+            raise ValueError(f"bad filter type {ftype} on row {y}")
+        out[y] = cur
+        prev = cur
+    pixels = out.reshape(height, width, channels)
+    return {"width": width, "height": height, "channels": channels,
+            "maxval": 255, "pixels": pixels}
+
+
 def decode_image_real(payload: bytes) -> dict:
-    """Real image decode hook. Binary netpbm (P5/P6) decodes for real
-    via `decode_ppm_real` — a genuine container format needing no
-    third-party codec. Compressed formats (PNG/JPEG/...) need PIL or
-    ffmpeg, which this container does not ship; they raise until a
-    cluster image provides one."""
+    """Real image decode hook. Binary netpbm (P5/P6) parses via
+    `decode_ppm_real`; PNG — a genuinely COMPRESSED container — parses
+    via `decode_png_real` (stdlib zlib inflate + five-filter scanline
+    reconstruction, no third-party codec). JPEG and other DCT formats
+    need PIL/ffmpeg, which this container does not ship; they raise
+    until a cluster image provides one."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm_real(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png_real(payload)
     raise NotImplementedError(
-        "compressed image codecs (PNG/JPEG) not available in this container")
+        "DCT image codecs (JPEG/...) not available in this container")
 
 
 def fake_decode_features(payload: bytes) -> dict:
@@ -300,6 +449,23 @@ def wrap_payloads_as_ppm(df: DataFrame, id_col: str = "doc_id",
                 id_col: pdf[id_col],
                 "payload": pdf["payload"].map(
                     lambda b: encode_ppm_rgb(b, width)),
+            })
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema=f"{id_col} long, payload binary")
+
+
+def wrap_payloads_as_png(df: DataFrame, id_col: str = "doc_id",
+                         width: int = 32) -> DataFrame:
+    """mapInPandas encode stage: raw binary payloads -> genuine
+    COMPRESSED PNGs (deflate IDAT, filtered scanlines, CRC'd chunks)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": pdf["payload"].map(
+                    lambda b: encode_png_rgb(b, width)),
             })
 
     return df.select(id_col, "payload").mapInPandas(

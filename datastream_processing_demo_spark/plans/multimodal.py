@@ -278,3 +278,42 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "out_w", "out_h", "n_out_bytes",
         F.lower(F.hex(F.col("resized").substr(1, 8))).alias("head_hex"))
+
+
+@query(
+    "mm_image_png_real", "multimodal",
+    # Real COMPRESSED image codec end-to-end, no third-party install:
+    # one Arrow stage deflate-encodes each document's bytes as a genuine
+    # PNG (filtered scanlines cycling all five spec filters, CRC'd
+    # chunks); the next stage decodes it for real (signature, CRC walk,
+    # inflate, five-filter scanline reconstruction) and emits header
+    # dims + the exact raster pixel sum. Same oracle contract as the
+    # netpbm lane — the raster geometry is identical, so a filter-math
+    # or inflate mistake hash-fails against bytes DuckDB sums directly.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents)
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS width,
+           GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 96.0) AS BIGINT))
+               AS height,
+           CAST(3 AS BIGINT) AS channels,
+           GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 96.0) AS BIGINT)) * 96
+               AS n_pixel_bytes,
+           CAST(coalesce(list_aggregate(
+               list_transform(range(1, n + 1),
+                   i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT)),
+               'sum'), 0) AS BIGINT) AS sum_pixels
+    FROM b
+    """,
+    description="image lane with a REAL compressed codec: PNG-wrap payloads (deflate+filters+CRC), decode, exact pixel sum",
+)
+def mm_image_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        image_features_real,
+        wrap_payloads_as_png,
+    )
+    png = wrap_payloads_as_png(to_binary_payload(t(spark, sf_dir, "documents")))
+    return image_features_real(png)
