@@ -641,13 +641,15 @@ def storage_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bal_cents,
            CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
            COUNT(DISTINCT s_nationkey) AS n_nations
-    FROM (SELECT unnest(['parquet', 'csv', 'json', 'orc', 'xml']) AS fmt),
+    FROM (SELECT unnest(['parquet', 'csv', 'json', 'orc', 'xml',
+                     'jsonl_gz']) AS fmt),
          supplier
     GROUP BY fmt
     """,
-    description="cross-format consistency: parquet/CSV/JSON/ORC/XML scans agree exactly",
+    description="cross-format consistency: parquet/CSV/JSON/ORC/XML/gzip-JSONL scans agree exactly",
 )
 def source_format_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import read_jsonl_gzip_with_schema as _read_jsonl_gz
     # Every format reader must produce the SAME table: the same rows,
     # types, and aggregate fingerprints, whether the bytes came from
     # parquet footers, headered CSV, JSON lines, ORC stripes, or XML
@@ -662,6 +664,7 @@ def source_format_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "json": read_json_with_schema(spark, sf_dir, "supplier"),
         "orc": read_orc(spark, sf_dir, "supplier"),
         "xml": read_xml_with_schema(spark, sf_dir, "supplier"),
+        "jsonl_gz": _read_jsonl_gz(spark, sf_dir, "supplier"),
     }
     cents = F.round(F.col("s_acctbal") * 100).cast("long")
     stats = [
@@ -707,3 +710,23 @@ def source_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~bad, F.col("s_suppkey"))).cast("long")
             .alias("good_key_sum"),
         F.sum(F.when(~bad, cents)).cast("long").alias("good_bal_cents"))
+
+
+@query(
+    "source_jsonl_gzip_scan", "sql_surface",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc
+    FROM documents
+    GROUP BY lang
+    """,
+    description="gzip-compressed JSON-lines scan (.jsonl.gz, the standard corpus wire format)",
+)
+def source_jsonl_gzip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import read_jsonl_gzip_with_schema
+    d = read_jsonl_gzip_with_schema(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )

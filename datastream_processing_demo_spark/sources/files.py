@@ -55,6 +55,26 @@ def read_json_with_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFr
     return spark.read.schema(TABLE_SCHEMAS[name]).json(path)
 
 
+def read_jsonl_gzip_with_schema(spark: SparkSession, sf_dir: str,
+                                name: str) -> DataFrame:
+    """Gzip-compressed JSON-lines scan — the wire format most training
+    corpora actually arrive in (.jsonl.gz shards). Spark decompresses
+    by extension transparently; the schema is declared, never inferred.
+
+    Scale note: gzip is NOT splittable — each .gz file is one scan
+    task, however large. The 100 TB posture is therefore many
+    moderate shards (file count >= cluster cores, each <~1 GB) or a
+    splittable codec (bzip2, or zstd with seekable framing); a single
+    monolithic .gz serializes the whole scan onto one core.
+    """
+    out = _cache_dir(sf_dir, name, "jsonl_gz")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, name)
+        (df.coalesce(1).write.mode("overwrite")
+           .option("compression", "gzip").json(out))
+    return spark.read.schema(TABLE_SCHEMAS[name]).json(out)
+
+
 def read_orc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """ORC scan. Unlike CSV/JSON the schema comes from the ORC footer
     (exact types, no inference pass); ORC gets the same pushdown/
