@@ -163,6 +163,10 @@ def decode_png_real(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated {ctype!r} chunk: declares {length} bytes but "
+                f"only {len(payload) - pos - 12} remain")
         body = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length:pos + 12 + length])
@@ -241,7 +245,10 @@ def decode_image_real(payload: bytes) -> dict:
     if payload[:8] == _PNG_SIG:
         return decode_png_real(payload)
     raise NotImplementedError(
-        "DCT image codecs (JPEG/...) not available in this container")
+        f"no decoder for payload with magic {payload[:8]!r}: netpbm and "
+        "PNG decode here; DCT codecs (JPEG/...) need a cluster image "
+        "(note: a valid PNG starts with the full 8-byte signature — a "
+        "shorter/corrupted prefix lands here, check for truncation)")
 
 
 def fake_decode_features(payload: bytes) -> dict:
@@ -473,11 +480,12 @@ def wrap_payloads_as_png(df: DataFrame, id_col: str = "doc_id",
 
 
 def image_features_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas REAL-decode stage: netpbm containers in, typed image
-    features out — dims and channel count from the parsed header, exact
-    integer pixel sum from the raster (padding zeros are sum-neutral, so
-    an oracle can recompute it from the pre-wrap bytes). Same Arrow
-    plumbing as the fake lane; the decode is `decode_image_real`."""
+    """mapInPandas REAL-decode stage: netpbm or PNG containers in,
+    typed image features out — dims and channel count from the parsed
+    header, exact integer pixel sum from the raster (padding zeros are
+    sum-neutral, so an oracle can recompute it from the pre-wrap
+    bytes). Same Arrow plumbing as the fake lane; the decode is
+    `decode_image_real`, which dispatches on magic."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def feats(b: bytes):

@@ -153,16 +153,9 @@ def mm_audio_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_features(wav, codec="wav")
 
 
-@query(
-    "mm_image_ppm_real", "multimodal", boost=True,
-    # Real IMAGE container codec end-to-end (netpbm needs no PIL): each
-    # document's bytes become a genuine P6 PPM (comment-bearing header +
-    # zero-padded RGB raster) in one Arrow stage; the next stage parses
-    # the container for real (decode_image_real -> decode_ppm_real) and
-    # emits header dims + the exact raster pixel sum. The oracle
-    # recomputes everything from the pre-wrap bytes: a header mis-parse,
-    # wrong padding, or raster misread hash-fails.
-    oracle="""
+# Shared by the PPM and PNG real-codec lanes: identical raster
+# geometry and output contract, different container.
+_IMAGE_FEATURES_ORACLE = """
     WITH b AS (
         SELECT doc_id, hex(encode(text)) AS hx,
                octet_length(encode(text)) AS n
@@ -179,7 +172,19 @@ def mm_audio_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT)),
                'sum'), 0) AS BIGINT) AS sum_pixels
     FROM b
-    """,
+    """
+
+
+@query(
+    "mm_image_ppm_real", "multimodal", boost=True,
+    # Real IMAGE container codec end-to-end (netpbm needs no PIL): each
+    # document's bytes become a genuine P6 PPM (comment-bearing header +
+    # zero-padded RGB raster) in one Arrow stage; the next stage parses
+    # the container for real (decode_image_real -> decode_ppm_real) and
+    # emits header dims + the exact raster pixel sum. The oracle
+    # recomputes everything from the pre-wrap bytes: a header mis-parse,
+    # wrong padding, or raster misread hash-fails.
+    oracle=_IMAGE_FEATURES_ORACLE,
     description="image lane with the REAL netpbm codec: PPM-wrap payloads, parse header+raster, exact pixel sum",
 )
 def mm_image_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,24 +295,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dims + the exact raster pixel sum. Same oracle contract as the
     # netpbm lane — the raster geometry is identical, so a filter-math
     # or inflate mistake hash-fails against bytes DuckDB sums directly.
-    oracle="""
-    WITH b AS (
-        SELECT doc_id, hex(encode(text)) AS hx,
-               octet_length(encode(text)) AS n
-        FROM documents)
-    SELECT doc_id,
-           CAST(32 AS BIGINT) AS width,
-           GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 96.0) AS BIGINT))
-               AS height,
-           CAST(3 AS BIGINT) AS channels,
-           GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 96.0) AS BIGINT)) * 96
-               AS n_pixel_bytes,
-           CAST(coalesce(list_aggregate(
-               list_transform(range(1, n + 1),
-                   i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT)),
-               'sum'), 0) AS BIGINT) AS sum_pixels
-    FROM b
-    """,
+    oracle=_IMAGE_FEATURES_ORACLE,
     description="image lane with a REAL compressed codec: PNG-wrap payloads (deflate+filters+CRC), decode, exact pixel sum",
 )
 def mm_image_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:

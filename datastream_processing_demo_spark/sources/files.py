@@ -30,7 +30,8 @@ def _cache_dir(sf_dir: str, name: str, fmt: str) -> str:
 
 
 def _materialize(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
-    """Write the parquet table as CSV/JSON once (idempotent via _SUCCESS)."""
+    """Write the parquet table as CSV/JSON/ORC/gzip-JSONL once
+    (idempotent via _SUCCESS)."""
     out = _cache_dir(sf_dir, name, fmt)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         df = load_table(spark, sf_dir, name)
@@ -39,6 +40,8 @@ def _materialize(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
             writer.option("header", "true").csv(out)
         elif fmt == "orc":
             writer.orc(out)
+        elif fmt == "jsonl_gz":
+            writer.option("compression", "gzip").json(out)
         else:
             writer.json(out)
     return out
@@ -67,12 +70,8 @@ def read_jsonl_gzip_with_schema(spark: SparkSession, sf_dir: str,
     splittable codec (bzip2, or zstd with seekable framing); a single
     monolithic .gz serializes the whole scan onto one core.
     """
-    out = _cache_dir(sf_dir, name, "jsonl_gz")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        df = load_table(spark, sf_dir, name)
-        (df.coalesce(1).write.mode("overwrite")
-           .option("compression", "gzip").json(out))
-    return spark.read.schema(TABLE_SCHEMAS[name]).json(out)
+    path = _materialize(spark, sf_dir, name, "jsonl_gz")
+    return spark.read.schema(TABLE_SCHEMAS[name]).json(path)
 
 
 def read_orc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

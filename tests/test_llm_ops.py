@@ -101,8 +101,13 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_real_codec_hook_is_stubbed():
+    # DCT formats remain the honest stub (netpbm and PNG decode for
+    # real); a JPEG SOI marker must raise, as must a payload matching
+    # no known magic.
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
+        decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")  # truncated signature != PNG
 
 
 def test_auto_n_planes_sizing_rule():
@@ -271,6 +276,9 @@ def test_png_codec_roundtrip_filters_crc_gray():
     bad[40] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png_real(bytes(bad))
+    # a chunk truncated mid-payload raises ValueError (not struct.error)
+    with pytest.raises(ValueError):
+        decode_png_real(png[:len(png) // 2])
     # unsupported variant (16-bit depth) raises loudly
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     deep = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
