@@ -509,3 +509,91 @@ def dedup_corpus_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  n_dup.alias("n_dup_grams"),
                  F.round(frac, 6).alias("dup_fraction"),
                  (frac > 0.5).alias("is_near_dup")))
+
+
+# --- portable bloom-filter decontamination --------------------------------
+# The "extreme eval sizes" swap documented on dedup_decontaminate, as real
+# code: instead of broadcasting the eval gram set (grows with the eval
+# corpus), broadcast its BLOOM BITMAP — at most M distinct bit positions
+# (here M = 2^16) no matter how many eval grams exist. The hash family is
+# md5-derived (portable), so Spark and DuckDB build the SAME bitmap and
+# flag the SAME docs — the oracle is exact INCLUDING the false positives.
+_BLOOM_K, _BLOOM_M = 4, 1 << 16
+
+
+def _bloom_pos_spark(i: int):
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")).cast("binary")),
+        1, 15), 16, 10).cast("long") % _BLOOM_M)
+
+
+def _bloom_oracle() -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    ng AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
+    ),
+    ks AS (SELECT unnest(range({_BLOOM_K})) AS i),
+    evpos AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(concat(ks.i, ':', gram)), 1, 15))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM (SELECT gram FROM ng WHERE doc_id % 20 = 0 GROUP BY gram)
+        CROSS JOIN ks),
+    trpos AS (
+        SELECT doc_id, gram,
+               CAST(concat('0x', substr(md5(concat(ks.i, ':', gram)), 1, 15))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM (SELECT doc_id, gram FROM ng WHERE doc_id % 20 <> 0)
+        CROSS JOIN ks),
+    hits AS (
+        SELECT doc_id, gram, COUNT(*) AS n_in
+        FROM trpos JOIN evpos USING (pos)
+        GROUP BY doc_id, gram)
+    SELECT doc_id, COUNT(*) AS n_bloom_grams
+    FROM hits WHERE n_in = {_BLOOM_K}
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_decontaminate_bloom", "dedup",
+    oracle=_bloom_oracle(),
+    description="bloom-filter decontamination: bounded-size bitmap broadcast, portable hashes, exact oracle incl. false positives",
+)
+def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a portable bloom filter: eval grams set K=4
+    bits in an M=2^16-bit bloom; a training gram is flagged when ALL
+    its K positions are set. The bitmap rides as a distinct-position
+    relation (<= M rows regardless of eval size — the bounded-broadcast
+    property that makes this the extreme-eval-scale path), broadcast
+    into an equi-join; the training side stays map-side explode + one
+    aggregate, exactly like the exact variant.
+
+    Bloom guarantees no false negatives (every exactly-contaminated doc
+    appears here; asserted in tests/test_llm_ops.py against
+    dedup_decontaminate) and the md5 hash family is engine-portable, so
+    the DuckDB oracle reproduces the bitmap bit-for-bit — even the
+    false positives match exactly.
+    """
+    from ..operators.spread import spread
+    from ..operators.text import word_ngrams
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = w.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("ws", 8))).alias("gram"))
+    pos_arr = F.array(*[_bloom_pos_spark(i) for i in range(_BLOOM_K)])
+    ev_pos = (grams.filter(F.col("doc_id") % 20 == 0)
+              .select(F.explode(pos_arr).alias("pos")).distinct())
+    tr_pos = (grams.filter(F.col("doc_id") % 20 != 0)
+              .select("doc_id", "gram", F.explode(pos_arr).alias("pos")))
+    hits = (tr_pos.join(F.broadcast(ev_pos), "pos")
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("n_in")))
+    return (hits.filter(F.col("n_in") == _BLOOM_K)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bloom_grams")))

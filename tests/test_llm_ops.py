@@ -354,3 +354,17 @@ def test_audio_lane_handles_tie_bytes_vs_oracle(spark):
                                 codec="wav").collect()[0]
     exp_peak = duckdb.sql("SELECT ROUND(97.0/128.0, 6)").fetchone()[0]
     assert row["peak"] == exp_peak == 0.757813
+
+
+def test_bloom_decontaminate_has_no_false_negatives(spark, sf_dir):
+    # The bloom guarantee: every doc the exact 8-gram overlap flags must
+    # also be bloom-flagged, with at least as many flagged grams (bloom
+    # can only add false positives, never drop a true hit).
+    from datastream_processing_demo_spark.plans.registry import get
+    exact = {r["doc_id"]: r["n_shared_grams"]
+             for r in get("dedup_decontaminate").spark(spark, sf_dir).collect()}
+    bloom = {r["doc_id"]: r["n_bloom_grams"]
+             for r in get("dedup_decontaminate_bloom").spark(spark, sf_dir).collect()}
+    for doc, n_exact in exact.items():
+        assert doc in bloom, f"doc {doc} exactly contaminated but not bloom-flagged"
+        assert bloom[doc] >= n_exact, (doc, bloom[doc], n_exact)
