@@ -368,3 +368,38 @@ def test_bloom_decontaminate_has_no_false_negatives(spark, sf_dir):
     for doc, n_exact in exact.items():
         assert doc in bloom, f"doc {doc} exactly contaminated but not bloom-flagged"
         assert bloom[doc] >= n_exact, (doc, bloom[doc], n_exact)
+
+
+def test_codec_roundtrips_property():
+    # Property round-trips over arbitrary byte payloads for all three
+    # real codecs (PNG exercises every filter via width=8 -> many rows).
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastream_processing_demo_spark.operators.multimodal import (
+        decode_png_real,
+        decode_ppm_real,
+        decode_wav_real,
+        encode_png_rgb,
+        encode_ppm_rgb,
+        encode_wav_u8,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def roundtrip(payload):
+        png = decode_png_real(encode_png_rgb(payload, width=8))
+        flat = png["pixels"].reshape(-1)
+        assert bytes(flat[:len(payload)].astype("uint8")) == payload
+        assert not flat[len(payload):].any()  # zero padding intact
+
+        ppm = decode_ppm_real(encode_ppm_rgb(payload, width=8))
+        assert (png["pixels"] == ppm["pixels"]).all()
+
+        wav = decode_wav_real(encode_wav_u8(payload))
+        expect = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                  - 128.0) / 128.0
+        assert np.array_equal(wav["samples"], expect)
+
+    roundtrip()
