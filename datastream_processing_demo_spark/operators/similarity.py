@@ -138,11 +138,13 @@ def lsh_bucket_col(vec_col: Column | str, n_planes: int = 12,
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 12, id_col: str = "vec_id",
              vec_col: str = "embedding", round_to: int = 6,
-             multiprobe: bool = True) -> DataFrame:
+             multiprobe: bool = True, probe_hamming: int = 1) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
-    With multiprobe, each query also probes every Hamming-1 neighbor of
-    its code (n_planes+1 probes) — the standard recall lever that costs
-    a broadcast fanout on the tiny query side, never a corpus rescan."""
+    With multiprobe, each query also probes every code within
+    `probe_hamming` bit flips of its own (1 + n_planes probes at
+    hamming 1; + C(n_planes,2) more at hamming 2) — the standard recall
+    lever, and THE dial `sim_ann_recall` measures: it costs a broadcast
+    fanout on the tiny query side only, never a corpus rescan."""
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).alias("c_vec"),
                               lsh_bucket_col(vec_col, n_planes).alias("bucket"))
@@ -150,11 +152,14 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).alias("q_vec"),
                        lsh_bucket_col(vec_col, n_planes).alias("bucket"))
     if multiprobe:
-        probes = F.array(F.col("bucket"), *[
-            F.expr(f"CAST(bucket AS BIGINT) ^ {1 << p}") for p in range(n_planes)
-        ])
+        flips = [F.col("bucket").cast("long")]
+        flips += [F.expr(f"CAST(bucket AS BIGINT) ^ {1 << p}")
+                  for p in range(n_planes)]
+        if probe_hamming >= 2:
+            flips += [F.expr(f"CAST(bucket AS BIGINT) ^ {(1 << p) | (1 << r)}")
+                      for p in range(n_planes) for r in range(p)]
         q = q.select("query_id", "q_vec",
-                     F.explode(probes).alias("bucket"))
+                     F.explode(F.array(*flips)).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -302,6 +302,51 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q"))
 
 
+@query(
+    "sim_lsh_topk_probe2", "similarity",
+    # Same deterministic bucketing as sim_lsh_topk, probing every code
+    # within Hamming 2 of the query's (1 + 8 + 28 = 37 of 256 buckets):
+    # the recall dial sim_ann_recall measures, exact-mirrored in SQL.
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         b AS (SELECT vec_id, v, {_bucket_sql(8)} AS bucket FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket
+               FROM b WHERE vec_id < 10),
+         probes AS (
+             SELECT query_id, qv,
+                    unnest(list_concat(
+                        list_concat(
+                            [CAST(bucket AS BIGINT)],
+                            list_transform(range(8),
+                                p -> CAST(xor(bucket, 1 << p) AS BIGINT))),
+                        flatten(list_transform(range(8), p ->
+                            list_transform(range(p), r ->
+                                CAST(xor(bucket, (1 << p) + (1 << r))
+                                     AS BIGINT))))))
+                        AS bucket
+             FROM q),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+         scored AS (
+             SELECT DISTINCT query_id, neighbor_id, {_COS} AS score
+             FROM probes JOIN c USING (bucket)
+             WHERE query_id != neighbor_id),
+         ranked AS (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id)
+                       AS rank
+             FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    description="sign-LSH top-k with Hamming-2 multiprobe (the measured recall dial)",
+)
+def sim_lsh_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                    n_planes=8, probe_hamming=2)
+
+
 # Recall contract for the two approximate ANN paths, composed from the
 # REGISTERED oracles of the exact and approximate queries themselves —
 # every component is deterministic, so recall@5 is a single exact
@@ -311,10 +356,12 @@ def _ann_recall_oracle() -> str:
     from .registry import _REGISTRY
     bf = _REGISTRY["sim_bruteforce_topk"].oracle
     lsh = _REGISTRY["sim_lsh_topk"].oracle
+    lsh2 = _REGISTRY["sim_lsh_topk_probe2"].oracle
     ivf = _REGISTRY["sim_ivf_topk"].oracle
     return f"""
     WITH bf AS ({bf}),
          lsh AS ({lsh}),
+         lsh2 AS ({lsh2}),
          ivf AS ({ivf})
     SELECT method, n_true, n_hits,
            ROUND(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall
@@ -323,6 +370,11 @@ def _ann_recall_oracle() -> str:
                (SELECT COUNT(*) FROM bf) AS n_true,
                (SELECT COUNT(*) FROM bf
                 JOIN lsh USING (query_id, neighbor_id)) AS n_hits
+        UNION ALL
+        SELECT 'lsh2' AS method,
+               (SELECT COUNT(*) FROM bf) AS n_true,
+               (SELECT COUNT(*) FROM bf
+                JOIN lsh2 USING (query_id, neighbor_id)) AS n_hits
         UNION ALL
         SELECT 'ivf' AS method,
                (SELECT COUNT(*) FROM bf) AS n_true,
@@ -338,18 +390,21 @@ def _ann_recall_oracle() -> str:
 )
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured at sf0.01: IVF (4/16 probes) recall@5 = 0.92; sign-LSH
-    (8 planes, Hamming-1 probes) recall@5 = 0.18. The numbers say what
-    the designs imply: IVF probes ~1/4 of the corpus and keeps most
-    true neighbors; 8-plane LSH shatters 1000 vectors across 256
-    buckets, great for near-dup candidate pairs (high-cosine vectors
-    collide) but thin for general top-k — lower n_planes or more
-    probes before using it as the 100 TB top-k path."""
+    8-plane recall@5 = 0.18 at Hamming-1 probes and 0.38 at Hamming-2
+    (37 of 256 buckets probed). The numbers say what the designs imply:
+    IVF probes ~1/4 of the corpus and keeps most true neighbors; LSH
+    shatters 1000 vectors across 256 buckets — great for near-dup
+    candidate pairs (high-cosine vectors collide), thin for general
+    top-k, and probe depth is the measured dial (each Hamming step
+    trades candidate volume for recall). Pick IVF for top-k at 100 TB;
+    pick LSH when the question is pair collision, not ranking."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     bf = (bruteforce_topk(emb, queries, k=5)
           .select("query_id", "neighbor_id"))
     approx = {
         "lsh": lsh_topk(emb, queries, k=5, n_planes=8),
+        "lsh2": lsh_topk(emb, queries, k=5, n_planes=8, probe_hamming=2),
         "ivf": ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4),
     }
     outs = []
