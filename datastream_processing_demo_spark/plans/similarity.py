@@ -1,9 +1,12 @@
 """Similarity-search queries over `embeddings` (SURVEY.md §2.2 LLM-ext).
 
-Brute-force cosine top-k is oracle-checked exactly (scores rounded to
-1e-6 before ranking on both engines — raw cosines agree to ~1e-15, so
-the rounded grid is stable); the LSH variant is the scale path, checked
-rows-only here and by a recall property test against brute force.
+Every query here is oracle-checked EXACTLY — including the approximate
+ones: cosine scores are rounded to 1e-6 before ranking on both engines
+(raw values agree to ~1e-15, so the rounded grid is stable), the
+sign-LSH bucket codes and probe sets are mirrored in SQL from the same
+integer hyperplanes, and the IVF oracle trains the same centroids in
+SQL. `sim_ann_recall` turns the approximation quality itself into a
+driver-gated exact number.
 """
 
 from __future__ import annotations
