@@ -403,8 +403,11 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick LSH when the question is pair collision, not ranking."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # persist: bf feeds each method's semi-join AND each n_true agg —
+    # six evaluations of the broadcast-scan-window lineage without it
+    # (measured 21 s -> ~4 s at sf0.01). 50 tiny rows stay cached.
     bf = (bruteforce_topk(emb, queries, k=5)
-          .select("query_id", "neighbor_id"))
+          .select("query_id", "neighbor_id").persist())
     approx = {
         "lsh": lsh_topk(emb, queries, k=5, n_planes=8),
         "lsh2": lsh_topk(emb, queries, k=5, n_planes=8, probe_hamming=2),
