@@ -166,7 +166,7 @@ def decode_png_real(payload: bytes) -> dict:
         if pos + 12 + length > len(payload):
             raise ValueError(
                 f"truncated {ctype!r} chunk: declares {length} bytes but "
-                f"only {len(payload) - pos - 12} remain")
+                f"only {max(0, len(payload) - pos - 12)} remain")
         body = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length:pos + 12 + length])
@@ -182,16 +182,27 @@ def decode_png_real(payload: bytes) -> dict:
     if ihdr is None:
         raise ValueError("missing IHDR")
     width, height, depth, ctype_id, comp, filt, interlace = ihdr
+    if width == 0 or height == 0:
+        raise ValueError(f"invalid PNG dimensions {width}x{height} "
+                         "(spec requires nonzero)")
     if depth != 8 or ctype_id not in (0, 2) or comp or filt or interlace:
         raise NotImplementedError(
             f"unsupported PNG variant (depth={depth} color={ctype_id} "
             f"interlace={interlace}); only 8-bit gray/RGB non-interlaced")
+    if not idat:
+        raise ValueError("missing IDAT")
     channels = 3 if ctype_id == 2 else 1
     stride = width * channels
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        # keep the documented ValueError contract: a CRC-valid chunk
+        # holding a non-deflate stream is still a corrupt payload
+        raise ValueError(f"corrupt IDAT deflate stream: {exc}") from exc
     if len(raw) != (stride + 1) * height:
         raise ValueError(
-            f"truncated raster: {len(raw)} of {(stride + 1) * height} bytes")
+            f"inflated raster is {len(raw)} bytes, IHDR implies "
+            f"{(stride + 1) * height}")
 
     out = np.zeros((height, stride), dtype=np.int64)
     prev = np.zeros(stride, dtype=np.int64)

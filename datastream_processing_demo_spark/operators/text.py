@@ -52,6 +52,19 @@ def marker_count(words: Column, markers: tuple[str, ...]) -> Column:
 GOPHER_STOPWORDS = ("the", "and", "of", "a", "in", "to")
 
 
+def exploded_ngrams(df, n: int, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """(id, gram) rows of each doc's DISTINCT word n-grams. The dedup is
+    array_distinct BEFORE the explode — within-row, zero shuffle (a
+    post-explode .distinct() would shuffle the entire gram stream; the
+    measured 2x win recorded in BASELINE.md round 3). Shared by the
+    decontamination family and the duplicated-span query so the
+    load-bearing placement can't silently diverge between call sites."""
+    w = df.select(id_col, F.split(text_col, " ").alias("ws"))
+    return w.select(
+        id_col, F.explode(F.array_distinct(word_ngrams("ws", n))).alias("gram"))
+
+
 def word_ngrams(words_col_name: str, n: int) -> Column:
     """Space-joined word n-grams of a pre-split array column, as an
     array column (empty when the doc has fewer than n words). Pure

@@ -437,13 +437,10 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entire gram stream, the thing this plan exists to avoid).
     """
     from ..operators.spread import spread
-    from ..operators.text import word_ngrams
+    from ..operators.text import exploded_ngrams
 
     docs = spread(t(spark, sf_dir, "documents"))
-    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    grams = w.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams("ws", 8))).alias("gram"))
+    grams = exploded_ngrams(docs, 8)
     ev = (grams.filter(F.col("doc_id") % 20 == 0)
           .withColumnRenamed("doc_id", "eval_doc_id"))
     tr = grams.filter(F.col("doc_id") % 20 != 0)
@@ -490,13 +487,10 @@ def dedup_corpus_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     — see dedup_decontaminate).
     """
     from ..operators.spread import spread
-    from ..operators.text import word_ngrams
+    from ..operators.text import exploded_ngrams
 
     docs = spread(t(spark, sf_dir, "documents"))
-    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    gd = w.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams("ws", 5))).alias("gram"))
+    gd = exploded_ngrams(docs, 5)
     hot = (gd.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
            .filter(F.col("df") >= 2)
            .select("gram", F.lit(1).alias("_hit")))
@@ -579,13 +573,10 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     false positives match exactly.
     """
     from ..operators.spread import spread
-    from ..operators.text import word_ngrams
+    from ..operators.text import exploded_ngrams
 
     docs = spread(t(spark, sf_dir, "documents"))
-    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    grams = w.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams("ws", 8))).alias("gram"))
+    grams = exploded_ngrams(docs, 8)
     pos_arr = F.array(*[_bloom_pos_spark(i) for i in range(_BLOOM_K)])
     ev_pos = (grams.filter(F.col("doc_id") % 20 == 0)
               .select(F.explode(pos_arr).alias("pos")).distinct())

@@ -404,8 +404,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     # persist: bf feeds each method's semi-join AND each n_true agg —
-    # six evaluations of the broadcast-scan-window lineage without it
-    # (measured 21 s -> ~4 s at sf0.01). 50 tiny rows stay cached.
+    # six evaluations of the broadcast-scan-window lineage without it.
+    # The eager localCheckpoint at the end lets us unpersist before
+    # returning, so repeated invocations don't accumulate cache entries.
     bf = (bruteforce_topk(emb, queries, k=5)
           .select("query_id", "neighbor_id").persist())
     approx = {
@@ -424,7 +425,12 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for s in outs[1:]:
         out = out.unionByName(s)
-    return out.select(
+    out = out.select(
         "method", "n_true", "n_hits",
         F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6)
             .alias("recall"))
+    # materialize the 3-row result now, then release the cached truth
+    # set — the caller gets a lineage-free frame, and nothing leaks.
+    out = out.localCheckpoint(eager=True)
+    bf.unpersist()
+    return out

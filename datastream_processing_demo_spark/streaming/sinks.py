@@ -51,23 +51,25 @@ def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0,
     on the next flush (ZhiYanSink.java:95-97,111) — earlier, already-
     acknowledged sub-batches are never retransmitted. The Spark analogue:
     a chunk that fails with a retryable signal (transport error, HTTP 429
-    or 5xx) is re-posted up to `retry_attempts` times with exponential
-    backoff, executor-side, without touching the chunks that already
-    succeeded. Only when retries are exhausted (or the status is a
-    non-retryable 4xx) does the task raise, falling back to the coarser
-    WAL micro-batch replay — where idempotent `_id`s keep the endpoint
-    exactly-once-effective.
+    or 5xx) is posted up to `retry_attempts` times TOTAL with exponential
+    backoff between attempts, executor-side, without touching the chunks
+    that already succeeded. Only when the budget is exhausted (or the
+    status is a non-retryable 4xx) does the task raise, falling back to
+    the coarser WAL micro-batch replay — where idempotent `_id`s keep
+    the endpoint exactly-once-effective.
     """
     u = urlparse(endpoint)
     key = (u.scheme, u.netloc)
     conn = _CONN_CACHE.get(key)
     last_err: str | Exception | None = None
-    # One FREE immediate reconnect per call, outside the backoff budget:
-    # a stale pooled keep-alive (server closed the idle socket between
-    # micro-batches) is the common benign case and must not sleep, and
-    # it must survive even retry_attempts=1 (which disables only the
-    # HTTP-level retain-retry).
-    free_reconnect = 1
+    # One FREE immediate reconnect per call, outside the backoff budget
+    # — but only when a POOLED connection existed to go stale (server
+    # closed the idle keep-alive between micro-batches, the common
+    # benign case; it must not sleep, and must survive retry_attempts=1,
+    # which disables only the HTTP-level retain-retry). A fresh
+    # connection that fails outright gets no freebie: a hard-down
+    # endpoint should consume the budget, not double-hammer.
+    free_reconnect = 1 if conn is not None else 0
     attempts_left = max(1, retry_attempts)
     n_backoffs = 0
     while True:

@@ -32,9 +32,9 @@ from datastream_processing_demo_spark.operators.dedup import (
 )
 from datastream_processing_demo_spark.operators.text import (
     GOPHER_STOPWORDS,
+    exploded_ngrams,
     marker_count,
     quality_cols,
-    word_ngrams,
 )
 from datastream_processing_demo_spark.session import EngineConfig, get_session
 
@@ -103,15 +103,8 @@ def main() -> None:
     # and the final anti-join, and without it the whole upstream
     # filter/dedup lineage would re-evaluate per use.
     docs = docs.persist()
-
-    def grams8(df):
-        return (df.select("doc_id", F.split("text", " ").alias("ws"))
-                .select("doc_id",
-                        F.explode(F.array_distinct(word_ngrams("ws", 8)))
-                        .alias("gram")))
-
-    ev_grams = grams8(eval_docs).select("gram").distinct()
-    contaminated = (grams8(docs)
+    ev_grams = exploded_ngrams(eval_docs, 8).select("gram").distinct()
+    contaminated = (exploded_ngrams(docs, 8)
                     .join(F.broadcast(ev_grams), "gram")
                     .select("doc_id").distinct())
     docs = docs.join(contaminated, "doc_id", "left_anti")
