@@ -286,6 +286,23 @@ def test_png_codec_roundtrip_filters_crc_gray():
             + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         decode_png_real(deep)
+    # spec-invalid zero dimension and CRC-valid-but-corrupt IDAT both
+    # keep the ValueError contract (never zlib.error / silent empties)
+    ihdr0 = struct.pack(">IIBBBBB", 0, 2, 8, 0, 0, 0, 0)
+    zero = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr0)
+            + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png_real(zero)
+    ihdr22 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    corrupt = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr22)
+               + chunk(b"IDAT", b"not-a-deflate-stream")
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png_real(corrupt)
+    no_idat = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr22)
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png_real(no_idat)
 
 
 def test_image_png_lane_matches_ppm_lane(spark, sf_dir):
