@@ -260,3 +260,73 @@ def win_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS run_median
         FROM win_median_base
     """)
+
+
+@query(
+    "win_funnel_stages", "windows",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_view
+        FROM events),
+    c AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click'
+                         AND prior_view IS NOT NULL THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_ok_click
+        FROM o)
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CASE WHEN event_type = 'view'
+                               THEN user_id END) AS n_viewed,
+           COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                AND prior_view IS NOT NULL
+                               THEN user_id END) AS n_clicked_after_view,
+           COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                AND prior_ok_click IS NOT NULL
+                               THEN user_id END) AS n_purchased_after_click
+    FROM c
+    """,
+    description="ordered-sequence funnel (view -> click -> purchase), strict event order, single-sort window chain",
+)
+def win_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: a click counts only if a view happened
+    STRICTLY earlier for that user, a purchase only if such a click
+    happened strictly earlier — "earlier" under the total (ts,
+    event_id) order, so ties are deterministic cross-engine.
+
+    The stage chain is two running-min windows over the SAME
+    (user_id; ts, event_id) window spec — Catalyst plans them in one
+    Exchange + one Sort (asserted in test_plans.py): at 100 TB the
+    whole N-stage funnel costs a single shuffle of the events table,
+    not one pass per stage (the naive agg-join-agg chain would
+    shuffle N times). The final count-distincts sit on the already
+    partitioned data.
+    """
+    e = t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    prior_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    o = e.select("user_id", "event_type", "ts", "event_id",
+                 prior_view.alias("prior_view"))
+    prior_ok_click = F.min(
+        F.when((F.col("event_type") == "click")
+               & F.col("prior_view").isNotNull(), F.col("ts"))).over(w)
+    c = o.withColumn("prior_ok_click", prior_ok_click)
+    return c.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("event_type") == "view",
+                               F.col("user_id"))).alias("n_viewed"),
+        F.countDistinct(F.when((F.col("event_type") == "click")
+                               & F.col("prior_view").isNotNull(),
+                               F.col("user_id")))
+            .alias("n_clicked_after_view"),
+        F.countDistinct(F.when((F.col("event_type") == "purchase")
+                               & F.col("prior_ok_click").isNotNull(),
+                               F.col("user_id")))
+            .alias("n_purchased_after_click"))

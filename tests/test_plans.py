@@ -452,3 +452,14 @@ def test_corpus_dup_fraction_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_corpus_dup_fraction")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_sort_shuffle(spark, sf_dir):
+    # The N-stage funnel must cost ONE shuffle + ONE sort of events:
+    # both running-min windows share the (user_id; ts, event_id) spec,
+    # so Catalyst stacks them on a single Exchange/Sort pair. A second
+    # hashpartitioning of the raw events would mean the naive
+    # one-shuffle-per-stage shape crept back in.
+    plan = _plan(spark, sf_dir, "win_funnel_stages")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert plan.count("Sort (") == 1, plan
