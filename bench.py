@@ -65,6 +65,7 @@ HEADLINE = [
     "text_gopher_rules",       # map-only Gopher quality gate
     "dedup_decontaminate",     # 8-gram eval-overlap broadcast join
     "dedup_corpus_dup_fraction",  # corpus duplicated-span fraction
+    "win_funnel_stages",       # single-shuffle ordered-sequence funnel
 ]
 
 RUNS = 3
