@@ -330,3 +330,111 @@ def win_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                                & F.col("prior_ok_click").isNotNull(),
                                F.col("user_id")))
             .alias("n_purchased_after_click"))
+
+
+@query(
+    "win_cohort_retention", "windows",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, event_type, ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events)
+    SELECT date_trunc('week', first_ts) AS cohort_week,
+           CAST(floor(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                                 CAST(ts AS DATE)) / 7) AS BIGINT)
+               AS week_offset,
+           COUNT(DISTINCT user_id) AS n_active,
+           COUNT(*) AS n_events
+    FROM f
+    GROUP BY 1, 2
+    """,
+    description="cohort retention matrix: first-seen week x weekly activity offset",
+)
+def win_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention analysis: bucket each user into the Monday-
+    anchored week of their first event (their cohort), then count
+    distinct active users per (cohort, weeks-since-cohort) cell.
+
+    The cohort assignment is a window min over user_id — it rides the
+    same shuffle the final aggregate needs anyway (user-correlated
+    keys), so the whole matrix costs the events table two hash
+    shuffles regardless of scale. Week arithmetic is date-only integer
+    math, bit-deterministic cross-engine.
+    """
+    e = t(spark, sf_dir, "events")
+    first_ts = F.min("ts").over(W.partitionBy("user_id"))
+    f = e.select("user_id", "event_type", "ts", first_ts.alias("first_ts"))
+    cohort = F.date_trunc("week", F.col("first_ts"))
+    offset = F.floor(
+        F.datediff(F.col("ts").cast("date"), cohort.cast("date")) / 7)
+    return (f.groupBy(cohort.alias("cohort_week"),
+                      offset.cast("long").alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_active"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@query(
+    "win_time_weighted_avg", "windows",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts,
+               max(ts) OVER (PARTITION BY user_id) AS last_ts
+        FROM events),
+    w AS (
+        SELECT user_id,
+               SUM(CAST(cents AS HUGEINT)
+                   * date_diff('microseconds', ts, next_ts)) AS wsum,
+               date_diff('microseconds', min(first_ts), min(last_ts)) AS span_us,
+               COUNT(*) AS n_events
+        FROM o WHERE next_ts IS NOT NULL
+        GROUP BY user_id)
+    SELECT user_id, n_events + 1 AS n_events,
+           ROUND(CAST(wsum AS DOUBLE)
+                 / CAST(span_us AS DOUBLE) / 100.0, 6) AS twap
+    FROM w WHERE span_us > 0
+    """,
+    description="time-weighted average value per user (TWAP): interval-weighted, exact integer accumulation",
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user — each reading is
+    weighted by how long it was current (until the next event), the
+    standard downsampling semantics for irregular time series (the
+    hypertable-rollup companion: rollups answer "per bucket", TWAP
+    answers "over the whole span").
+
+    Exactness: weights are integer microseconds, values are exact
+    integer cents, and the accumulation is a DECIMAL(38,0) sum
+    (DuckDB HUGEINT) — order-independent, so the one double division
+    at the end is bit-identical cross-engine. One shuffle: lead/min/max
+    windows and the final per-user aggregate all share the user_id
+    partitioning.
+    """
+    e = t(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = W.partitionBy("user_id")
+    o = e.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lead("ts").over(wo).alias("next_ts"),
+        F.min("ts").over(wp).alias("first_ts"),
+        F.max("ts").over(wp).alias("last_ts"))
+    us = (F.unix_micros(F.col("next_ts"))
+          - F.unix_micros(F.col("ts")))
+    span = (F.unix_micros(F.min("last_ts"))
+            - F.unix_micros(F.min("first_ts")))
+    w = (o.filter(F.col("next_ts").isNotNull())
+         .groupBy("user_id")
+         .agg(F.sum((F.col("cents").cast("decimal(38,0)")
+                     * us).cast("decimal(38,0)")).alias("wsum"),
+              span.alias("span_us"),
+              F.count(F.lit(1)).alias("n_events")))
+    return (w.filter(F.col("span_us") > 0)
+            .select("user_id",
+                    (F.col("n_events") + 1).alias("n_events"),
+                    F.round(F.col("wsum").cast("double")
+                            / F.col("span_us").cast("double") / 100.0, 6)
+                        .alias("twap")))
