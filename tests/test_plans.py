@@ -463,3 +463,18 @@ def test_funnel_single_sort_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "win_funnel_stages")
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert plan.count("Sort (") == 1, plan
+
+
+def test_twap_single_user_shuffle(spark, sf_dir):
+    # TWAP's lead/min/max windows and the per-user aggregate must all
+    # ride ONE hash partitioning of events by user_id.
+    plan = _plan(spark, sf_dir, "win_time_weighted_avg")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_cohort_retention_two_shuffles(spark, sf_dir):
+    # Cohort assignment (window min by user) + the matrix aggregate:
+    # exactly the user shuffle and the (cohort, offset) shuffle — a
+    # third would mean the window stopped sharing the user partitioning.
+    plan = _plan(spark, sf_dir, "win_cohort_retention")
+    assert plan.count("hashpartitioning(") == 2, plan
