@@ -438,3 +438,54 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("wsum").cast("double")
                             / F.col("span_us").cast("double") / 100.0, 6)
                         .alias("twap")))
+
+
+@query(
+    "win_scd2_intervals", "windows",
+    oracle="""
+    WITH chg AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    starts AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM chg
+        WHERE prev_type IS NULL OR prev_type <> event_type),
+    iv AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM starts)
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM iv
+    """,
+    description="SCD Type-2 history build: run-length validity intervals from an event stream",
+)
+def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history from raw events: runs
+    of the same event_type per user collapse into validity intervals
+    [valid_from, valid_to), open-ended on the latest run — the standard
+    way a dimension table's change history is materialized from a
+    change stream.
+
+    Run detection (lag != current) and interval closing (lead over the
+    surviving run-starts) are two windows on the same (user_id; ts,
+    event_id) spec with a filter between them — one shuffle + one sort
+    of the events table total; no self-join, no aggregation. Ties are
+    deterministic under the (ts, event_id) total order.
+    """
+    e = t(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(wo).alias("prev_type"))
+    starts = chg.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type")))
+    iv = starts.select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wo).alias("valid_to"))
+    return iv.select("user_id", "event_type", "valid_from", "valid_to",
+                     F.col("valid_to").isNull().alias("is_current"))
