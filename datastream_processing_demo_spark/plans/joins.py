@@ -344,3 +344,76 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("p_brand")
             .agg(F.count(F.lit(1)).alias("n_lines"),
                  exact_sum(F.col("l_extendedprice"), 2).alias("total_price")))
+
+
+@query(
+    "join_interval_bucketed", "joins",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               max(ts + INTERVAL 30 MINUTE) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+        FROM events),
+    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+                         THEN 1 ELSE 0 END AS is_new FROM o),
+    i AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+          FROM f),
+    s AS (SELECT user_id, MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL 30 MINUTE AS session_end
+          FROM i GROUP BY user_id, sess),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           COUNT(*) AS n_concurrent
+    FROM p JOIN s ON p.ts >= s.session_start AND p.ts < s.session_end
+    GROUP BY 1, 2, 3
+    """,
+    description="interval-overlap join via bucket explode (range join as equi-join)",
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range/interval join at scale: "how many sessions (any user) were
+    # active at the instant of each purchase". The naive plan is a pure
+    # theta join (p.ts BETWEEN start AND end) which OSS Spark executes
+    # as BroadcastNestedLoopJoin — O(points x intervals), a 100 TB
+    # killer. The scale shape bins time into fixed buckets: each
+    # interval is exploded to the buckets it covers (~span/width + 1
+    # copies; width is chosen near the median interval length so the
+    # blow-up is ~2x), each point maps to exactly ONE bucket, and the
+    # join becomes an equi-join on bucket plus a residual containment
+    # filter. Because the point's bucket is unique, a (point, interval)
+    # pair can match at most once — no post-join dedup. This is the
+    # same rewrite Databricks' range-join optimization applies
+    # automatically; here it is explicit and plan-audited (no BNLJ /
+    # no CartesianProduct, tests/test_plans.py). The reference has no
+    # joins at all (SURVEY §2.1.1); this is engine capability over its
+    # event-stream data model (DataStreamProcessingJob.java:41-66).
+    e = t(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end")))
+    # last covered bucket: end is exclusive, so truncate (end - 1us)
+    intervals = sessions.withColumn(
+        "bucket",
+        F.explode(F.sequence(
+            F.date_trunc("hour", F.col("session_start")),
+            F.date_trunc("hour",
+                         F.expr("session_end - INTERVAL 1 MICROSECOND")),
+            F.expr("INTERVAL 1 HOUR")))).alias("s")
+    points = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id",
+                F.col("ts").alias("purchase_ts"),
+                F.date_trunc("hour", F.col("ts")).alias("bucket"))).alias("p")
+    j = points.join(
+        intervals,
+        (F.col("p.bucket") == F.col("s.bucket"))
+        & (F.col("p.purchase_ts") >= F.col("s.session_start"))
+        & (F.col("p.purchase_ts") < F.col("s.session_end")))
+    return (j.groupBy("event_id", "user_id", "purchase_ts")
+            .agg(F.count(F.lit(1)).alias("n_concurrent")))

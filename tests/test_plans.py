@@ -482,3 +482,15 @@ def test_cohort_retention_two_shuffles(spark, sf_dir):
     # third would mean the window stopped sharing the user partitioning.
     plan = _plan(spark, sf_dir, "win_cohort_retention")
     assert plan.count("hashpartitioning(") == 2, plan
+
+
+def test_interval_join_is_bucket_equi_join(spark, sf_dir):
+    # The range join must compile to a hash/sort-merge EQUI-join on the
+    # time bucket with the containment predicate as a residual filter —
+    # never the BroadcastNestedLoopJoin Spark gives a pure theta join.
+    plan = _plan(spark, sf_dir, "join_interval_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
+    assert "bucket" in plan
