@@ -1,0 +1,189 @@
+"""Differential fuzzing of the scalar-expression surface: hypothesis
+generates random expression trees from a constrained ANSI-common
+grammar (integer arithmetic, comparisons, boolean logic, CASE,
+coalesce/nullif, string predicates, EXTRACT) and every tree is executed
+by BOTH engines — Spark SQL over the engine's catalog and DuckDB over
+the same parquet — and compared row-for-row.
+
+This is the test-strategy complement of the per-query oracle gate
+(tests/test_oracle_queries.py): the oracle gate proves the ~200
+hand-written queries; the fuzzer walks the expression space BETWEEN
+those queries, where dialect divergence hides (rounding, NULL
+propagation, sign of %, implicit casts). The grammar is deliberately
+restricted to constructs with identical documented semantics in Spark
+ANSI mode and DuckDB:
+
+- integer + - * with magnitude tracking (no overflow: every node's
+  worst-case |value| is bounded during generation and multiplication
+  is only emitted while the product bound stays under 2^50 — Spark
+  ANSI throws on int64 overflow, DuckDB widens to int128);
+- % only by positive literals (both engines: remainder takes the sign
+  of the dividend);
+- no division (Spark `div` vs DuckDB `//` spell integer division
+  differently), no doubles (representation noise), no regex (flavor
+  differences);
+- NULLs enter only via nullif() and must drain through coalesce() or
+  CASE, both three-valued-logic identical.
+
+Failures are real engine-semantics divergences by construction, and
+hypothesis shrinks them to a minimal expression. Runs derandomized
+(fixed example sequence) so CI is deterministic; crank
+SPARK_GRAFT_FUZZ_EXAMPLES up for a deeper local sweep.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datastream_processing_demo_spark.catalog import load_table, table_path
+
+MAX_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25"))
+# Spark ANSI throws on int64 overflow; DuckDB silently widens to
+# int128. Keep every node's provable |value| bound far below 2^63 so
+# both engines stay in int64 and agree.
+MUL_BOUND = 2 ** 50
+ADD_BOUND = 2 ** 55
+
+# integer leaves: (sql, worst-case |value| bound); column refs are
+# modded to small ranges so products stay bounded
+_INT_LEAVES: list[tuple[str, int]] = [
+    # every leaf is pinned to BIGINT: Spark's EXTRACT/length return
+    # 32-bit INT and ANSI mode throws on int32 overflow mid-expression,
+    # while DuckDB computes the same tree in BIGINT — a genuine dialect
+    # trap this harness itself surfaced (shrunk example:
+    # YEAR * (2 + YEAR * YEAR) ≈ 8e9 > int32). With BIGINT leaves both
+    # engines do 64-bit arithmetic and the MUL_BOUND guard is what
+    # keeps that from overflowing.
+    ("(l_orderkey % 97)", 97),
+    ("(l_partkey % 53)", 53),
+    ("(l_suppkey % 29)", 29),
+    ("CAST(l_linenumber AS BIGINT)", 7),
+    ("CAST(length(l_returnflag || l_linestatus) AS BIGINT)", 2),
+    ("CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)", 2000),
+    ("CAST(0 AS BIGINT)", 1), ("CAST(1 AS BIGINT)", 1),
+    ("CAST(2 AS BIGINT)", 2), ("CAST(7 AS BIGINT)", 7),
+    ("CAST(13 AS BIGINT)", 13),
+]
+
+_STR_PREDICATES = [
+    "l_returnflag = 'R'",
+    "l_returnflag <> 'A'",
+    "l_linestatus IN ('O', 'F')",
+    "l_returnflag < l_linestatus",
+    "substr(l_returnflag, 1, 1) = 'N'",
+]
+
+_CMP_OPS = ["=", "<>", "<", "<=", ">", ">="]
+
+
+@st.composite
+def _int_expr(draw, depth: int = 3) -> tuple[str, int]:
+    """Returns (sql, bound) where |value| <= bound on every row."""
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        return draw(st.sampled_from(_INT_LEAVES))
+    kind = draw(st.sampled_from(
+        ["add", "sub", "mul", "mod", "case", "coalesce_nullif"]))
+    if kind in ("add", "sub", "mul"):
+        a_sql, a_b = draw(_int_expr(depth=depth - 1))
+        b_sql, b_b = draw(_int_expr(depth=depth - 1))
+        if kind == "mul" and a_b * b_b <= MUL_BOUND:
+            return f"({a_sql} * {b_sql})", a_b * b_b
+        if a_b + b_b <= ADD_BOUND:
+            op = "-" if kind == "sub" else "+"
+            return f"({a_sql} {op} {b_sql})", a_b + b_b
+        return a_sql, a_b
+    if kind == "mod":
+        a_sql, a_b = draw(_int_expr(depth=depth - 1))
+        k = draw(st.integers(2, 50))
+        # both engines: sign of a % k follows the dividend
+        return f"({a_sql} % {k})", k
+    if kind == "case":
+        cond = draw(_bool_expr(depth=depth - 1))
+        a_sql, a_b = draw(_int_expr(depth=depth - 1))
+        b_sql, b_b = draw(_int_expr(depth=depth - 1))
+        return (f"(CASE WHEN {cond} THEN {a_sql} ELSE {b_sql} END)",
+                max(a_b, b_b))
+    # coalesce_nullif: manufactures NULLs, then drains them — both
+    # engines' nullif/coalesce are exactly SQL-standard
+    a_sql, a_b = draw(_int_expr(depth=depth - 1))
+    b_sql, b_b = draw(_int_expr(depth=depth - 1))
+    c_sql, c_b = draw(_int_expr(depth=depth - 1))
+    return (f"coalesce(nullif({a_sql}, {b_sql}), {c_sql})",
+            max(a_b, c_b))
+
+
+@st.composite
+def _bool_expr(draw, depth: int = 2) -> str:
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        if draw(st.booleans()):
+            return draw(st.sampled_from(_STR_PREDICATES))
+        a_sql, _ = draw(_int_expr(depth=1))
+        b_sql, _ = draw(_int_expr(depth=1))
+        op = draw(st.sampled_from(_CMP_OPS))
+        return f"({a_sql} {op} {b_sql})"
+    kind = draw(st.sampled_from(["and", "or", "not"]))
+    a = draw(_bool_expr(depth=depth - 1))
+    if kind == "not":
+        return f"(NOT {a})"
+    b = draw(_bool_expr(depth=depth - 1))
+    return f"({a} {'AND' if kind == 'and' else 'OR'} {b})"
+
+
+@pytest.fixture(scope="module")
+def fuzz_ctx(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "l_shipdate").cache()
+    li.createOrReplaceTempView("fuzz_lineitem")
+    li.count()  # materialize the cache once
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(f"""CREATE VIEW fuzz_lineitem AS
+                    SELECT * FROM read_parquet('{table_path(sf_dir, 'lineitem')}')""")
+    yield spark, con
+    spark.catalog.dropTempView("fuzz_lineitem")
+    li.unpersist()
+    con.close()
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_int_expr())
+def test_scalar_expressions_agree(fuzz_ctx, expr):
+    spark, con = fuzz_ctx
+    sql_txt, _bound = expr
+    # (l_orderkey, l_linenumber) is NOT unique in the driver testdata,
+    # so no SQL ORDER BY is total here; sort the full tuples in Python
+    # (None-aware) to compare order-independently.
+    q = (f"SELECT l_orderkey, l_linenumber, {sql_txt} AS v "
+         f"FROM fuzz_lineitem")
+    key = lambda r: (r[0], r[1], r[2] is None, r[2])  # noqa: E731
+    got = sorted((tuple(r) for r in spark.sql(q).collect()), key=key)
+    want = sorted(con.execute(q).fetchall(), key=key)
+    assert got == want, f"divergence for expression: {sql_txt}"
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(cond=_bool_expr(depth=3))
+def test_predicate_cardinality_agrees(fuzz_ctx, cond):
+    # the filter path: the SAME predicate must select the SAME rows
+    # (checked as id-sum + count so the comparison is order-free)
+    spark, con = fuzz_ctx
+    q = (f"SELECT COUNT(*) AS n, "
+         f"coalesce(SUM(l_orderkey * 10 + l_linenumber), 0) AS idsum "
+         f"FROM fuzz_lineitem WHERE {cond}")
+    g = spark.sql(q).collect()[0]
+    w = con.execute(q).fetchone()
+    assert (g["n"], g["idsum"]) == (w[0], w[1]), \
+        f"divergence for predicate: {cond}"
