@@ -187,3 +187,26 @@ def test_predicate_cardinality_agrees(fuzz_ctx, cond):
     w = con.execute(q).fetchone()
     assert (g["n"], g["idsum"]) == (w[0], w[1]), \
         f"divergence for predicate: {cond}"
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_int_expr(), cond=_bool_expr(depth=2))
+def test_grouped_aggregates_agree(fuzz_ctx, expr, cond):
+    # the hash-aggregate path: group by a column AND a fuzzed boolean
+    # key, aggregate a fuzzed integer expression. SUM over 6k rows
+    # needs |expr| <= 2^40 so the Spark-side BIGINT sum cannot
+    # overflow (DuckDB widens SUM to int128 and would mask it).
+    from hypothesis import assume
+    spark, con = fuzz_ctx
+    sql_txt, bound = expr
+    assume(bound <= 2 ** 40)
+    q = (f"SELECT l_returnflag, {cond} AS k2, COUNT(*) AS n, "
+         f"SUM({sql_txt}) AS s, MIN({sql_txt}) AS mn, "
+         f"MAX({sql_txt}) AS mx, "
+         f"COUNT(DISTINCT {sql_txt}) AS nd "
+         f"FROM fuzz_lineitem GROUP BY l_returnflag, {cond}")
+    got = sorted(tuple(r) for r in spark.sql(q).collect())
+    want = sorted(tuple(r) for r in con.execute(q).fetchall())
+    assert got == want, f"divergence for agg of {sql_txt} by {cond}"
