@@ -210,3 +210,27 @@ def test_grouped_aggregates_agree(fuzz_ctx, expr, cond):
     got = sorted(tuple(r) for r in spark.sql(q).collect())
     want = sorted(tuple(r) for r in con.execute(q).fetchall())
     assert got == want, f"divergence for agg of {sql_txt} by {cond}"
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_int_expr(), cond=_bool_expr(depth=1))
+def test_window_partition_aggregates_agree(fuzz_ctx, expr, cond):
+    # the Window exec path: partition-only frames (no ORDER BY => the
+    # frame is the whole partition) are deterministic per row even with
+    # duplicate keys, so they fuzz cleanly. Partition by a fuzzed
+    # boolean key to vary partition shapes; same 2^40 sum bound as the
+    # grouped-aggregate lane.
+    from hypothesis import assume
+    spark, con = fuzz_ctx
+    sql_txt, bound = expr
+    assume(bound <= 2 ** 40)
+    q = (f"SELECT l_orderkey, l_linenumber, "
+         f"SUM({sql_txt}) OVER (PARTITION BY l_returnflag, {cond}) AS ws, "
+         f"COUNT(*) OVER (PARTITION BY l_returnflag, {cond}) AS wn, "
+         f"MIN({sql_txt}) OVER (PARTITION BY {cond}) AS wmn "
+         f"FROM fuzz_lineitem")
+    got = sorted(tuple(r) for r in spark.sql(q).collect())
+    want = sorted(tuple(r) for r in con.execute(q).fetchall())
+    assert got == want, f"divergence for window agg of {sql_txt} by {cond}"
