@@ -391,12 +391,12 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no CartesianProduct, tests/test_plans.py). The reference has no
     # joins at all (SURVEY §2.1.1); this is engine capability over its
     # event-stream data model (DataStreamProcessingJob.java:41-66).
+    from ..streaming.windows import session_windows
     e = t(spark, sf_dir, "events")
-    sessions = (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end")))
+    # the ONE session definition (streaming/windows.py) — the oracle's
+    # gaps-and-islands fixpoint mirrors exactly that helper's semantics
+    sessions = session_windows(e, gap="30 minutes").select(
+        "session_start", "session_end")
     # last covered bucket: end is exclusive, so truncate (end - 1us)
     intervals = sessions.withColumn(
         "bucket",

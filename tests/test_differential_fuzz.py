@@ -38,12 +38,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from datastream_processing_demo_spark.catalog import load_table, table_path
+from datastream_processing_demo_spark.catalog import load_table
 
 MAX_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25"))
 # Spark ANSI throws on int64 overflow; DuckDB silently widens to
@@ -138,20 +137,18 @@ def _bool_expr(draw, depth: int = 2) -> str:
 
 
 @pytest.fixture(scope="module")
-def fuzz_ctx(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_returnflag", "l_linestatus", "l_shipdate").cache()
-    li.createOrReplaceTempView("fuzz_lineitem")
-    li.count()  # materialize the cache once
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    con.execute(f"""CREATE VIEW fuzz_lineitem AS
-                    SELECT * FROM read_parquet('{table_path(sf_dir, 'lineitem')}')""")
-    yield spark, con
-    spark.catalog.dropTempView("fuzz_lineitem")
+def fuzz_ctx(spark, sf_dir, oracle_con):
+    # Reuse the conftest oracle connection (its `lineitem` view +
+    # TimeZone canonicalization are THE oracle conventions; a private
+    # connection here would silently fork them). Spark side registers
+    # the same real-named temp view register_views() uses, cached for
+    # the duration of the fuzz module. n_rows feeds the SUM-overflow
+    # guard so the bound scales with whatever SF the suite runs at.
+    li = load_table(spark, sf_dir, "lineitem").cache()
+    li.createOrReplaceTempView("lineitem")
+    n_rows = li.count()  # also materializes the cache once
+    yield spark, oracle_con, n_rows
     li.unpersist()
-    con.close()
 
 
 @settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
@@ -159,13 +156,13 @@ def fuzz_ctx(spark, sf_dir):
                                  HealthCheck.too_slow])
 @given(expr=_int_expr())
 def test_scalar_expressions_agree(fuzz_ctx, expr):
-    spark, con = fuzz_ctx
+    spark, con, n_rows = fuzz_ctx
     sql_txt, _bound = expr
     # (l_orderkey, l_linenumber) is NOT unique in the driver testdata,
     # so no SQL ORDER BY is total here; sort the full tuples in Python
     # (None-aware) to compare order-independently.
     q = (f"SELECT l_orderkey, l_linenumber, {sql_txt} AS v "
-         f"FROM fuzz_lineitem")
+         f"FROM lineitem")
     key = lambda r: (r[0], r[1], r[2] is None, r[2])  # noqa: E731
     got = sorted((tuple(r) for r in spark.sql(q).collect()), key=key)
     want = sorted(con.execute(q).fetchall(), key=key)
@@ -179,10 +176,10 @@ def test_scalar_expressions_agree(fuzz_ctx, expr):
 def test_predicate_cardinality_agrees(fuzz_ctx, cond):
     # the filter path: the SAME predicate must select the SAME rows
     # (checked as id-sum + count so the comparison is order-free)
-    spark, con = fuzz_ctx
+    spark, con, n_rows = fuzz_ctx
     q = (f"SELECT COUNT(*) AS n, "
          f"coalesce(SUM(l_orderkey * 10 + l_linenumber), 0) AS idsum "
-         f"FROM fuzz_lineitem WHERE {cond}")
+         f"FROM lineitem WHERE {cond}")
     g = spark.sql(q).collect()[0]
     w = con.execute(q).fetchone()
     assert (g["n"], g["idsum"]) == (w[0], w[1]), \
@@ -196,17 +193,18 @@ def test_predicate_cardinality_agrees(fuzz_ctx, cond):
 def test_grouped_aggregates_agree(fuzz_ctx, expr, cond):
     # the hash-aggregate path: group by a column AND a fuzzed boolean
     # key, aggregate a fuzzed integer expression. SUM over 6k rows
-    # needs |expr| <= 2^40 so the Spark-side BIGINT sum cannot
-    # overflow (DuckDB widens SUM to int128 and would mask it).
+    # must stay under int64 whatever SF the suite runs at, so the
+    # per-row bound is derived from the actual row count (DuckDB widens
+    # SUM to int128 and would mask a Spark-side ANSI overflow).
     from hypothesis import assume
-    spark, con = fuzz_ctx
+    spark, con, n_rows = fuzz_ctx
     sql_txt, bound = expr
-    assume(bound <= 2 ** 40)
+    assume(bound <= (2 ** 62) // max(n_rows, 1))
     q = (f"SELECT l_returnflag, {cond} AS k2, COUNT(*) AS n, "
          f"SUM({sql_txt}) AS s, MIN({sql_txt}) AS mn, "
          f"MAX({sql_txt}) AS mx, "
          f"COUNT(DISTINCT {sql_txt}) AS nd "
-         f"FROM fuzz_lineitem GROUP BY l_returnflag, {cond}")
+         f"FROM lineitem GROUP BY l_returnflag, {cond}")
     got = sorted(tuple(r) for r in spark.sql(q).collect())
     want = sorted(tuple(r) for r in con.execute(q).fetchall())
     assert got == want, f"divergence for agg of {sql_txt} by {cond}"
@@ -220,17 +218,17 @@ def test_window_partition_aggregates_agree(fuzz_ctx, expr, cond):
     # the Window exec path: partition-only frames (no ORDER BY => the
     # frame is the whole partition) are deterministic per row even with
     # duplicate keys, so they fuzz cleanly. Partition by a fuzzed
-    # boolean key to vary partition shapes; same 2^40 sum bound as the
-    # grouped-aggregate lane.
+    # boolean key to vary partition shapes; same row-count-derived
+    # sum bound as the grouped-aggregate lane.
     from hypothesis import assume
-    spark, con = fuzz_ctx
+    spark, con, n_rows = fuzz_ctx
     sql_txt, bound = expr
-    assume(bound <= 2 ** 40)
+    assume(bound <= (2 ** 62) // max(n_rows, 1))
     q = (f"SELECT l_orderkey, l_linenumber, "
          f"SUM({sql_txt}) OVER (PARTITION BY l_returnflag, {cond}) AS ws, "
          f"COUNT(*) OVER (PARTITION BY l_returnflag, {cond}) AS wn, "
          f"MIN({sql_txt}) OVER (PARTITION BY {cond}) AS wmn "
-         f"FROM fuzz_lineitem")
+         f"FROM lineitem")
     got = sorted(tuple(r) for r in spark.sql(q).collect())
     want = sorted(tuple(r) for r in con.execute(q).fetchall())
     assert got == want, f"divergence for window agg of {sql_txt} by {cond}"
