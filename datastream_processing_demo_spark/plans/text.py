@@ -809,3 +809,75 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop)
             .alias("passes_gopher"))
+
+
+@query(
+    "text_segment_dedup", "text",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    seg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, CAST(ceil(len(words) / 12.0) AS BIGINT) + 1),
+                   i -> struct_pack(
+                       idx := i,
+                       seg := array_to_string(
+                           list_slice(words, (i - 1) * 12 + 1, i * 12), ' '))),
+                   recursive := true)
+        FROM w),
+    enc AS (SELECT doc_id, idx, seg,
+                   doc_id * 1000000 + idx AS encoded FROM seg),
+    own AS (SELECT seg, MIN(encoded) AS own_enc FROM enc GROUP BY seg)
+    SELECT e.doc_id,
+           COUNT(*) AS n_segments,
+           COUNT(*) FILTER (WHERE e.encoded = o.own_enc) AS n_kept,
+           coalesce(string_agg(e.seg, ' ' ORDER BY e.idx)
+                        FILTER (WHERE e.encoded = o.own_enc), '')
+               AS kept_text
+    FROM enc e JOIN own o ON e.seg = o.seg
+    GROUP BY e.doc_id
+    """,
+    description="corpus-wide segment-level exact dedup: keep first occurrence, reassemble in order",
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RefinedWeb/CCNet-style line-level dedup re-expressed for this
+    # corpus (documents are single-line word streams, so "lines" are
+    # fixed 12-word segments): a segment repeated anywhere in the
+    # corpus survives only at its first occurrence (min (doc_id, idx),
+    # encoded as one BIGINT so plain MIN works identically on both
+    # engines); every document is then REASSEMBLED from its surviving
+    # segments in original order. Scale shape: explode -> partial-agg
+    # min per segment (map-side combine, never a window over a hot
+    # segment's whole partition) -> equi-join back on segment -> one
+    # groupBy(doc_id) with array_sort(collect_list(struct)) for
+    # order-preserving reassembly. Two shuffles + the join; no
+    # quadratic term, no Python. The 100 TB posture matches
+    # dedup_corpus_dup_fraction's join-back shape (BASELINE.md records
+    # the df=1-ownership rewrite measuring 2.7x slower).
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(12.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), n_seg),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            F.array_join(F.slice(words, i.cast("int") * 12 - 11, F.lit(12)),
+                         " ").alias("seg")))
+    seg = (d.select("doc_id", F.explode(segs).alias("s"))
+           .select("doc_id", F.col("s.idx").alias("idx"),
+                   F.col("s.seg").alias("seg"),
+                   (F.col("doc_id") * 1000000 + F.col("s.idx"))
+                       .alias("encoded")))
+    own = seg.groupBy("seg").agg(F.min("encoded").alias("own_enc"))
+    j = seg.join(own, "seg")
+    is_kept = F.col("encoded") == F.col("own_enc")
+    kept = F.when(is_kept, F.struct("idx", "seg"))
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.count(F.when(is_kept, 1)).alias("n_kept"),
+                 F.coalesce(
+                     F.array_join(
+                         F.transform(F.array_sort(F.collect_list(kept)),
+                                     lambda s: s["seg"]), " "),
+                     F.lit("")).alias("kept_text")))

@@ -494,3 +494,14 @@ def test_interval_join_is_bucket_equi_join(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan), plan
     assert "bucket" in plan
+
+
+def test_segment_dedup_two_key_shuffles_no_python(spark, sf_dir):
+    # Segment dedup must be: explode -> min-agg per segment -> equi-join
+    # back (riding the SAME seg partitioning) -> one doc_id reassembly
+    # shuffle. Exactly two hash keys, no quadratic operator, no Python.
+    plan = _plan(spark, sf_dir, "text_segment_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "hashpartitioning(seg" in plan and "hashpartitioning(doc_id" in plan
