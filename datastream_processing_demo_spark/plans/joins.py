@@ -391,29 +391,18 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no CartesianProduct, tests/test_plans.py). The reference has no
     # joins at all (SURVEY §2.1.1); this is engine capability over its
     # event-stream data model (DataStreamProcessingJob.java:41-66).
+    from ..operators.intervals import interval_overlap_join
     from ..streaming.windows import session_windows
     e = t(spark, sf_dir, "events")
     # the ONE session definition (streaming/windows.py) — the oracle's
     # gaps-and-islands fixpoint mirrors exactly that helper's semantics
     sessions = session_windows(e, gap="30 minutes").select(
         "session_start", "session_end")
-    # last covered bucket: end is exclusive, so truncate (end - 1us)
-    intervals = sessions.withColumn(
-        "bucket",
-        F.explode(F.sequence(
-            F.date_trunc("hour", F.col("session_start")),
-            F.date_trunc("hour",
-                         F.expr("session_end - INTERVAL 1 MICROSECOND")),
-            F.expr("INTERVAL 1 HOUR")))).alias("s")
-    points = (
-        e.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id",
-                F.col("ts").alias("purchase_ts"),
-                F.date_trunc("hour", F.col("ts")).alias("bucket"))).alias("p")
-    j = points.join(
-        intervals,
-        (F.col("p.bucket") == F.col("s.bucket"))
-        & (F.col("p.purchase_ts") >= F.col("s.session_start"))
-        & (F.col("p.purchase_ts") < F.col("s.session_end")))
+    points = (e.filter(F.col("event_type") == "purchase")
+              .select("event_id", "user_id",
+                      F.col("ts").alias("purchase_ts")))
+    j = interval_overlap_join(points, sessions, point_ts="purchase_ts",
+                              start="session_start", end="session_end",
+                              width_s=3600)
     return (j.groupBy("event_id", "user_id", "purchase_ts")
             .agg(F.count(F.lit(1)).alias("n_concurrent")))

@@ -90,3 +90,37 @@ def test_cluster_canonical_covers_all_paired_docs(spark, sf_dir):
     for cid, members in by_cluster.items():
         assert cid == min(m["doc_id"] for m in members)
         assert sum(m["is_canonical"] for m in members) == 1
+
+
+def test_interval_overlap_join_width_invariant_and_matches_theta(spark, sf_dir):
+    # The bucket rewrite's contract: results are IDENTICAL for any
+    # bucket width, and identical to the naive theta join (the
+    # semantics), which is only affordable as ground truth at sf0.001.
+    from datastream_processing_demo_spark.catalog import load_table
+    from datastream_processing_demo_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+    from datastream_processing_demo_spark.streaming.windows import (
+        session_windows,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sessions = session_windows(e, gap="30 minutes").select(
+        "session_start", "session_end")
+    points = (e.filter(F.col("event_type") == "purchase")
+              .select("event_id", F.col("ts").alias("purchase_ts")))
+
+    def key(df):
+        return sorted(
+            (r["event_id"], r["session_start"], r["session_end"])
+            for r in df.collect())
+
+    truth = key(points.alias("p").crossJoin(sessions.alias("s")).filter(
+        (F.col("purchase_ts") >= F.col("session_start"))
+        & (F.col("purchase_ts") < F.col("session_end"))))
+    assert truth, "fixture must produce at least one overlap"
+    for width_s in (600, 3600, 6 * 3600):
+        got = key(interval_overlap_join(
+            points, sessions, point_ts="purchase_ts",
+            start="session_start", end="session_end", width_s=width_s))
+        assert got == truth, f"width_s={width_s} diverged from theta join"
