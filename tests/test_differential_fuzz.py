@@ -67,6 +67,8 @@ _INT_LEAVES: list[tuple[str, int]] = [
     ("CAST(l_linenumber AS BIGINT)", 7),
     ("CAST(length(l_returnflag || l_linestatus) AS BIGINT)", 2),
     ("CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)", 2000),
+    ("CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT)", 12),
+    ("CAST(EXTRACT(DAY FROM l_shipdate) AS BIGINT)", 31),
     ("CAST(0 AS BIGINT)", 1), ("CAST(1 AS BIGINT)", 1),
     ("CAST(2 AS BIGINT)", 2), ("CAST(7 AS BIGINT)", 7),
     ("CAST(13 AS BIGINT)", 13),
@@ -232,3 +234,54 @@ def test_window_partition_aggregates_agree(fuzz_ctx, expr, cond):
     got = sorted(tuple(r) for r in spark.sql(q).collect())
     want = sorted(tuple(r) for r in con.execute(q).fetchall())
     assert got == want, f"divergence for window agg of {sql_txt} by {cond}"
+
+
+# string grammar: constructs whose semantics are identical in Spark
+# ANSI mode and DuckDB (no collation surprises: ASCII-only inputs, no
+# regex, substr with 1-based positive start only)
+_STR_LEAVES = [
+    "l_returnflag", "l_linestatus",
+    "(l_returnflag || l_linestatus)",
+    "'x'", "''", "'AB'",
+]
+
+
+@st.composite
+def _str_expr(draw, depth: int = 3) -> str:
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        return draw(st.sampled_from(_STR_LEAVES))
+    kind = draw(st.sampled_from(
+        ["concat", "upper", "lower", "substr", "trim", "replace", "case"]))
+    a = draw(_str_expr(depth=depth - 1))
+    if kind == "concat":
+        b = draw(_str_expr(depth=depth - 1))
+        return f"({a} || {b})"
+    if kind in ("upper", "lower", "trim"):
+        return f"{kind}({a})"
+    if kind == "substr":
+        start = draw(st.integers(1, 3))
+        ln = draw(st.integers(0, 4))
+        return f"substr({a}, {start}, {ln})"
+    if kind == "replace":
+        b = draw(st.sampled_from(["'A'", "'N'", "'x'"]))
+        c = draw(st.sampled_from(["'z'", "''", "'yy'"]))
+        return f"replace({a}, {b}, {c})"
+    cond = draw(_bool_expr(depth=1))
+    b = draw(_str_expr(depth=depth - 1))
+    return f"(CASE WHEN {cond} THEN {a} ELSE {b} END)"
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_str_expr())
+def test_string_expressions_agree(fuzz_ctx, expr):
+    # the string codegen path, compared as exact values (order-free via
+    # the same None-aware full-tuple sort as the scalar lane)
+    spark, con, n_rows = fuzz_ctx
+    q = (f"SELECT l_orderkey, l_linenumber, {expr} AS v "
+         f"FROM lineitem")
+    key = lambda r: (r[0], r[1], r[2] is None, r[2])  # noqa: E731
+    got = sorted((tuple(r) for r in spark.sql(q).collect()), key=key)
+    want = sorted(con.execute(q).fetchall(), key=key)
+    assert got == want, f"divergence for string expression: {expr}"
