@@ -12,9 +12,13 @@ zlib inflate, full five-filter scanline reconstruction). The AUDIO lane
 likewise runs a REAL container codec: `decode_wav_real` parses genuine
 RIFF/WAVE files (stdlib `wave` + numpy PCM decode, 8/16-bit,
 multichannel downmix) and plugs into the same windowed-feature stage as
-the fake PCM path (`audio_window_features(codec="wav")`). Only DCT
-formats (JPEG) still raise NotImplementedError — swapping in a codec
-changes one function.
+the fake PCM path (`audio_window_features(codec="wav")`). The LOSSY DCT
+family is covered too: `operators/jpeg.py` implements a genuine
+baseline grayscale JPEG codec (FDCT/IDCT, quantization, Annex K
+Huffman, byte stuffing), gated by a bounded-reconstruction-error
+contract since lossy codecs admit no exact pixel-sum oracle. Only
+formats needing third-party libraries (color/progressive JPEG, video
+containers) still raise.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY — scans
 prune them unless projected; mapInPandas streams Arrow batches so a
@@ -246,18 +250,23 @@ def decode_png_real(payload: bytes) -> dict:
 
 def decode_image_real(payload: bytes) -> dict:
     """Real image decode hook. Binary netpbm (P5/P6) parses via
-    `decode_ppm_real`; PNG — a genuinely COMPRESSED container — parses
-    via `decode_png_real` (stdlib zlib inflate + five-filter scanline
-    reconstruction, no third-party codec). JPEG and other DCT formats
-    need PIL/ffmpeg, which this container does not ship; they raise
-    until a cluster image provides one."""
+    `decode_ppm_real`; PNG — a genuinely COMPRESSED container — via
+    `decode_png_real` (stdlib zlib inflate + five-filter scanline
+    reconstruction); baseline grayscale JPEG — a genuinely LOSSY DCT
+    codec — via `operators.jpeg.decode_jpeg_gray` (full marker walk,
+    in-file Huffman tables, dequant + IDCT). No third-party codec
+    anywhere. Anything else (color/progressive JPEG, video) raises."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm_real(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png_real(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from .jpeg import decode_jpeg_gray
+        return decode_jpeg_gray(payload)
     raise NotImplementedError(
-        f"no decoder for payload with magic {payload[:8]!r}: netpbm and "
-        "PNG decode here; DCT codecs (JPEG/...) need a cluster image "
+        f"no decoder for payload with magic {payload[:8]!r}: netpbm, "
+        "PNG and baseline grayscale JPEG decode here; other formats "
+        "need a cluster image with PIL/ffmpeg "
         "(note: a valid PNG starts with the full 8-byte signature — a "
         "shorter/corrupted prefix lands here, check for truncation)")
 
@@ -606,3 +615,63 @@ def resize_payloads(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, "payload").mapInPandas(
         run, schema=(f"{id_col} long, out_w int, out_h int, "
                      "n_out_bytes long, resized binary"))
+
+
+def wrap_payloads_as_jpeg(df: DataFrame, id_col: str = "doc_id",
+                          width: int = 32) -> DataFrame:
+    """mapInPandas encode stage: raw binary payloads -> genuine
+    baseline grayscale JPEGs (FDCT + quant + Annex K Huffman + byte
+    stuffing). The ORIGINAL payload rides alongside the JPEG bytes:
+    JPEG is lossy, so the downstream contract stage needs it to
+    measure reconstruction error."""
+    from .jpeg import encode_jpeg_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": pdf["payload"],
+                "jpeg": pdf["payload"].map(
+                    lambda b: encode_jpeg_gray(bytes(b), width)),
+            })
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema=f"{id_col} long, payload binary, jpeg binary")
+
+
+def image_error_contract(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas REAL-decode stage for the LOSSY lane: parse each
+    JPEG for real (marker walk, in-file Huffman tables, dequant, IDCT)
+    and emit exact geometry plus a reconstruction-error-within-bound
+    flag vs the original payload — the agg_approx_bounds-style
+    contract an exact pixel-sum oracle can't express for a lossy
+    codec. A broken DCT/zigzag/Huffman/stuffing step flips the flag
+    and hash-fails the driver compare."""
+    import numpy as np
+
+    from .jpeg import MAX_ABS_ERR, decode_jpeg_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feats(orig, jpg):
+            d = decode_jpeg_gray(bytes(jpg))
+            w, h = d["width"], d["height"]
+            o = np.frombuffer(
+                bytes(orig) + b"\x00" * (w * h - len(orig)),
+                dtype=np.uint8).reshape(h, w)
+            err = int(np.max(np.abs(d["pixels"].astype(np.int64)
+                                    - o.astype(np.int64))))
+            return (w, h, err <= MAX_ABS_ERR)
+
+        for pdf in batches:
+            rows = [feats(o, j)
+                    for o, j in zip(pdf["payload"], pdf["jpeg"])]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": [r[0] for r in rows],
+                "height": [r[1] for r in rows],
+                "err_within_bound": [r[2] for r in rows],
+            })
+
+    return df.mapInPandas(
+        run, schema=(f"{id_col} long, width long, height long, "
+                     "err_within_bound boolean"))

@@ -305,3 +305,37 @@ def mm_image_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     png = wrap_payloads_as_png(to_binary_payload(t(spark, sf_dir, "documents")))
     return image_features_real(png)
+
+
+@query(
+    "mm_image_jpeg_real", "multimodal",
+    # Real LOSSY DCT codec end-to-end, no third-party install: one
+    # Arrow stage FDCT+quantize+Huffman-encodes each document's bytes
+    # as a genuine baseline grayscale JPEG (Annex K tables, byte
+    # stuffing); the next stage decodes it for real (marker walk,
+    # in-file Huffman tables, dequant, IDCT) and emits exact geometry
+    # plus a reconstruction-error-within-bound flag vs the original
+    # bytes. Lossy means no exact pixel-sum oracle can exist; the
+    # contract is the agg_approx_bounds pattern — the oracle computes
+    # the geometry DuckDB can derive from payload length and pins the
+    # error flag TRUE, so any codec defect hash-fails.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS width,
+           GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 32.0) AS BIGINT))
+               AS height,
+           TRUE AS err_within_bound
+    FROM b
+    """,
+    description="image lane with a REAL lossy DCT codec: JPEG-wrap payloads (FDCT+Huffman), decode, bounded-error contract",
+)
+def mm_image_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        image_error_contract,
+        wrap_payloads_as_jpeg,
+    )
+    jpg = wrap_payloads_as_jpeg(
+        to_binary_payload(t(spark, sf_dir, "documents")))
+    return image_error_contract(jpg)

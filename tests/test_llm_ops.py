@@ -101,10 +101,11 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_real_codec_hook_is_stubbed():
-    # DCT formats remain the honest stub (netpbm and PNG decode for
-    # real); a JPEG SOI marker must raise, as must a payload matching
-    # no known magic.
-    with pytest.raises(NotImplementedError):
+    # netpbm, PNG and baseline grayscale JPEG all decode for real now:
+    # a JPEG SOI marker DISPATCHES to the real decoder (malformed file
+    # -> ValueError naming the defect, never NotImplementedError); only
+    # a payload matching no known magic still lands on the honest stub.
+    with pytest.raises(ValueError, match="truncated|marker"):
         decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")  # truncated signature != PNG
@@ -420,3 +421,70 @@ def test_codec_roundtrips_property():
         assert np.array_equal(wav["samples"], expect)
 
     roundtrip()
+
+
+def test_jpeg_codec_roundtrip_property():
+    # The LOSSY codec's property: decode(encode(x)) stays within the
+    # documented error bound for ARBITRARY payloads, geometry is exact,
+    # and padding reconstructs near-zero. Also pins the spec corners:
+    # byte stuffing (0xFF runs), all-extremes blocks, empty payload.
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastream_processing_demo_spark.operators.jpeg import (
+        MAX_ABS_ERR,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    def check(payload, width=32):
+        d = decode_jpeg_gray(encode_jpeg_gray(payload, width=width))
+        n = len(payload)
+        h = max(1, -(-n // width))
+        assert (d["width"], d["height"], d["channels"]) == (width, h, 1)
+        orig = np.frombuffer(payload + b"\x00" * (width * h - n),
+                             dtype=np.uint8).reshape(h, width)
+        err = int(np.max(np.abs(d["pixels"].astype(np.int64)
+                                - orig.astype(np.int64))))
+        assert err <= MAX_ABS_ERR, err
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def roundtrip(payload):
+        check(payload, width=8)
+
+    roundtrip()
+    check(b"")
+    check(b"\xff" * 4096)                 # byte-stuffing stress
+    check(bytes([0, 255] * 2048))         # max-frequency checkerboard
+    check(bytes(range(256)) * 8)
+
+
+def test_jpeg_codec_error_contract():
+    # Honest failures on malformed input: every defect names itself.
+    import pytest
+
+    from datastream_processing_demo_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(b"hello jpeg world", width=32)
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg_gray(b"\x00\x00" + good[2:])
+    with pytest.raises(ValueError, match="truncated|missing EOI"):
+        decode_jpeg_gray(good[:40])
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    import struct
+    sof_at = good.find(b"\xFF\xC0")
+    prog = good[:sof_at] + b"\xFF\xC2" + good[sof_at + 2:]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(prog)
+    # decode_image_real dispatches JPEG by SOI magic
+    from datastream_processing_demo_spark.operators.multimodal import (
+        decode_image_real,
+    )
+    d = decode_image_real(good)
+    assert (d["width"], d["channels"]) == (32, 1)
