@@ -285,3 +285,72 @@ def test_string_expressions_agree(fuzz_ctx, expr):
     got = sorted((tuple(r) for r in spark.sql(q).collect()), key=key)
     want = sorted(con.execute(q).fetchall(), key=key)
     assert got == want, f"divergence for string expression: {expr}"
+
+
+# ---- lane 6: ORDERED window functions over events ----
+# events.event_id is UNIQUE (unlike lineitem's key pair), so ORDER BY
+# event_id is a total order and running/offset window functions are
+# fully deterministic — the one place ordered frames CAN be fuzzed.
+
+_EV_INT_LEAVES = [
+    "(event_id % 83)", "(user_id % 37)",
+    "CAST(length(event_type) AS BIGINT)",
+    "CAST(1 AS BIGINT)", "CAST(5 AS BIGINT)",
+]
+
+_EV_PREDICATES = [
+    "event_type = 'purchase'",
+    "event_type IN ('view', 'click')",
+    "(user_id % 2) = 0",
+    "(event_id % 7) < 3",
+]
+
+
+@st.composite
+def _ev_window_expr(draw) -> str:
+    part = draw(st.sampled_from(_EV_PREDICATES))
+    order = "ORDER BY event_id"
+    ie = draw(st.sampled_from(_EV_INT_LEAVES))
+    kind = draw(st.sampled_from(
+        ["running_sum", "framed_sum", "running_min", "lag", "lead",
+         "row_number"]))
+    over = f"OVER (PARTITION BY {part} {order}"
+    if kind == "running_sum":
+        return (f"SUM({ie}) {over} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    if kind == "framed_sum":
+        lo = draw(st.integers(0, 3))
+        return (f"SUM({ie}) {over} "
+                f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW)")
+    if kind == "running_min":
+        return (f"MIN({ie}) {over} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    if kind == "lag":
+        off = draw(st.integers(1, 3))
+        return f"LAG({ie}, {off}) {over})"
+    if kind == "lead":
+        off = draw(st.integers(1, 3))
+        return f"LEAD({ie}, {off}) {over})"
+    return f"ROW_NUMBER() {over})"
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_ctx(spark, sf_dir, oracle_con):
+    ev = load_table(spark, sf_dir, "events").cache()
+    ev.createOrReplaceTempView("events")
+    ev.count()
+    yield spark, oracle_con
+    ev.unpersist()
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(wexpr=_ev_window_expr())
+def test_ordered_window_functions_agree(fuzz_events_ctx, wexpr):
+    spark, con = fuzz_events_ctx
+    q = f"SELECT event_id, {wexpr} AS v FROM events"
+    key = lambda r: r[0]  # noqa: E731  (event_id unique => total order)
+    got = sorted((tuple(r) for r in spark.sql(q).collect()), key=key)
+    want = sorted(con.execute(q).fetchall(), key=key)
+    assert got == want, f"divergence for window expression: {wexpr}"
