@@ -275,18 +275,129 @@ def encode_jpeg_gray(payload: bytes, width: int = 32) -> bytes:
             + seg(0xFFC4, dht) + seg(0xFFDA, sos) + entropy + b"\xFF\xD9")
 
 
-def decode_jpeg_gray(data: bytes) -> dict:
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range color transform, float in/out (h, w, 3)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+# color adds the YCbCr round trip's conditioning on top of the
+# quantization bound (empirical worst over random sweeps ~6)
+MAX_ABS_ERR_COLOR = 24
+
+
+def encode_jpeg_rgb(payload: bytes, width: int = 32) -> bytes:
+    """Wrap raw bytes as a genuine 4:4:4 COLOR baseline JPEG: bytes
+    become the RGB raster row-major (zero-padded to width x height x 3,
+    height = ceil(n/(3*width)), min 1), converted to full-range YCbCr,
+    each component FDCT'd/quantized per its own table (luma id 0,
+    chroma id 1 — a real multi-DQT file), and entropy-coded as
+    interleaved per-MCU Y/Cb/Cr blocks with independent DC predictors.
+    All components share the Annex K luma Huffman pair (legal per
+    T.81: SOS just points every component at tables 0)."""
+    if width % 8 != 0:
+        raise ValueError("width must be a multiple of 8")
+    n = len(payload)
+    stride = width * 3
+    height = max(1, -(-n // stride))
+    data = payload + b"\x00" * (stride * height - n)
+    rgb = np.frombuffer(data, dtype=np.uint8).reshape(height, width, 3)
+    pad_h = (-height) % 8
+    if pad_h:
+        rgb = np.vstack([rgb, np.zeros((pad_h, width, 3), dtype=np.uint8)])
+    ycc = _rgb_to_ycbcr(rgb.astype(np.float64)) - 128.0
+
+    bh, bw = ycc.shape[0] // 8, width // 8
+    n_blocks = bh * bw
+    qt_chroma = _QTABLE          # same steps; separate table id in DQT
+    zz_comp = []
+    for ci in range(3):
+        blocks = (ycc[..., ci].reshape(bh, 8, bw, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+        s_all = np.einsum("ui,bij,vj->buv", _M, blocks, _M)
+        qt = _QTABLE if ci == 0 else qt_chroma
+        zz_comp.append(np.round(s_all.reshape(-1, 64)
+                                / qt).astype(np.int64)[:, _ZIGZAG])
+
+    dc_codes = _huffman_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huffman_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for bi in range(n_blocks):
+        for ci in range(3):
+            zz = zz_comp[ci][bi].tolist()
+            diff = zz[0] - prev_dc[ci]
+            prev_dc[ci] = zz[0]
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            w.write(code, ln)
+            if cat:
+                mag = diff if diff >= 0 else diff + (1 << cat) - 1
+                w.write(mag, cat)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                cat = _category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                w.write(code, ln)
+                mag = v if v >= 0 else v + (1 << cat) - 1
+                w.write(mag, cat)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]
+                w.write(code, ln)
+    entropy = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt_zz = _QTABLE[_ZIGZAG]
+    dqt = (bytes([0x00]) + bytes(int(x) for x in qt_zz)
+           + bytes([0x01]) + bytes(int(x) for x in qt_chroma[_ZIGZAG]))
+    sof = (struct.pack(">BHHB", 8, height, width, 3)
+           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+           + bytes([3, 0x11, 1]))
+    dht = (bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS)
+           + bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (b"\xFF\xD8" + seg(0xFFDB, dqt) + seg(0xFFC0, sof)
+            + seg(0xFFC4, dht) + seg(0xFFDA, sos) + entropy + b"\xFF\xD9")
+
+
+def decode_jpeg(data: bytes) -> dict:
     """REAL baseline JPEG decode: marker-segment walk, DQT/DHT table
     rebuild FROM THE FILE, Huffman + byte-unstuffing entropy decode,
     dequantize, dezigzag, IDCT, level shift, clamp, crop to SOF dims.
-    Single-component (grayscale) baseline only; anything else raises."""
+    Grayscale (1 component) and 4:4:4 YCbCr color (3 components, all
+    sampling factors 1x1, interleaved MCUs) baseline; anything else —
+    progressive, subsampled chroma, 16-bit tables — raises."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     height = width = None
-    comp_q = 0
+    comps: list[tuple[int, int]] = []   # (component id, quant table id)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (Td, Ta)
+    scan_order: list[int] = []
     entropy_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -319,10 +430,16 @@ def decode_jpeg_gray(data: bytes) -> dict:
                 off += 65
         elif marker == 0xFFC0:
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component baseline "
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline "
                                  f"supported (prec={prec} ncomp={ncomp})")
-            comp_q = body[8]
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c:9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError(
+                        f"subsampled chroma unsupported (component {cid} "
+                        f"sampling 0x{sampling:02X}; 4:4:4 only)")
+                comps.append((cid, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFC4:
@@ -346,24 +463,35 @@ def decode_jpeg_gray(data: bytes) -> dict:
                 huff[(tc, th)] = (lut_val, lut_len)
                 off += 17 + nvals
         elif marker == 0xFFDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tables[cid] = (tdta >> 4, tdta & 0x0F)
+                scan_order.append(cid)
             entropy_start = pos + ln
             break
         pos += ln
     if height is None or entropy_start is None:
         raise ValueError("missing SOF0 or SOS segment")
-    if comp_q not in qtables:
-        raise ValueError(f"quant table {comp_q} never defined")
-    qt = qtables[comp_q]
-    dc_lut, ac_lut = huff.get((0, 0)), huff.get((1, 0))
-    if dc_lut is None or ac_lut is None:
-        raise ValueError("missing DC/AC Huffman tables")
+    if [cid for cid, _ in comps] != scan_order:
+        raise ValueError("SOS component order must match SOF (interleaved "
+                         "single-scan baseline only)")
+    comp_qt = []
+    comp_luts = []
+    for cid, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"quant table {tq} never defined")
+        td, ta = scan_tables[cid]
+        dc_lut, ac_lut = huff.get((0, td)), huff.get((1, ta))
+        if dc_lut is None or ac_lut is None:
+            raise ValueError("missing DC/AC Huffman tables")
+        comp_qt.append(qtables[tq])
+        comp_luts.append((dc_lut, ac_lut))
 
     end = data.rfind(b"\xFF\xD9")
     if end < 0:
         raise ValueError("missing EOI")
     r = _BitReader(data[entropy_start:end])
-    dc_val, dc_len = dc_lut
-    ac_val, ac_len = ac_lut
 
     def read_symbol(lut_val, lut_len) -> int:
         idx = r.peek16()
@@ -376,36 +504,60 @@ def decode_jpeg_gray(data: bytes) -> dict:
     blocks_h = -(-height // 8)
     blocks_w = -(-width // 8)
     n_blocks = blocks_h * blocks_w
-    zz_all = np.zeros((n_blocks, 64), dtype=np.int64)
-    prev_dc = 0
+    ncomp = len(comps)
+    zz_all = np.zeros((ncomp, n_blocks, 64), dtype=np.int64)
+    prev_dc = [0] * ncomp
+    # 4:4:4 interleave: each MCU is one 8x8 block PER COMPONENT, in
+    # scan order, with independent DC predictors
     for bi in range(n_blocks):
-        zz = zz_all[bi]
-        cat = read_symbol(dc_val, dc_len)
-        prev_dc += _extend(r.bits(cat), cat)
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = read_symbol(ac_val, ac_len)
-            if sym == 0x00:                        # EOB
-                break
-            run, cat = sym >> 4, sym & 0x0F
-            if cat == 0:
-                if run != 15:
-                    raise ValueError("invalid AC symbol")
-                k += 16                            # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC run overruns block")
-            zz[k] = _extend(r.bits(cat), cat)
-            k += 1
-    # dequantize + IDCT for ALL blocks in one einsum, then stitch
-    nat = np.zeros((n_blocks, 64), dtype=np.int64)
-    nat[:, _ZIGZAG] = zz_all
-    s_all = (nat * qt).reshape(n_blocks, 8, 8).astype(np.float64)
-    blocks = np.einsum("ui,buv,vj->bij", _M, s_all, _M) + 128.0
-    out = (np.clip(np.round(blocks), 0, 255).astype(np.uint8)
-           .reshape(blocks_h, blocks_w, 8, 8).transpose(0, 2, 1, 3)
-           .reshape(blocks_h * 8, blocks_w * 8))
-    return {"width": int(width), "height": int(height), "channels": 1,
-            "pixels": out[:height, :width]}
+        for ci in range(ncomp):
+            (dc_val, dc_len), (ac_val, ac_len) = \
+                comp_luts[ci][0], comp_luts[ci][1]
+            zz = zz_all[ci, bi]
+            cat = read_symbol(dc_val, dc_len)
+            prev_dc[ci] += _extend(r.bits(cat), cat)
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                sym = read_symbol(ac_val, ac_len)
+                if sym == 0x00:                    # EOB
+                    break
+                run, cat = sym >> 4, sym & 0x0F
+                if cat == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    k += 16                        # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overruns block")
+                zz[k] = _extend(r.bits(cat), cat)
+                k += 1
+    # dequantize + IDCT for ALL blocks of all components in one einsum
+    planes = []
+    for ci in range(ncomp):
+        nat = np.zeros((n_blocks, 64), dtype=np.int64)
+        nat[:, _ZIGZAG] = zz_all[ci]
+        s_all = (nat * comp_qt[ci]).reshape(n_blocks, 8, 8) \
+            .astype(np.float64)
+        blocks = np.einsum("ui,buv,vj->bij", _M, s_all, _M) + 128.0
+        planes.append(blocks.reshape(blocks_h, blocks_w, 8, 8)
+                      .transpose(0, 2, 1, 3)
+                      .reshape(blocks_h * 8, blocks_w * 8))
+    if ncomp == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return {"width": int(width), "height": int(height), "channels": 1,
+                "pixels": out[:height, :width]}
+    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {"width": int(width), "height": int(height), "channels": 3,
+            "pixels": out[:height, :width, :]}
+
+
+def decode_jpeg_gray(data: bytes) -> dict:
+    """Back-compat alias: decode and require a single-component file."""
+    d = decode_jpeg(data)
+    if d["channels"] != 1:
+        raise ValueError(f"expected grayscale JPEG, got "
+                         f"{d['channels']} components")
+    return d

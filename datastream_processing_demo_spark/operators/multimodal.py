@@ -261,8 +261,8 @@ def decode_image_real(payload: bytes) -> dict:
     if payload[:8] == _PNG_SIG:
         return decode_png_real(payload)
     if payload[:2] == b"\xFF\xD8":
-        from .jpeg import decode_jpeg_gray
-        return decode_jpeg_gray(payload)
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no decoder for payload with magic {payload[:8]!r}: netpbm, "
         "PNG and baseline grayscale JPEG decode here; other formats "
@@ -618,13 +618,17 @@ def resize_payloads(df: DataFrame, id_col: str = "doc_id",
 
 
 def wrap_payloads_as_jpeg(df: DataFrame, id_col: str = "doc_id",
-                          width: int = 32) -> DataFrame:
+                          width: int = 32,
+                          color: bool = False) -> DataFrame:
     """mapInPandas encode stage: raw binary payloads -> genuine
-    baseline grayscale JPEGs (FDCT + quant + Annex K Huffman + byte
-    stuffing). The ORIGINAL payload rides alongside the JPEG bytes:
-    JPEG is lossy, so the downstream contract stage needs it to
-    measure reconstruction error."""
-    from .jpeg import encode_jpeg_gray
+    baseline JPEGs — grayscale by default, 4:4:4 YCbCr color with
+    `color=True` (FDCT + per-component quant tables + Annex K Huffman
+    + interleaved MCUs + byte stuffing). The ORIGINAL payload rides
+    alongside the JPEG bytes: JPEG is lossy, so the downstream
+    contract stage needs it to measure reconstruction error."""
+    from .jpeg import encode_jpeg_gray, encode_jpeg_rgb
+
+    enc = encode_jpeg_rgb if color else encode_jpeg_gray
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -632,7 +636,7 @@ def wrap_payloads_as_jpeg(df: DataFrame, id_col: str = "doc_id",
                 id_col: pdf[id_col],
                 "payload": pdf["payload"],
                 "jpeg": pdf["payload"].map(
-                    lambda b: encode_jpeg_gray(bytes(b), width)),
+                    lambda b: enc(bytes(b), width)),
             })
 
     return df.select(id_col, "payload").mapInPandas(
@@ -649,18 +653,19 @@ def image_error_contract(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     and hash-fails the driver compare."""
     import numpy as np
 
-    from .jpeg import MAX_ABS_ERR, decode_jpeg_gray
+    from .jpeg import MAX_ABS_ERR, MAX_ABS_ERR_COLOR, decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def feats(orig, jpg):
-            d = decode_jpeg_gray(bytes(jpg))
-            w, h = d["width"], d["height"]
+            d = decode_jpeg(bytes(jpg))
+            w, h, ch = d["width"], d["height"], d["channels"]
             o = np.frombuffer(
-                bytes(orig) + b"\x00" * (w * h - len(orig)),
-                dtype=np.uint8).reshape(h, w)
+                bytes(orig) + b"\x00" * (w * h * ch - len(orig)),
+                dtype=np.uint8).reshape(d["pixels"].shape)
             err = int(np.max(np.abs(d["pixels"].astype(np.int64)
                                     - o.astype(np.int64))))
-            return (w, h, err <= MAX_ABS_ERR)
+            bound = MAX_ABS_ERR if ch == 1 else MAX_ABS_ERR_COLOR
+            return (w, h, ch, err <= bound)
 
         for pdf in batches:
             rows = [feats(o, j)
@@ -669,9 +674,10 @@ def image_error_contract(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 id_col: pdf[id_col],
                 "width": [r[0] for r in rows],
                 "height": [r[1] for r in rows],
-                "err_within_bound": [r[2] for r in rows],
+                "channels": [r[2] for r in rows],
+                "err_within_bound": [r[3] for r in rows],
             })
 
     return df.mapInPandas(
         run, schema=(f"{id_col} long, width long, height long, "
-                     "err_within_bound boolean"))
+                     "channels long, err_within_bound boolean"))

@@ -326,6 +326,7 @@ def mm_image_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(32 AS BIGINT) AS width,
            GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 32.0) AS BIGINT))
                AS height,
+           CAST(1 AS BIGINT) AS channels,
            TRUE AS err_within_bound
     FROM b
     """,
@@ -338,4 +339,36 @@ def mm_image_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jpg = wrap_payloads_as_jpeg(
         to_binary_payload(t(spark, sf_dir, "documents")))
+    return image_error_contract(jpg)
+
+
+@query(
+    "mm_image_jpeg_color", "multimodal",
+    # The COLOR tier of the lossy lane: genuine 4:4:4 YCbCr baseline
+    # JPEG (per-component quant tables -> a real multi-DQT file,
+    # interleaved per-MCU Y/Cb/Cr blocks, independent DC predictors,
+    # full-range JFIF color transform). Same bounded-error contract as
+    # the grayscale lane, against the original bytes as an RGB raster;
+    # the color bound additionally absorbs the YCbCr round trip's
+    # conditioning.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS width,
+           GREATEST(CAST(1 AS BIGINT), CAST(ceil(n / 96.0) AS BIGINT))
+               AS height,
+           CAST(3 AS BIGINT) AS channels,
+           TRUE AS err_within_bound
+    FROM b
+    """,
+    description="COLOR tier of the lossy lane: 4:4:4 YCbCr baseline JPEG, interleaved MCUs, bounded-error contract",
+)
+def mm_image_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        image_error_contract,
+        wrap_payloads_as_jpeg,
+    )
+    jpg = wrap_payloads_as_jpeg(
+        to_binary_payload(t(spark, sf_dir, "documents")), color=True)
     return image_error_contract(jpg)

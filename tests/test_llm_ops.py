@@ -488,3 +488,42 @@ def test_jpeg_codec_error_contract():
     )
     d = decode_image_real(good)
     assert (d["width"], d["channels"]) == (32, 1)
+
+
+def test_jpeg_color_roundtrip_property():
+    # COLOR tier: 4:4:4 YCbCr baseline with per-component quant tables
+    # and interleaved MCUs. Bound check vs the original RGB raster for
+    # arbitrary payloads; gray wrapper must REFUSE a color file.
+    import numpy as np
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastream_processing_demo_spark.operators.jpeg import (
+        MAX_ABS_ERR_COLOR,
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_rgb,
+    )
+
+    def check(payload, width=8):
+        d = decode_jpeg(encode_jpeg_rgb(payload, width=width))
+        n = len(payload)
+        h = max(1, -(-n // (3 * width)))
+        assert (d["width"], d["height"], d["channels"]) == (width, h, 3)
+        orig = np.frombuffer(payload + b"\x00" * (3 * width * h - n),
+                             dtype=np.uint8).reshape(h, width, 3)
+        err = int(np.max(np.abs(d["pixels"].astype(np.int64)
+                                - orig.astype(np.int64))))
+        assert err <= MAX_ABS_ERR_COLOR, err
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def roundtrip(payload):
+        check(payload)
+
+    roundtrip()
+    check(b"\xff" * 4096, width=32)
+    check(bytes([255, 0, 0] * 1000), width=32)    # saturated red
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg_gray(encode_jpeg_rgb(b"color file"))

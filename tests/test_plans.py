@@ -386,7 +386,8 @@ def test_multimodal_real_codec_lanes_are_map_only(spark, sf_dir):
     # no Exchange anywhere — a shuffle in a per-row codec lane would be
     # pure waste at 100 TB.
     for name in ("mm_audio_wav_real", "mm_image_ppm_real",
-                 "mm_image_png_real", "mm_image_jpeg_real"):
+                 "mm_image_png_real", "mm_image_jpeg_real",
+                 "mm_image_jpeg_color"):
         plan = _plan(spark, sf_dir, name, mode="simple")
         assert "Exchange" not in plan, f"{name} must be shuffle-free"
         assert plan.count("MapInPandas") == 2, \
