@@ -354,3 +354,50 @@ def test_ordered_window_functions_agree(fuzz_events_ctx, wexpr):
     got = sorted((tuple(r) for r in spark.sql(q).collect()), key=key)
     want = sorted(con.execute(q).fetchall(), key=key)
     assert got == want, f"divergence for window expression: {wexpr}"
+
+
+# ---- lane 7: the JOIN path ----
+# equi-join lineitem x orders with fuzzed predicates on BOTH sides,
+# compared through order-free aggregates (inner + left join: the left
+# join additionally pins NULL-extension behavior via a null-count).
+
+_ORD_PREDICATES = [
+    "o_orderstatus = 'F'",
+    "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "(o_custkey % 3) = 1",
+    "EXTRACT(YEAR FROM o_orderdate) >= 1995",
+    "(o_orderkey % 5) < 2",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_join_ctx(spark, sf_dir, oracle_con):
+    li = load_table(spark, sf_dir, "lineitem").cache()
+    li.createOrReplaceTempView("lineitem")
+    o = load_table(spark, sf_dir, "orders").cache()
+    o.createOrReplaceTempView("orders")
+    li.count(), o.count()
+    yield spark, oracle_con
+    li.unpersist()
+    o.unpersist()
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(lcond=_bool_expr(depth=2), ocond=st.sampled_from(_ORD_PREDICATES),
+       how=st.sampled_from(["JOIN", "LEFT JOIN"]))
+def test_join_path_agrees(fuzz_join_ctx, lcond, ocond, how):
+    spark, con = fuzz_join_ctx
+    # left join: the right-side predicate must live in the ON clause
+    # (WHERE would silently turn it back into an inner join)
+    q = (f"SELECT COUNT(*) AS n, "
+         f"COUNT(o.o_orderkey) AS n_matched, "
+         f"coalesce(SUM(l.l_orderkey % 1000), 0) AS lsum, "
+         f"coalesce(SUM(o.o_custkey % 1000), 0) AS osum "
+         f"FROM lineitem l {how} orders o "
+         f"ON l.l_orderkey = o.o_orderkey AND ({ocond}) "
+         f"WHERE {lcond}")
+    g = tuple(spark.sql(q).collect()[0])
+    w = tuple(con.execute(q).fetchone())
+    assert g == w, f"divergence for {how} with ON ({ocond}) WHERE {lcond}"
