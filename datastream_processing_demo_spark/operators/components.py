@@ -42,6 +42,11 @@ def min_label_components(edges: DataFrame, src: str = "src",
     labels = (sym.select(F.col("s").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint())
 
+    # Convergence probe: labels only ever DECREASE (least() of self and
+    # neighbors), so the label sum is strictly monotone while anything
+    # changes — an unchanged sum IS the fixpoint. One cheap aggregate
+    # per round instead of a self-join of old vs new labels.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (sym.join(labels, sym.d == labels.node)
                    .groupBy("s").agg(F.min("label").alias("nbr_label")))
@@ -50,11 +55,9 @@ def min_label_components(edges: DataFrame, src: str = "src",
                        F.least("label", F.coalesce("nbr_label", "label"))
                         .alias("label"))
                .localCheckpoint())
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
+        new_sum = new.agg(F.sum("label")).collect()[0][0]
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", F.col("label").alias("cluster_id"))

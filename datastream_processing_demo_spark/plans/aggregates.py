@@ -738,3 +738,30 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min_by("o_orderkey", key).alias("smallest_order"),
                  F.max("o_totalprice").alias("max_price"),
                  F.min("o_totalprice").alias("min_price")))
+
+
+@query(
+    "agg_heavy_hitters", "aggregates",
+    # EXACT oracle despite the sketch inside: pass 1 (per-partition
+    # Misra-Gries, k = ceil(1/phi)+1 counters) can never drop an item
+    # with global freq > N/k, and pass 2 recounts candidates exactly —
+    # so the result is identical to the plain GROUP BY / HAVING the
+    # oracle runs. What the sketch buys at 100 TB is the SHUFFLE: the
+    # groupBy key space is bounded by partitions x k, not by the
+    # billions of distinct one-off tokens a raw corpus holds.
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS item
+               FROM documents),
+         tot AS (SELECT COUNT(*) AS n FROM w)
+    SELECT item, COUNT(*) AS cnt
+    FROM w
+    GROUP BY item
+    HAVING COUNT(*) >= (SELECT CEIL(0.005 * n) FROM tot)
+    """,
+    description="exact heavy hitters (>=0.5% of corpus tokens) via 2-pass Misra-Gries: map-only candidates, exact recount of candidates only",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+    words = (t(spark, sf_dir, "documents")
+             .select(F.explode(F.split("text", " ")).alias("item")))
+    return heavy_hitters(words, "item", phi=0.005)

@@ -20,6 +20,7 @@ from ..operators.similarity import (
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_topk,
+    semdedup,
 )
 from ._util import t
 from .registry import query
@@ -434,3 +435,78 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     bf.unpersist()
     return out
+
+
+@query(
+    "sim_semdedup", "similarity",
+    # SemDeDup end-to-end has an EXACT oracle because every stage is
+    # deterministic: the centroid training CTEs are the same as
+    # sim_ivf_topk's (integer-grid means, dot-form L2, cell_id
+    # tiebreaks), within-cell cosines are compared on the 1e-6 rounded
+    # grid, the duplicate components are a recursive-CTE transitive
+    # closure, and the keep rule ranks on the 1e-6 integer distance
+    # grid with vec_id tiebreak.
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS sv
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+    assign0 AS (
+        SELECT e.vec_id, e.v, s.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_l2_dot_form('e.v', 's.sv')}, s.cell_id) AS rn
+        FROM e CROSS JOIN seeds s),
+    elem AS (
+        SELECT cell_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+        FROM assign0 WHERE rn = 1),
+    cmean AS (
+        SELECT cell_id, pos,
+               CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
+        FROM elem GROUP BY cell_id, pos),
+    cvec AS (
+        SELECT cell_id, list(m ORDER BY pos) AS cm
+        FROM cmean GROUP BY cell_id),
+    cassign AS (
+        SELECT e.vec_id, e.v, c.cell_id,
+               CAST(ROUND(({_l2_dot_form('e.v', 'c.cm')}) * 1000000.0)
+                    AS BIGINT) AS dist_r,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_l2_dot_form('e.v', 'c.cm')}, c.cell_id) AS rn
+        FROM e CROSS JOIN cvec c),
+    member AS (
+        SELECT vec_id, v, cell_id, dist_r FROM cassign WHERE rn = 1),
+    pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM member x JOIN member y
+          ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        WHERE ROUND(list_dot_product(x.v, y.v)
+                    / (sqrt(list_dot_product(x.v, x.v))
+                       * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.35),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT ed.s, r.lab FROM edges ed JOIN reach r ON r.node = ed.d),
+    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    labeled AS (
+        SELECT m.vec_id, m.cell_id,
+               COALESCE(c.cluster_id, m.vec_id) AS cluster_id, m.dist_r
+        FROM member m LEFT JOIN comp c ON m.vec_id = c.node),
+    ranked AS (
+        SELECT vec_id, cell_id, cluster_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY dist_r DESC, vec_id) AS rn
+        FROM labeled)
+    SELECT vec_id, cell_id, cluster_id, rn = 1 AS is_kept FROM ranked
+    """,
+    description="SemDeDup: k-means-cell semantic dedup, one most-atypical survivor per near-dup component",
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup(t(spark, sf_dir, "embeddings"),
+                    threshold=0.35, n_cells=16)

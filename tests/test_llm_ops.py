@@ -527,3 +527,116 @@ def test_jpeg_color_roundtrip_property():
     check(bytes([255, 0, 0] * 1000), width=32)    # saturated red
     with pytest.raises(ValueError, match="grayscale"):
         decode_jpeg_gray(encode_jpeg_rgb(b"color file"))
+
+
+def test_semdedup_cluster_contract(spark, sf_dir):
+    """SemDeDup output contract: every corpus row is labeled, exactly
+    one survivor per cluster, labels are component minima, and
+    components never cross cell boundaries (edges are within-cell by
+    construction)."""
+    from datastream_processing_demo_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, threshold=0.35, n_cells=16).persist()
+    try:
+        assert out.count() == emb.count()
+        per_cluster = out.groupBy("cluster_id").agg(
+            F.sum(F.col("is_kept").cast("int")).alias("kept"),
+            F.min("vec_id").alias("min_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cell_id").alias("cells"))
+        bad = per_cluster.filter(
+            (F.col("kept") != 1)
+            | (F.col("min_id") != F.col("cluster_id"))
+            | (F.col("cells") != 1)).count()
+        assert bad == 0
+        # the threshold is low enough that real duplicate chains exist —
+        # a trivial everyone-is-a-singleton output would hide a broken
+        # pair join
+        multi = per_cluster.filter(F.col("n") > 1).count()
+        assert multi > 0
+    finally:
+        out.unpersist()
+
+
+def test_semdedup_keeps_most_atypical(spark, sf_dir):
+    """Within every multi-member cluster the survivor is the member
+    farthest from its cell centroid (grid-rounded), vec_id tiebreak —
+    the paper's keep-low-centroid-similarity diversity rule."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        semdedup,
+        semdedup_candidates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    member, _ = semdedup_candidates(emb, threshold=0.35, n_cells=16)
+    out = semdedup(emb, threshold=0.35, n_cells=16)
+    joined = out.join(member.select("vec_id", "dist_r"), "vec_id")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("cluster_id").orderBy(F.col("dist_r").desc(), "vec_id")
+    expect = joined.withColumn("rn", F.row_number().over(w))
+    mismatches = expect.filter(
+        (F.col("rn") == 1) != F.col("is_kept")).count()
+    assert mismatches == 0
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
+    """The 2-pass Misra-Gries result must be IDENTICAL to the plain
+    groupBy/HAVING answer — on the corpus and on an adversarially
+    skewed synthetic stream (one dominant key + a long tail designed to
+    churn the counter table)."""
+    from datastream_processing_demo_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    phi = 0.005
+    got = {(r["item"], r["cnt"]) for r in
+           heavy_hitters(words, "item", phi=phi).collect()}
+    n = words.count()
+    import math
+    thresh = math.ceil(phi * n)
+    want = {(r["item"], r["cnt"]) for r in
+            (words.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") >= thresh)).collect()}
+    assert got == want and len(want) > 0
+
+    # skewed synthetic: key "hot" at 30%, 2000 tail keys once each,
+    # spread over many partitions so the per-partition sketches merge
+    rows = [("hot",)] * 900 + [(f"tail{i}",) for i in range(2000)]
+    skew = spark.createDataFrame(rows, "item string").repartition(16)
+    got2 = {(r["item"], r["cnt"]) for r in
+            heavy_hitters(skew, "item", phi=0.1).collect()}
+    assert got2 == {("hot", 900)}
+
+
+def test_heavy_hitters_pass1_is_map_only(spark, sf_dir):
+    """Pass 1 must run without any Exchange below the sketch (the whole
+    point is not shuffling the distinct-key space) and pass 2's
+    candidate join must be a broadcast."""
+    import contextlib
+    import io
+
+    from datastream_processing_demo_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    df = heavy_hitters(words, "item", phi=0.005)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple tree, parent-first with indentation
+    plan = buf.getvalue()
+    # pass-2 candidate join is a broadcast semi join
+    import re
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    # the MapInPandas stage reads straight from the scan: its SUBTREE
+    # (the more-indented lines that follow it) must contain no Exchange
+    lines = plan.splitlines()
+    idx = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    indent = len(lines[idx]) - len(lines[idx].lstrip(" :+-"))
+    subtree = []
+    for ln in lines[idx + 1:]:
+        if ln.strip() and len(ln) - len(ln.lstrip(" :+-")) <= indent:
+            break
+        subtree.append(ln)
+    sub = "\n".join(subtree)
+    assert "Scan parquet" in sub and "Exchange" not in sub, plan

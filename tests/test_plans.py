@@ -506,3 +506,32 @@ def test_segment_dedup_two_key_shuffles_no_python(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
     assert "hashpartitioning(seg" in plan and "hashpartitioning(doc_id" in plan
+
+
+def test_semdedup_candidates_are_cell_equi_join(spark, sf_dir):
+    # SemDeDup's quadratic term must be bounded by the k-means cell: the
+    # candidate stage is an equi-join on cell_id (hash or sort-merge),
+    # never a cartesian, and the cell assignment itself is a
+    # shuffle-free literal-centroid projection.
+    from datastream_processing_demo_spark.catalog import load_table
+    from datastream_processing_demo_spark.operators.similarity import (
+        semdedup_candidates,
+    )
+    import contextlib
+    import io
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    member, pairs = semdedup_candidates(emb, threshold=0.35, n_cells=16)
+    for df, label in ((member, "member"), (pairs, "pairs")):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan, label
+        assert "BroadcastNestedLoopJoin" not in plan, label
+        if label == "member":
+            # assignment is a projection over the scan: no Exchange
+            # before the spread() repartition, no join anywhere
+            assert "Join" not in plan, plan
+        else:
+            assert "cell_id" in plan, plan
