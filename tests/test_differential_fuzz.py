@@ -401,3 +401,64 @@ def test_join_path_agrees(fuzz_join_ctx, lcond, ocond, how):
     g = tuple(spark.sql(q).collect()[0])
     w = tuple(con.execute(q).fetchone())
     assert g == w, f"divergence for {how} with ON ({ocond}) WHERE {lcond}"
+
+
+# ---- lane 8: SET OPERATIONS ----
+# two fuzzed projections over lineitem slices combined with every ANSI
+# set operator; values are folded modulo a small prime so INTERSECT /
+# EXCEPT actually collide. Compared through order-free aggregates
+# (count + per-column sums), so no engine ordering is assumed.
+
+_SET_OPS = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+            "EXCEPT", "EXCEPT ALL"]
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(e1=_int_expr(depth=2), e2=_int_expr(depth=2),
+       c1=_bool_expr(depth=1), c2=_bool_expr(depth=1),
+       op=st.sampled_from(_SET_OPS))
+def test_set_operations_agree(fuzz_ctx, e1, e2, c1, c2, op):
+    spark, con, _ = fuzz_ctx
+    s1, _ = e1
+    s2, _ = e2
+    q = (f"SELECT COUNT(*) AS n, coalesce(SUM(a), 0) AS sa, "
+         f"coalesce(SUM(b), 0) AS sb FROM ("
+         f"SELECT ({s1}) % 13 AS a, ({s2}) % 7 AS b "
+         f"FROM lineitem WHERE {c1} "
+         f"{op} "
+         f"SELECT ({s2}) % 13 AS a, ({s1}) % 7 AS b "
+         f"FROM lineitem WHERE {c2}) t")
+    got = tuple(spark.sql(q).collect()[0])
+    want = tuple(con.execute(q).fetchone())
+    assert got == want, f"divergence for {op}: {q}"
+
+
+# ---- lane 9: ROLLUP / CUBE grouping ----
+# multi-level grouping pins the NULL-as-subtotal-marker semantics and
+# GROUPING() flags across engines; rows sorted None-aware.
+
+def _none_key(row):
+    return tuple((v is None, v) for v in row)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_int_expr(depth=2), cond=_bool_expr(depth=1),
+       form=st.sampled_from(["ROLLUP", "CUBE"]))
+def test_rollup_cube_grouping_agrees(fuzz_ctx, expr, cond, form):
+    from hypothesis import assume
+    spark, con, n_rows = fuzz_ctx
+    sql_txt, bound = expr
+    assume(bound <= (2 ** 62) // max(n_rows, 1))
+    q = (f"SELECT l_returnflag, {cond} AS k2, "
+         f"GROUPING(l_returnflag) AS g1, COUNT(*) AS n, "
+         f"SUM({sql_txt}) AS s, MIN({sql_txt}) AS mn, "
+         f"MAX({sql_txt}) AS mx "
+         f"FROM lineitem GROUP BY {form}(l_returnflag, ({cond}))")
+    got = sorted((tuple(r) for r in spark.sql(q).collect()), key=_none_key)
+    want = sorted((tuple(r) for r in con.execute(q).fetchall()),
+                  key=_none_key)
+    assert got == want, f"divergence for {form} of {sql_txt} by {cond}"
