@@ -881,3 +881,31 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.transform(F.array_sort(F.collect_list(kept)),
                                      lambda s: s["seg"]), " "),
                      F.lit("")).alias("kept_text")))
+
+
+@query(
+    "text_shuffle_rank", "text",
+    # Deterministic epoch shuffle: each document's position in the
+    # training order is row_number over md5("0:" || doc_id) — a
+    # portable hash both engines render as the same lowercase hex. The
+    # Spark side computes the rank with operators/ranking.global_rank
+    # (range partition + per-partition offsets), NEVER a
+    # single-partition global window, and must match the oracle's
+    # window spelling exactly.
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) AS shuffle_rank
+    FROM documents
+    """,
+    description="deterministic epoch-shuffle rank via scalable two-phase total sort (range partition + offset merge)",
+)
+def text_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+    keyed = (t(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.md5(F.concat(F.lit("0:"),
+                                    F.col("doc_id").cast("string")))
+                     .alias("_skey")))
+    return (global_rank(keyed, "_skey", rank_col="shuffle_rank")
+            .select("doc_id", "shuffle_rank"))

@@ -535,3 +535,37 @@ def test_semdedup_candidates_are_cell_equi_join(spark, sf_dir):
             assert "Join" not in plan, plan
         else:
             assert "cell_id" in plan, plan
+
+
+def test_global_rank_never_single_partition_window(spark, sf_dir):
+    # The epoch-shuffle rank must come from the two-phase total sort:
+    # phase 1 is ONE range exchange + local sort (no Window operator at
+    # all — a partition-less Window would collapse every row into one
+    # partition), and the final result keeps the range parallelism.
+    from datastream_processing_demo_spark.catalog import load_table
+    from datastream_processing_demo_spark.operators.ranking import (
+        _range_sorted,
+        global_rank,
+    )
+    from pyspark.sql import functions as F
+    import contextlib
+    import io
+
+    keyed = (load_table(spark, sf_dir, "documents")
+             .select("doc_id", F.md5(F.col("doc_id").cast("string"))
+                     .alias("_skey")))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _range_sorted(keyed, "_skey", 8).explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "Window" not in plan, plan
+
+    out = global_rank(keyed, "_skey", rank_col="r", num_partitions=8)
+    assert out.rdd.getNumPartitions() > 1
+    rows = out.orderBy("r").collect()
+    n = len(rows)
+    assert [r["r"] for r in rows] == list(range(1, n + 1))
+    # total order respects the key
+    keys = [r["_skey"] for r in rows]
+    assert keys == sorted(keys)
