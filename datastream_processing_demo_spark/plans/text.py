@@ -909,3 +909,54 @@ def text_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("_skey")))
     return (global_rank(keyed, "_skey", rank_col="shuffle_rank")
             .select("doc_id", "shuffle_rank"))
+
+
+@query(
+    "text_tokenize_ids", "text",
+    # corpus -> tensor-ready: every document becomes its array of
+    # vocabulary ids in original token order (top-512 vocab by the same
+    # deterministic (freq DESC, word) rank as text_vocab_build; OOV =
+    # -1). Scale shape: one explode with map-side-combinable counts for
+    # the vocab, the word->id mapping applied through a BROADCAST join
+    # (vocab is tiny vs corpus), and one doc_id shuffle to reassemble
+    # arrays via array_sort(collect_list(struct(pos,...))) — the same
+    # order-preserving reassembly as text_segment_dedup. The ranking
+    # window runs over the aggregated vocab only, never corpus rows.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents),
+    tf AS (SELECT * FROM tok WHERE word <> ''),
+    counts AS (SELECT word, COUNT(*) AS c FROM tf GROUP BY word),
+    vocab AS (SELECT word, row_number() OVER (ORDER BY c DESC, word) - 1
+                      AS vid
+              FROM counts),
+    v AS (SELECT * FROM vocab WHERE vid < 512),
+    ids AS (SELECT t.doc_id, t.pos, CAST(COALESCE(v.vid, -1) AS BIGINT)
+                   AS tid
+            FROM tf t LEFT JOIN v USING (word))
+    SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+           COUNT(*) AS n_tokens
+    FROM ids GROUP BY doc_id
+    """,
+    description="tokenize to vocab ids: top-512 vocab broadcast-mapped onto every document, order-preserving id arrays, OOV=-1",
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.posexplode(F.split("text", " ")).alias("pos", "word"))
+            .filter(F.col("word") != ""))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("word"))
+    vocab = (counts.select("word", (F.row_number().over(w) - 1).alias("vid"))
+             .filter(F.col("vid") < 512))
+    ids = (toks.join(F.broadcast(vocab), "word", "left")
+           .select("doc_id", "pos",
+                   F.coalesce("vid", F.lit(-1)).cast("long").alias("tid")))
+    return (ids.groupBy("doc_id")
+            .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                     lambda s: s["tid"]).alias("token_ids"),
+                 F.count(F.lit(1)).alias("n_tokens")))

@@ -569,3 +569,14 @@ def test_global_rank_never_single_partition_window(spark, sf_dir):
     # total order respects the key
     keys = [r["_skey"] for r in rows]
     assert keys == sorted(keys)
+
+
+def test_tokenize_ids_vocab_is_broadcast(spark, sf_dir):
+    # The word->id mapping must ride a broadcast join (vocab is tiny vs
+    # corpus) and the ranking window must run over the aggregated vocab
+    # only — the corpus side contributes the explode, the broadcast
+    # probe, and one doc_id reassembly shuffle.
+    plan = _plan(spark, sf_dir, "text_tokenize_ids")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
