@@ -20,6 +20,7 @@ from ..streaming.messages import ORACLE_MESSAGE_VALUE_SQL, messages_from_events,
 from ..streaming.pipeline import split_branches
 from ._util import t
 from .registry import query
+from .text import QUALITY_SCORE_SQL
 
 _ORACLE_PARSED = f"""
     WITH msgs AS (
@@ -110,3 +111,58 @@ def pipeline_bulk_error_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     tails = split_branches(msgs, now_ms=F.lit(0)).session_tails
     return (tails.filter(F.col("payload") != "error")
             .groupBy("payload").agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "pipeline_eval_set", "pipeline",
+    # Composed eval-set builder, one Catalyst plan: quality gate (the
+    # shared bit-deterministic score expression) -> exact content-hash
+    # dedup (window-min over md5(text), ONE hash shuffle) -> exact-count
+    # per-source pick (top-10 by content hash, one source shuffle) ->
+    # deterministic final ordering by md5('0:' || doc_id). The final
+    # ordering window is partition-less but runs over <= 10 x |sources|
+    # survivor rows (metadata scale); for unbounded survivor sets swap
+    # it for operators/ranking.global_rank — same output by
+    # construction.
+    oracle=rf"""
+    WITH gated AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE ({QUALITY_SCORE_SQL}) >= 0.5),
+    dd AS (
+        SELECT doc_id, source,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM gated),
+    picked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS pick_rank
+        FROM dd WHERE doc_id = keeper)
+    SELECT doc_id, source,
+           row_number() OVER (
+               ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) AS eval_order
+    FROM picked WHERE pick_rank <= 10
+    """,
+    description="composed eval-set builder: quality gate -> exact dedup -> exact-count per-source pick -> deterministic order",
+)
+def pipeline_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.text import quality_cols
+
+    d = t(spark, sf_dir, "documents")
+    gated = d.filter(quality_cols("text")["quality_score"] >= 0.5)
+    wd = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    kept = (gated
+            .withColumn("_keeper", F.min("doc_id").over(wd))
+            .filter(F.col("doc_id") == F.col("_keeper")))
+    ws = (Window.partitionBy("source")
+          .orderBy(F.md5(F.concat(F.lit("s:"),
+                                  F.col("doc_id").cast("string"))),
+                   "doc_id"))
+    picked = (kept.withColumn("pick_rank", F.row_number().over(ws))
+              .filter(F.col("pick_rank") <= 10))
+    wo = Window.orderBy(F.md5(F.concat(F.lit("0:"),
+                                       F.col("doc_id").cast("string"))))
+    return picked.select("doc_id", "source",
+                         F.row_number().over(wo).alias("eval_order"))

@@ -875,3 +875,37 @@ def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("id").alias("csv_id"),
         F.to_csv(F.struct(F.col("event_type").alias("a"),
                           F.col("event_id").alias("b"))).alias("rebuilt"))
+
+
+@query(
+    "sample_fixed_per_stratum", "relational",
+    # Exact-size stratified sampling: EXACTLY min(k, |stratum|) docs per
+    # source, selected by md5('s:' || doc_id) order — the build-an-
+    # eval-set primitive (fraction-based sampleBy cannot hit an exact
+    # count). Content-addressed, so re-sharding or re-running yields the
+    # identical sample, and both engines rank the same lowercase-hex
+    # strings. One shuffle on the stratum key; k rows survive per
+    # stratum. If one stratum dominates at 100 TB, swap the window for
+    # operators/ranking.global_rank within that stratum — same output.
+    oracle="""
+    SELECT doc_id, source, pick_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS pick_rank
+        FROM documents) r
+    WHERE pick_rank <= 20
+    """,
+    description="exact-count stratified sample: top-20 per source by content hash (deterministic eval-set builder)",
+)
+def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.concat(F.lit("s:"),
+                                 F.col("doc_id").cast("string"))),
+                  "doc_id"))
+    return (d.select("doc_id", "source",
+                     F.row_number().over(w).alias("pick_rank"))
+            .filter(F.col("pick_rank") <= 20))

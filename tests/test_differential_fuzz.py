@@ -462,3 +462,32 @@ def test_rollup_cube_grouping_agrees(fuzz_ctx, expr, cond, form):
     want = sorted((tuple(r) for r in con.execute(q).fetchall()),
                   key=_none_key)
     assert got == want, f"divergence for {form} of {sql_txt} by {cond}"
+
+
+# ---- lane 10: SUBQUERY path (EXISTS / IN and their negations) ----
+# correlated EXISTS and (NOT) IN against orders with fuzzed predicates
+# on both sides — the decorrelation path and the three-valued NOT IN
+# trap, compared through order-free aggregates.
+
+_SUBQ_FORMS = [
+    "EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND ({oc}))",
+    "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND ({oc}))",
+    "l.l_orderkey IN (SELECT o.o_orderkey FROM orders o WHERE {oc})",
+    "l.l_orderkey NOT IN (SELECT o.o_orderkey FROM orders o WHERE {oc})",
+]
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(lcond=_bool_expr(depth=2), ocond=st.sampled_from(_ORD_PREDICATES),
+       form=st.sampled_from(_SUBQ_FORMS))
+def test_subquery_path_agrees(fuzz_join_ctx, lcond, ocond, form):
+    spark, con = fuzz_join_ctx
+    sub = form.format(oc=ocond)
+    q = (f"SELECT COUNT(*) AS n, "
+         f"coalesce(SUM(l.l_orderkey % 1000), 0) AS lsum "
+         f"FROM lineitem l WHERE ({lcond}) AND {sub}")
+    got = tuple(spark.sql(q).collect()[0])
+    want = tuple(con.execute(q).fetchone())
+    assert got == want, f"divergence for subquery form: {q}"

@@ -580,3 +580,15 @@ def test_tokenize_ids_vocab_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_eval_set_pipeline_single_plan_no_python(spark, sf_dir):
+    # The composed eval-set builder must stay one Catalyst plan: no
+    # cartesian, no Python eval (the quality gate is pure column
+    # arithmetic), and the only wide operations are the content-hash
+    # window, the source pick window, and the final metadata-scale
+    # ordering window.
+    plan = _plan(spark, sf_dir, "pipeline_eval_set")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
