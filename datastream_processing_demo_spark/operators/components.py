@@ -42,22 +42,24 @@ def min_label_components(edges: DataFrame, src: str = "src",
     labels = (sym.select(F.col("s").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint())
 
-    # Convergence probe: labels only ever DECREASE (least() of self and
-    # neighbors), so the label sum is strictly monotone while anything
-    # changes — an unchanged sum IS the fixpoint. One cheap aggregate
-    # per round instead of a self-join of old vs new labels.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Convergence probe: a changed-row flag computed in the same select
+    # that produces the new label, summed in one cheap aggregate over the
+    # just-checkpointed round result. Works for ANY comparable label type
+    # (hash-magnitude longs, strings) — a sum-of-labels probe would
+    # overflow under ANSI mode on 64-bit hash ids, and the flag count is
+    # bounded by the node count so it can't.
     for _ in range(max_iter):
         nbr_min = (sym.join(labels, sym.d == labels.node)
                    .groupBy("s").agg(F.min("label").alias("nbr_label")))
+        new_label = F.least(labels.label,
+                            F.coalesce(nbr_min.nbr_label, labels.label))
         new = (labels.join(nbr_min, labels.node == nbr_min.s, "left")
-               .select("node",
-                       F.least("label", F.coalesce("nbr_label", "label"))
-                        .alias("label"))
+               .select(labels.node.alias("node"),
+                       new_label.alias("label"),
+                       (labels.label != new_label).cast("int").alias("_chg"))
                .localCheckpoint())
-        new_sum = new.agg(F.sum("label")).collect()[0][0]
-        labels = new
-        if new_sum == prev_sum:
+        changed = new.agg(F.sum("_chg")).collect()[0][0]
+        labels = new.drop("_chg")
+        if not changed:
             break
-        prev_sum = new_sum
     return labels.select("node", F.col("label").alias("cluster_id"))

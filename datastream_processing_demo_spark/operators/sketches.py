@@ -13,14 +13,22 @@ partition, then an exact recount of only the surviving candidates:
   p is at most N_p/k, and summing over partitions gives freq <= N/k, a
   contradiction. So the union of per-partition summaries is a COMPLETE
   candidate set for any threshold T > N/k (no false negatives, ever).
+  The same pass also emits one summary row per partition carrying the
+  partition's row and NULL counts, so the total N (and the exact NULL
+  frequency) costs no extra scan.
 - Pass 2: exact counts of the candidates only — a broadcast semi-join
   against the (tiny) candidate set, then a groupBy whose key space is
   bounded by partitions x k, not by distinct items. False positives
   from pass 1 die here.
 
-End result is EXACT (identical to the full groupBy), which is why this
-operator carries a plain GROUP BY / HAVING oracle rather than an error
-contract. The reference has no aggregation at all (SURVEY.md §2.1.1).
+Exactly two scans of the corpus (pass 1 is localCheckpoint'd so its
+tiny output feeds both the candidate set and the totals), and the
+result is EXACT — identical to the full groupBy, including the NULL
+group (nulls are counted exactly in pass 1 and emitted through a
+dedicated branch, since an equi-semi-join would drop them) — which is
+why this operator carries a plain GROUP BY / HAVING oracle rather than
+an error contract. The reference has no aggregation at all
+(SURVEY.md §2.1.1).
 """
 
 from __future__ import annotations
@@ -28,17 +36,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# simpleString -> Python-scalar converter: with NULLs present, Arrow
+# hands integer columns to pandas as float64, so counter keys must be
+# normalized back to the declared Spark type before they cross Arrow
+# again as output
+_CASTERS = {"bigint": int, "int": int, "smallint": int, "tinyint": int,
+            "double": float, "float": float}
 
-def _misra_gries_partition(col: str, k: int):
+
+def _misra_gries_partition(col: str, k: int, caster):
     """mapInPandas body: one bounded dict of <= k counters per PARTITION
-    (state carried across the partition's Arrow batches)."""
+    (state carried across the partition's Arrow batches), plus one
+    NULL-keyed summary row with the partition's row/null totals."""
 
     def body(batches):
         import pandas as pd
 
         counters: dict = {}
+        n_rows = 0
+        n_nulls = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for item in pdf[col]:
+                if pd.isna(item):
+                    # NULL needs no sketch slot: its exact count rides
+                    # in the summary row
+                    n_nulls += 1
+                    continue
+                if caster is not None:
+                    item = caster(item)
                 if item in counters:
                     counters[item] += 1
                 elif len(counters) < k:
@@ -56,7 +82,11 @@ def _misra_gries_partition(col: str, k: int):
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({"item": list(counters.keys())})
+        yield pd.DataFrame({
+            "item": pd.Series(list(counters.keys()) + [None], dtype=object),
+            "_pn": [0] * len(counters) + [n_rows],
+            "_pnull": [0] * len(counters) + [n_nulls],
+        })
 
     return body
 
@@ -64,23 +94,40 @@ def _misra_gries_partition(col: str, k: int):
 def heavy_hitters(items: DataFrame, col: str, phi: float = 0.005,
                   slack: int = 1) -> DataFrame:
     """Items whose frequency is >= ceil(phi * N), computed without ever
-    shuffling the full distinct-key space.
+    shuffling the full distinct-key space. Generic over the item type
+    (the sketch schema is derived from the input column) and exact for
+    the NULL group too.
 
     k is derived from phi alone: the completeness argument needs
     T > N/k, and T = ceil(phi*N) >= phi*N, so k = ceil(1/phi) + slack
     counters per partition suffice for any N. Returns (item, cnt),
-    exact.
+    exact — bit-identical to GROUP BY item HAVING cnt >= ceil(phi*N).
     """
     import math
 
     k = int(math.ceil(1.0 / phi)) + slack
+    item_type = items.schema[col].dataType
+    ts = item_type.simpleString()
     src = items.select(F.col(col).alias("item"))
-    cand = (src.mapInPandas(_misra_gries_partition("item", k),
-                            "item string")
-            .distinct())
-    counted = (src.join(F.broadcast(cand), "item", "left_semi")
+    # localCheckpoint: pass-1 output (<= partitions x k candidate rows +
+    # one summary row each) feeds BOTH the candidate set and the totals;
+    # materializing it keeps the corpus at exactly two scans
+    p1 = src.mapInPandas(
+        _misra_gries_partition("item", k, _CASTERS.get(ts)),
+        f"item {ts}, _pn long, _pnull long").localCheckpoint()
+    cand = (p1.filter(F.col("item").isNotNull()).select("item").distinct())
+    tot = p1.agg(F.sum("_pn").alias("n"), F.sum("_pnull").alias("null_cnt"))
+    thresh = F.ceil(F.lit(phi) * F.col("n"))
+    counted = (src.filter(F.col("item").isNotNull())
+               .join(F.broadcast(cand), "item", "left_semi")
                .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
-    total = src.agg(F.count(F.lit(1)).alias("n"))
-    return (counted.crossJoin(F.broadcast(total))
-            .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n")))
-            .select("item", "cnt"))
+    non_null = (counted.crossJoin(F.broadcast(tot))
+                .filter(F.col("cnt") >= thresh)
+                .select("item", "cnt"))
+    # NULL branch: an equi-semi-join never matches NULL, so the NULL
+    # group's exact count comes from the pass-1 summaries instead
+    null_row = (tot.filter((F.col("null_cnt") > 0)
+                           & (F.col("null_cnt") >= thresh))
+                .select(F.lit(None).cast(item_type).alias("item"),
+                        F.col("null_cnt").alias("cnt")))
+    return non_null.unionByName(null_row)

@@ -148,6 +148,7 @@ def pipeline_bulk_error_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+    from ..operators.ranking import salted_key
     from ..operators.text import quality_cols
 
     d = t(spark, sf_dir, "documents")
@@ -157,12 +158,9 @@ def pipeline_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("_keeper", F.min("doc_id").over(wd))
             .filter(F.col("doc_id") == F.col("_keeper")))
     ws = (Window.partitionBy("source")
-          .orderBy(F.md5(F.concat(F.lit("s:"),
-                                  F.col("doc_id").cast("string"))),
-                   "doc_id"))
+          .orderBy(salted_key("doc_id", "s:"), "doc_id"))
     picked = (kept.withColumn("pick_rank", F.row_number().over(ws))
               .filter(F.col("pick_rank") <= 10))
-    wo = Window.orderBy(F.md5(F.concat(F.lit("0:"),
-                                       F.col("doc_id").cast("string"))))
+    wo = Window.orderBy(salted_key("doc_id", "0:"))
     return picked.select("doc_id", "source",
                          F.row_number().over(wo).alias("eval_order"))

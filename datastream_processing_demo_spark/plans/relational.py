@@ -901,11 +901,11 @@ def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from ..operators.ranking import salted_key
     d = t(spark, sf_dir, "documents")
     w = (Window.partitionBy("source")
-         .orderBy(F.md5(F.concat(F.lit("s:"),
-                                 F.col("doc_id").cast("string"))),
-                  "doc_id"))
+         .orderBy(salted_key("doc_id", "s:"), "doc_id"))
     return (d.select("doc_id", "source",
                      F.row_number().over(w).alias("pick_rank"))
             .filter(F.col("pick_rank") <= 20))

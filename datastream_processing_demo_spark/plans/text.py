@@ -901,12 +901,9 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="deterministic epoch-shuffle rank via scalable two-phase total sort (range partition + offset merge)",
 )
 def text_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ranking import global_rank
+    from ..operators.ranking import global_rank, salted_key
     keyed = (t(spark, sf_dir, "documents")
-             .select("doc_id",
-                     F.md5(F.concat(F.lit("0:"),
-                                    F.col("doc_id").cast("string")))
-                     .alias("_skey")))
+             .select("doc_id", salted_key("doc_id", "0:").alias("_skey")))
     return (global_rank(keyed, "_skey", rank_col="shuffle_rank")
             .select("doc_id", "shuffle_rank"))
 

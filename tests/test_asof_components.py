@@ -59,6 +59,25 @@ def test_components_chain_and_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_components_hash_magnitude_and_string_ids(spark):
+    """The convergence probe must survive node ids near 2^62 (a label
+    SUM would overflow under ANSI) and non-numeric label types — both
+    arise when nodes are xxhash64 buckets or string doc keys."""
+    big = 1 << 62
+    edges = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big + 2), (5, 6)],
+        "doc_a long, doc_b long")
+    out = min_label_components(edges, src="doc_a", dst="doc_b")
+    got = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert got == {big: big, big + 1: big, big + 2: big, 5: 5, 6: 5}
+
+    sedges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string")
+    sout = min_label_components(sedges, src="doc_a", dst="doc_b")
+    sgot = {r["node"]: r["cluster_id"] for r in sout.collect()}
+    assert sgot == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_components_converges_on_long_chain(spark):
     n = 12  # diameter > default few rounds; propagation must iterate
     edges = spark.createDataFrame(

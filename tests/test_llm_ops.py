@@ -562,22 +562,65 @@ def test_semdedup_cluster_contract(spark, sf_dir):
 def test_semdedup_keeps_most_atypical(spark, sf_dir):
     """Within every multi-member cluster the survivor is the member
     farthest from its cell centroid (grid-rounded), vec_id tiebreak —
-    the paper's keep-low-centroid-similarity diversity rule."""
-    from datastream_processing_demo_spark.operators.similarity import (
-        semdedup,
-        semdedup_candidates,
-    )
+    the paper's keep-low-centroid-similarity diversity rule.
+
+    The expected keeper is derived INDEPENDENTLY in pure Python from
+    the raw embeddings: seeds = 16 lowest-id vectors, one Lloyd round
+    with the integer-grid mean, dot-form L2 in the same left-fold IEEE
+    order, 1e-6 half-up distance grid — NOT by re-running the
+    implementation's own window over its own dist_r (which would pass
+    even with a wrong distance definition)."""
+    import math
+
+    from datastream_processing_demo_spark.operators.similarity import semdedup
+
+    n_cells = 16
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def nearest(v, cents):
+        # dot-form L2, (l2, cell_id) lexicographic min = array_sort head
+        return min(((dot(v, v) - 2.0 * dot(v, c) + dot(c, c), cid)
+                    for cid, c in cents))
 
     emb = load_table(spark, sf_dir, "embeddings")
-    member, _ = semdedup_candidates(emb, threshold=0.35, n_cells=16)
-    out = semdedup(emb, threshold=0.35, n_cells=16)
-    joined = out.join(member.select("vec_id", "dist_r"), "vec_id")
-    from pyspark.sql import Window as W
-    w = W.partitionBy("cluster_id").orderBy(F.col("dist_r").desc(), "vec_id")
-    expect = joined.withColumn("rn", F.row_number().over(w))
-    mismatches = expect.filter(
-        (F.col("rn") == 1) != F.col("is_kept")).count()
-    assert mismatches == 0
+    rows = sorted((r["vec_id"], [float(x) for x in r["embedding"]])
+                  for r in emb.select("vec_id", "embedding").collect())
+    cents = [(i + 1, v) for i, (_, v) in enumerate(rows[:n_cells])]
+    # one Lloyd round: assign-to-nearest, per-dimension integer-grid mean
+    groups: dict = {}
+    for _, v in rows:
+        groups.setdefault(nearest(v, cents)[1], []).append(v)
+    cents = [(cid,
+              [int(sum(int(math.floor(v[p] * 1e6 + 0.5)) if v[p] >= 0
+                       else -int(math.floor(-v[p] * 1e6 + 0.5))
+                       for v in vs)) / (len(vs) * 1e6)
+               for p in range(len(vs[0]))])
+             for cid, vs in sorted(groups.items())]
+    dist_r = {}
+    for vid, v in rows:
+        l2 = nearest(v, cents)[0]
+        dist_r[vid] = (int(math.floor(l2 * 1e6 + 0.5)) if l2 >= 0
+                       else -int(math.floor(-l2 * 1e6 + 0.5)))
+
+    out = semdedup(emb, threshold=0.35, n_cells=n_cells).collect()
+    clusters: dict = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    checked_multi = 0
+    for members in clusters.values():
+        expect_keeper = min(members,
+                            key=lambda r: (-dist_r[r["vec_id"]], r["vec_id"]))
+        for r in members:
+            assert r["is_kept"] == (r["vec_id"] == expect_keeper["vec_id"]), \
+                (r, expect_keeper, [dist_r[m["vec_id"]] for m in members])
+        if len(members) > 1:
+            checked_multi += 1
+    assert checked_multi > 0
 
 
 def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
@@ -608,6 +651,28 @@ def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
             heavy_hitters(skew, "item", phi=0.1).collect()}
     assert got2 == {("hot", 900)}
 
+    # generic item type + the NULL group: bigint items with 40% NULLs
+    # must match the plain groupBy exactly (NULL counts as its own
+    # group) — an equi-semi-join would drop it and a hardcoded
+    # "item string" sketch schema would crash on the int64 Arrow batch
+    rows3 = ([(None,)] * 400 + [(7,)] * 300
+             + [(1000 + i,) for i in range(300)])
+    nb = spark.createDataFrame(rows3, "item bigint").repartition(8)
+    got3 = {(r["item"], r["cnt"]) for r in
+            heavy_hitters(nb, "item", phi=0.2).collect()}
+    assert got3 == {(None, 400), (7, 300)}
+
+
+def test_global_rank_empty_input(spark):
+    """global_rank on zero rows returns zero rows with the rank column
+    typed long instead of crashing on the empty literal map."""
+    from datastream_processing_demo_spark.operators.ranking import global_rank
+
+    empty = spark.createDataFrame([], "doc_id long, k string")
+    out = global_rank(empty, "k")
+    assert out.count() == 0
+    assert dict(out.dtypes)["rank"] == "bigint"
+
 
 def test_heavy_hitters_pass1_is_map_only(spark, sf_dir):
     """Pass 1 must run without any Exchange below the sketch (the whole
@@ -616,7 +681,10 @@ def test_heavy_hitters_pass1_is_map_only(spark, sf_dir):
     import contextlib
     import io
 
-    from datastream_processing_demo_spark.operators.sketches import heavy_hitters
+    from datastream_processing_demo_spark.operators.sketches import (
+        _misra_gries_partition,
+        heavy_hitters,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("item"))
@@ -628,8 +696,18 @@ def test_heavy_hitters_pass1_is_map_only(spark, sf_dir):
     # pass-2 candidate join is a broadcast semi join
     import re
     assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
-    # the MapInPandas stage reads straight from the scan: its SUBTREE
-    # (the more-indented lines that follow it) must contain no Exchange
+    # pass 1 reads straight from the scan with no Exchange below the
+    # sketch. The operator localCheckpoints pass 1 (its tiny output
+    # feeds both the candidate set and the totals), which hides the
+    # MapInPandas from the final plan — so audit the pass-1 stage as
+    # the operator constructs it.
+    p1 = words.select(F.col("item")).mapInPandas(
+        _misra_gries_partition("item", 201, None),
+        "item string, _pn long, _pnull long")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        p1.explain()
+    plan = buf.getvalue()
     lines = plan.splitlines()
     idx = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
     indent = len(lines[idx]) - len(lines[idx].lstrip(" :+-"))
