@@ -909,3 +909,65 @@ def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", "source",
                      F.row_number().over(w).alias("pick_rank"))
             .filter(F.col("pick_rank") <= 20))
+
+
+@query(
+    "sample_temperature_mixture", "relational",
+    # Temperature-based mixture sampling (the multilingual-LM source
+    # rebalancing rule, alpha = 0.5): target share of stratum s is
+    # n_s^alpha / SUM(n_t^alpha), so tail languages are UPsampled
+    # relative to their corpus share within a budget of floor(N/2)
+    # rows. Fully deterministic and engine-portable: per-stratum
+    # weights ride an exact integer 1e-6 grid (sqrt is IEEE
+    # correctly-rounded, the grid makes the SUM order-independent),
+    # the keep probability is one double division of exact integers,
+    # and the per-row draw is the first 8 md5 hex digits of the
+    # 't:'-salted doc id against floor(p * 2^32) — the same
+    # content-hash idiom as sample_hash_bernoulli, so the sample is a
+    # pure function of the data. Scale shape: one low-cardinality
+    # map-side-combinable groupBy builds the weight table, which joins
+    # back as a BROADCAST; the corpus itself is filtered map-side,
+    # never shuffled.
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_s,
+               CAST(ROUND(sqrt(COUNT(*)) * 1e6, 0) AS BIGINT) AS w_s
+        FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_s) AS n_total, SUM(w_s) AS w_total FROM counts),
+    thresh AS (
+        SELECT lang,
+               CAST(floor(least(
+                   1.0,
+                   CAST(CAST(floor(n_total / 2) AS BIGINT) * w_s AS DOUBLE)
+                       / CAST(w_total * n_s AS DOUBLE)) * 4294967296.0)
+                    AS BIGINT) AS t_s
+        FROM counts, tot)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thresh s USING (lang)
+    WHERE CAST('0x' || substring(
+              md5('t:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          < s.t_s
+    """,
+    description="temperature mixture sampling (alpha=0.5): n_s^0.5-weighted per-lang budget, content-hash draw, broadcast weights",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import salted_key
+    d = t(spark, sf_dir, "documents")
+    counts = (d.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_s"))
+              .withColumn("w_s", F.round(F.sqrt(F.col("n_s")) * 1e6, 0)
+                          .cast("long")))
+    tot = counts.agg(F.sum("n_s").alias("n_total"),
+                     F.sum("w_s").alias("w_total"))
+    thresh = (counts.crossJoin(F.broadcast(tot))
+              .select("lang", F.floor(F.least(
+                  F.lit(1.0),
+                  (F.floor(F.col("n_total") / 2).cast("long")
+                   * F.col("w_s")).cast("double")
+                  / (F.col("w_total") * F.col("n_s")).cast("double"))
+                  * F.lit(4294967296.0)).cast("long").alias("t_s")))
+    draw = F.conv(F.substring(salted_key("doc_id", "t:"), 1, 8),
+                  16, 10).cast("long")
+    return (d.join(F.broadcast(thresh), "lang")
+            .filter(draw < F.col("t_s"))
+            .select("doc_id", "lang"))

@@ -957,3 +957,56 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.array_sort(F.collect_list(F.struct("pos", "tid"))),
                      lambda s: s["tid"]).alias("token_ids"),
                  F.count(F.lit(1)).alias("n_tokens")))
+
+
+@query(
+    "text_unigram_logprob", "text",
+    # CCNet-style LM quality scoring, reduced to the engine-portable
+    # core: score every document by the average log-probability of its
+    # tokens under the corpus's own unigram model, avg_lp =
+    # SUM(ln cnt_w)/n - ln(T). Low scorers are rare-token noise
+    # (boilerplate, mojibake); the real pipeline thresholds on this.
+    # Portability: ln differs in the last ULP across libm
+    # implementations, so each word's ln(cnt) rides a 1e-6 integer
+    # grid and the per-doc SUM is an exact BIGINT (order-independent);
+    # the single trailing ln(T) and final ROUND(,6) operate on
+    # bit-identical inputs. Scale shape: one explode with map-side
+    # combine for the model, a word-keyed join to score (Catalyst/AQE
+    # broadcasts while the vocab is small; at 100 TB vocab it is a
+    # correct shuffle join on the word key), one doc_id shuffle to
+    # aggregate. The model table is corpus-derived — no external LM.
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+    tok AS (SELECT * FROM tf WHERE word <> ''),
+    model AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+    tot AS (SELECT SUM(c) AS t_tokens FROM model)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(CAST(ROUND(ln(c) * 1e6, 0) AS BIGINT)) AS sum_lnc_scaled,
+           ROUND(CAST(SUM(CAST(ROUND(ln(c) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                     / (1e6 * COUNT(*))
+                 - ln(CAST(t_tokens AS DOUBLE)), 6) AS avg_logprob
+    FROM tok JOIN model USING (word), tot
+    GROUP BY doc_id, t_tokens
+    """,
+    description="unigram-LM document scoring: avg ln-probability of tokens under the corpus unigram model (CCNet-style quality filter)",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+           .filter(F.col("word") != ""))
+    model = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = model.agg(F.sum("c").alias("t_tokens"))
+    scaled = F.round(F.log("c") * 1e6, 0).cast("long")
+    return (tok.join(model, "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(scaled).alias("sum_lnc_scaled"))
+            .crossJoin(F.broadcast(tot))
+            .select("doc_id", "n_tokens", "sum_lnc_scaled",
+                    F.round(F.col("sum_lnc_scaled").cast("double")
+                            / (1e6 * F.col("n_tokens"))
+                            - F.log(F.col("t_tokens").cast("double")), 6)
+                    .alias("avg_logprob")))
