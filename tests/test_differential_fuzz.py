@@ -491,3 +491,98 @@ def test_subquery_path_agrees(fuzz_join_ctx, lcond, ocond, form):
     got = tuple(spark.sql(q).collect()[0])
     want = tuple(con.execute(q).fetchone())
     assert got == want, f"divergence for subquery form: {q}"
+
+
+# ---- lane 11: HIGHER-ORDER ARRAY functions (paired rendering) ----
+# The one surface a single SQL text can't reach: Spark spells the
+# higher-order family transform/filter/aggregate/size, DuckDB spells
+# it list_transform/list_filter/list_reduce/len. The generator builds
+# ONE expression tree and renders it per-dialect; semantics of every
+# emitted node were verified identical by hand (lambda arithmetic,
+# empty-array behavior, NULL from array_max of empty, slice bounds:
+# Spark slice(A, s, n) == DuckDB list_slice(A, s, s+n-1)). Lambda
+# bodies use integer literals only (both engines agree); element
+# magnitudes stay far inside int64.
+
+
+@st.composite
+def _array_expr(draw, depth: int = 3) -> tuple[str, str]:
+    """Returns (spark_sql, duck_sql) for an integer-array expression."""
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        leaf = draw(st.integers(0, 2))
+        if leaf == 0:
+            cols = ["(l_orderkey % 7)", "(l_partkey % 5)", "(l_suppkey % 3)",
+                    "CAST(l_linenumber AS BIGINT)"]
+            picks = draw(st.lists(st.sampled_from(cols), min_size=1,
+                                  max_size=3))
+            inner = ", ".join(picks)
+            return f"array({inner})", f"[{inner}]"
+        if leaf == 1:
+            # 1..K, K in 1..4 — sequence vs generate_series, both
+            # end-inclusive BIGINT
+            k = draw(st.integers(1, 4))
+            hi = f"CAST((l_linenumber % {k}) + 1 AS BIGINT)"
+            return (f"sequence(CAST(1 AS BIGINT), {hi})",
+                    f"generate_series(CAST(1 AS BIGINT), {hi})")
+        return "array(CAST(2 AS BIGINT))", "[CAST(2 AS BIGINT)]"
+    kind = draw(st.sampled_from(
+        ["transform", "filter", "sort", "reverse", "concat", "slice"]))
+    a_s, a_d = draw(_array_expr(depth=depth - 1))
+    if kind == "transform":
+        k = draw(st.integers(0, 9))
+        op = draw(st.sampled_from(["+", "*"]))
+        return (f"transform({a_s}, x -> x {op} {k})",
+                f"list_transform({a_d}, x -> x {op} {k})")
+    if kind == "filter":
+        k = draw(st.integers(0, 6))
+        op = draw(st.sampled_from([">", "<=", "<>"]))
+        return (f"filter({a_s}, x -> x {op} {k})",
+                f"list_filter({a_d}, x -> x {op} {k})")
+    if kind == "sort":
+        return f"array_sort({a_s})", f"list_sort({a_d})"
+    if kind == "reverse":
+        return f"reverse({a_s})", f"list_reverse({a_d})"
+    if kind == "slice":
+        s = draw(st.integers(1, 3))
+        n = draw(st.integers(1, 3))
+        return (f"slice({a_s}, {s}, {n})",
+                f"list_slice({a_d}, {s}, {s + n - 1})")
+    b_s, b_d = draw(_array_expr(depth=depth - 1))
+    return f"concat({a_s}, {b_s})", f"list_concat({a_d}, {b_d})"
+
+
+@st.composite
+def _array_scalar_expr(draw) -> tuple[str, str]:
+    """Array expression reduced to a comparable scalar, per-dialect."""
+    a_s, a_d = draw(_array_expr())
+    fin = draw(st.sampled_from(["sum", "size", "max", "contains"]))
+    if fin == "sum":
+        return (f"aggregate({a_s}, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+                f"list_reduce(list_prepend(CAST(0 AS BIGINT), {a_d}), "
+                f"(acc, x) -> acc + x)")
+    if fin == "size":
+        return (f"CAST(size({a_s}) AS BIGINT)", f"CAST(len({a_d}) AS BIGINT)")
+    if fin == "max":
+        return (f"CAST(array_max({a_s}) AS BIGINT)",
+                f"CAST(list_max({a_d}) AS BIGINT)")
+    k = draw(st.integers(0, 6))
+    return (f"array_contains({a_s}, CAST({k} AS BIGINT))",
+            f"list_contains({a_d}, CAST({k} AS BIGINT))")
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_array_scalar_expr())
+def test_array_higher_order_agree(fuzz_ctx, expr):
+    spark, con, _n = fuzz_ctx
+    spark_sql, duck_sql = expr
+    qs = (f"SELECT l_orderkey, l_linenumber, {spark_sql} AS v "
+          f"FROM lineitem")
+    qd = (f"SELECT l_orderkey, l_linenumber, {duck_sql} AS v "
+          f"FROM lineitem")
+    key = lambda r: (r[0], r[1], r[2] is None, r[2])  # noqa: E731
+    got = sorted((tuple(r) for r in spark.sql(qs).collect()), key=key)
+    want = sorted(con.execute(qd).fetchall(), key=key)
+    assert got == want, (f"divergence:\n  spark: {spark_sql}\n"
+                         f"  duck:  {duck_sql}")
