@@ -88,3 +88,79 @@ def test_kafka_connector_boundary_probe(spark):
     else:
         df = reader.load()
         assert df.isStreaming
+
+
+def test_live_tcp_socket_ingestion(spark, tmp_path):
+    """LIVE network ingestion end-to-end — the closest this sandbox
+    gets to the reference's live Pulsar listener
+    (PulsarSource.java:176-213): a real TCP server on localhost feeds
+    fixed-width messages over a real socket into
+    readStream.format("socket"), through the SAME parse stage the
+    broker path would use, into a memory sink. Proves the engine's
+    streaming graph runs against a network endpoint, not just file
+    replay. (The socket source is dev-grade — no offset replay; the
+    replayable path is the custom DataSource in test_custom_source.py.)
+    """
+    import socket
+    import threading
+    import time
+
+    from datastream_processing_demo_spark.sources.message_gen import (
+        BASE_SEND_MS,
+        message_at,
+    )
+    from datastream_processing_demo_spark.streaming.messages import (
+        parse_messages,
+    )
+
+    n_msgs = 200
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            payload = "".join(message_at(i) + "\n" for i in range(n_msgs))
+            conn.sendall(payload.encode())
+            # keep the connection open: the socket source treats a
+            # close as end-of-stream/retry, so hold until the test is
+            # done reading
+            stop.wait(timeout=60)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    raw = (spark.readStream.format("socket")
+           .option("host", "127.0.0.1").option("port", port).load())
+    parsed = parse_messages(raw)
+    q = (parsed.writeStream.format("memory").queryName("live_socket")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    try:
+        # every structurally-valid message (length > 64) must arrive;
+        # i % 97 == 0 rows are the invalid ones parse_messages drops
+        expect = sum(1 for i in range(n_msgs) if len(message_at(i)) > 64)
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            got = spark.sql("SELECT count(*) FROM live_socket").collect()[0][0]
+            if got >= expect:
+                break
+            time.sleep(0.5)
+        rows = spark.sql(
+            "SELECT module_name, send_ts_ms, payload FROM live_socket"
+        ).collect()
+        assert len(rows) == expect, (len(rows), expect)
+        by_ts = {r["send_ts_ms"]: r for r in rows}
+        # spot-check content fidelity across the wire
+        for i in (1, 2, 50, 199):
+            if len(message_at(i)) > 64:
+                r = by_ts[BASE_SEND_MS + i * 1000]
+                assert r["module_name"] == ("session" if i % 3 else "other")
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
