@@ -718,3 +718,39 @@ def test_heavy_hitters_pass1_is_map_only(spark, sf_dir):
         subtree.append(ln)
     sub = "\n".join(subtree)
     assert "Scan parquet" in sub and "Exchange" not in sub, plan
+
+
+def test_temperature_mixture_rebalances_tails(spark, sf_dir):
+    """Statistical contract the SQL oracle can't express: alpha=0.5
+    temperature sampling must (a) land within a binomial envelope of
+    the floor(N/2) budget, (b) give every tail language a HIGHER
+    keep-rate than the head language (the whole point of temperature
+    rebalancing), and (c) be a pure function of the data — two runs
+    return the identical row set."""
+    from datastream_processing_demo_spark.plans.registry import get
+
+    spec = get("sample_temperature_mixture")
+    d = load_table(spark, sf_dir, "documents")
+    n_by_lang = {r["lang"]: r["n"] for r in
+                 d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    head = max(n_by_lang, key=n_by_lang.get)
+
+    out = spec.spark(spark, sf_dir)
+    rows = out.collect()
+    got_by_lang: dict = {}
+    for r in rows:
+        got_by_lang[r["lang"]] = got_by_lang.get(r["lang"], 0) + 1
+
+    n_total = sum(n_by_lang.values())
+    budget = n_total // 2
+    # per-stratum draws are independent Bernoulli; 5-sigma overall
+    assert abs(len(rows) - budget) <= 5 * (budget ** 0.5) + len(n_by_lang)
+    head_rate = got_by_lang.get(head, 0) / n_by_lang[head]
+    for lang, n in n_by_lang.items():
+        if lang == head or n == n_by_lang[head]:
+            continue
+        assert got_by_lang.get(lang, 0) / n > head_rate, (
+            f"tail {lang} not upsampled vs head {head}")
+
+    again = {(r["doc_id"], r["lang"]) for r in spec.spark(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["lang"]) for r in rows}
