@@ -592,3 +592,24 @@ def test_eval_set_pipeline_single_plan_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan, plan
+
+
+def test_temperature_mixture_broadcast_only(spark, sf_dir):
+    """The corpus side of temperature sampling must never shuffle: the
+    weight table joins back as a broadcast, so the only exchange in the
+    plan feeds the tiny lang-count aggregate."""
+    plan = _plan(spark, sf_dir, "sample_temperature_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, \
+        "corpus must not sort-merge against the weight table"
+
+
+def test_unigram_logprob_single_doc_shuffle(spark, sf_dir):
+    """LM scoring: no cartesian, no Python eval; the model join plus
+    exactly one doc_id aggregation shuffle (plus the model-building
+    aggregate) — the corpus is exploded once, never joined to itself."""
+    plan = _plan(spark, sf_dir, "text_unigram_logprob")
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
