@@ -510,3 +510,110 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(t(spark, sf_dir, "embeddings"),
                     threshold=0.35, n_cells=16)
+
+
+@query(
+    "sim_tfidf_cosine_topk", "similarity",
+    # Sparse-vector document similarity — the inverted-index (posting
+    # list) counterpart of the dense-embedding ANN lanes: each document
+    # is its TF-IDF term vector, similarity is exact cosine, and
+    # candidate pairs come from joining posting lists per term instead
+    # of any all-pairs product. Blocking key = (source, term): the
+    # quadratic pair space is bounded per source block (the same
+    # bound-the-block discipline as semdedup's k-means cells; at 100 TB
+    # the block is domain/shard and hot stopword postings get df-capped
+    # — documented knob, off here to stay exact at test scale).
+    # Portability: idf = ln((N+1)/(df+1)) rides a 1e-3 integer grid, so
+    # weights/dots/norms are exact BIGINTs (order-independent sums) and
+    # the final cosine is one identical IEEE sqrt/divide per pair.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+    tf AS (SELECT doc_id, source, w, COUNT(*) AS tf
+           FROM tok WHERE w <> '' GROUP BY doc_id, source, w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    wv AS (
+        SELECT tf.doc_id, tf.source, tf.w,
+               tf.tf * CAST(ROUND(ln((CAST(n_docs AS DOUBLE) + 1.0)
+                                     / (CAST(df AS DOUBLE) + 1.0))
+                                  * 1000.0, 0) AS BIGINT) AS wt
+        FROM tf JOIN dfreq USING (w), n),
+    norms AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM wv GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.wt * b.wt) AS dot
+        FROM wv a JOIN wv b ON a.source = b.source AND a.w = b.w
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+        SELECT doc_a, doc_b,
+               ROUND(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b),
+    sym AS (
+        SELECT doc_a AS doc_id, doc_b AS neighbor_id, cosine FROM scored
+        UNION ALL
+        SELECT doc_b, doc_a, cosine FROM scored),
+    ranked AS (
+        SELECT doc_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sym)
+    SELECT doc_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    description="sparse TF-IDF cosine top-3 per document via source-blocked posting-list join (inverted-index similarity)",
+)
+def sim_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "source",
+                    F.explode(F.split(F.lower("text"), " ")).alias("w"))
+           .filter(F.col("w") != ""))
+    tf = tok.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(F.log((F.col("n_docs").cast("double") + 1.0)
+                        / (F.col("df").cast("double") + 1.0)) * 1000.0, 0) \
+           .cast("long")
+    wv = (tf.join(F.broadcast(dfreq), "w")
+          .crossJoin(F.broadcast(n))
+          .select("doc_id", "source", "w",
+                  (F.col("tf") * idf).alias("wt")))
+    norms = wv.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt"))
+                                     .alias("n2"))
+    a = wv.select(F.col("doc_id").alias("doc_a"), "source", "w",
+                  F.col("wt").alias("wa"))
+    b = wv.select(F.col("doc_id").alias("doc_b"), "source", "w",
+                  F.col("wt").alias("wb"))
+    dots = (a.join(b, ["source", "w"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n2").alias("n2b"))
+    scored = (dots.join(na, "doc_a").join(nb, "doc_b")
+              .select("doc_a", "doc_b",
+                      F.round(F.col("dot").cast("double")
+                              / (F.sqrt(F.col("n2a").cast("double"))
+                                 * F.sqrt(F.col("n2b").cast("double"))), 6)
+                      .alias("cosine")))
+    sym = (scored.select(F.col("doc_a").alias("doc_id"),
+                         F.col("doc_b").alias("neighbor_id"), "cosine")
+           .unionAll(scored.select(F.col("doc_b").alias("doc_id"),
+                                   F.col("doc_a").alias("neighbor_id"),
+                                   "cosine")))
+    w = W.partitionBy("doc_id").orderBy(F.col("cosine").desc(),
+                                        "neighbor_id")
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "neighbor_id", "cosine", "rank"))
