@@ -41,3 +41,40 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def footer_stats(spark: SparkSession, path: str,
+                 cols: tuple[str, ...] = ()) -> dict:
+    """Table stats answered from parquet FOOTERS, not data pages:
+    COUNT(*) plus per-column MIN/MAX through DSv2 aggregate pushdown
+    (`PushedAggregation` in the scan). At 100 TB this turns a stat
+    pass that would scan every row group into a footer walk — the
+    lever behind fast row-count checks, split planning, and the
+    freshness probes a training-data pipeline runs before each epoch.
+
+    The two configs are scoped to this call and restored after (the
+    default session keeps parquet on the v1 path, which cannot push
+    aggregates); the result is collected INSIDE the scope because the
+    v1/v2 decision binds when the plan is analyzed. MIN/MAX pushdown
+    covers primitive numeric/string columns; on an unsupported type
+    Spark silently falls back to a scan — same answer, no footer
+    shortcut — so keep `cols` to plain columns. Statistics honesty:
+    parquet writers may omit/invalidate stats (e.g. NaN columns);
+    Spark's pushdown only fires where footer stats are trustworthy.
+    """
+    saved = {k: spark.conf.get(k, None)
+             for k in ("spark.sql.sources.useV1SourceList",
+                       "spark.sql.parquet.aggregatePushdown")}
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        exprs = ["count(*) AS n_rows"]
+        for c in cols:
+            exprs += [f"min({c}) AS min_{c}", f"max({c}) AS max_{c}"]
+        return spark.read.parquet(path).selectExpr(*exprs).collect()[0].asDict()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

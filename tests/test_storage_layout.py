@@ -153,3 +153,45 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     got = {(r["query_id"], r["rank"]): r["neighbor_id"]
            for r in got_df.collect()}
     assert got == want, "persisted-index ANN must match in-memory ivf_topk"
+
+
+def test_footer_stats_pushes_aggregates(spark, sf_dir):
+    """COUNT/MIN/MAX must be answered by the scan (PushedAggregation)
+    under the helper's scoped DSv2 configs, match a plain full-scan
+    aggregate exactly, and leave the session configs untouched."""
+    import contextlib
+    import io
+    import os
+
+    from datastream_processing_demo_spark.sources.layout import footer_stats
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    before = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+
+    got = footer_stats(spark, path, cols=("l_orderkey", "l_quantity"))
+    df = spark.read.parquet(path)
+    want = df.selectExpr("count(*) AS n_rows",
+                         "min(l_orderkey) AS min_l_orderkey",
+                         "max(l_orderkey) AS max_l_orderkey",
+                         "min(l_quantity) AS min_l_quantity",
+                         "max(l_quantity) AS max_l_quantity").collect()[0]
+    assert got == want.asDict()
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before
+
+    # the plan under the helper's scope really is footer-answered
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        agg = spark.read.parquet(path).selectExpr(
+            "count(*) AS n", "min(l_orderkey) AS lo")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain("formatted")
+        assert "PushedAggregation: [COUNT(*), MIN(l_orderkey)]" \
+            in buf.getvalue()
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", before)
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
