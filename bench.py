@@ -66,6 +66,9 @@ HEADLINE = [
     "dedup_decontaminate",     # 8-gram eval-overlap broadcast join
     "dedup_corpus_dup_fraction",  # corpus duplicated-span fraction
     "win_funnel_stages",       # single-shuffle ordered-sequence funnel
+    "sample_temperature_mixture",  # broadcast-weight temperature sampling
+    "text_unigram_logprob",    # corpus unigram-LM doc scoring
+    "sim_tfidf_cosine_topk_dense",  # block-dense gram-matrix cosine (applyInPandas)
 ]
 
 RUNS = 3

@@ -617,3 +617,119 @@ def sim_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sym.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
             .select("doc_id", "neighbor_id", "cosine", "rank"))
+
+
+def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared TF-IDF weight build for the sparse and dense cosine
+    lanes: (doc_id, source, w, wt) with wt = tf * idf on the exact
+    1e-3 integer grid."""
+    d = t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "source",
+                    F.explode(F.split(F.lower("text"), " ")).alias("w"))
+           .filter(F.col("w") != ""))
+    tf = tok.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(F.log((F.col("n_docs").cast("double") + 1.0)
+                        / (F.col("df").cast("double") + 1.0)) * 1000.0, 0) \
+           .cast("long")
+    return (tf.join(F.broadcast(dfreq), "w")
+            .crossJoin(F.broadcast(n))
+            .select("doc_id", "source", "w",
+                    (F.col("tf") * idf).alias("wt")))
+
+
+@query(
+    "sim_tfidf_cosine_topk_dense", "similarity",
+    # Same output as sim_tfidf_cosine_topk, computed the OTHER
+    # scale-correct way: instead of exploding posting lists through a
+    # shuffle (19M intermediate rows here, because the synthetic
+    # corpus's 31-word vocab makes every posting maximally hot), each
+    # source block becomes ONE dense numpy gram matrix inside
+    # applyInPandas — docs × terms matmul, O(block² · vocab) flops with
+    # zero shuffle rows beyond the block regroup. The "block fits an
+    # executor" contract is the same one FAISS-style ANN sharding uses;
+    # at 100 TB you pick per-block dense math vs posting joins by
+    # vocab shape (Zipf-sparse → postings, dense/hot → this lane).
+    # EXACTNESS survives the float path: integer-grid weights ≤ 5e5,
+    # dots ≤ 7e12 < 2^53, so float64 matmul is exact integer
+    # arithmetic; sqrt/divide/half-away-round replicate the oracle's
+    # IEEE sequence bit-for-bit. Oracle = the sparse lane's oracle.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+    tf AS (SELECT doc_id, source, w, COUNT(*) AS tf
+           FROM tok WHERE w <> '' GROUP BY doc_id, source, w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    wv AS (
+        SELECT tf.doc_id, tf.source, tf.w,
+               tf.tf * CAST(ROUND(ln((CAST(n_docs AS DOUBLE) + 1.0)
+                                     / (CAST(df AS DOUBLE) + 1.0))
+                                  * 1000.0, 0) AS BIGINT) AS wt
+        FROM tf JOIN dfreq USING (w), n),
+    norms AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM wv GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.wt * b.wt) AS dot
+        FROM wv a JOIN wv b ON a.source = b.source AND a.w = b.w
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+        SELECT doc_a, doc_b,
+               ROUND(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b),
+    sym AS (
+        SELECT doc_a AS doc_id, doc_b AS neighbor_id, cosine FROM scored
+        UNION ALL
+        SELECT doc_b, doc_a, cosine FROM scored),
+    ranked AS (
+        SELECT doc_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sym)
+    SELECT doc_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    description="TF-IDF cosine top-3 via per-source dense gram matrix in applyInPandas (block-local numpy matmul, zero posting shuffle)",
+)
+def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    wv = _tfidf_weights(spark, sf_dir)
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = (pdf.pivot_table(index="doc_id", columns="w", values="wt",
+                               aggfunc="sum", fill_value=0)
+               .astype(np.float64))
+        ids = mat.index.to_numpy()
+        m = mat.to_numpy()
+        g = m @ m.T                       # exact: integer values < 2^53
+        norm = np.sqrt(np.diag(g))
+        cos = g / np.outer(norm, norm)
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6   # oracle's half-away ROUND(,6)
+        np.fill_diagonal(cos, -1.0)             # exclude self
+        out = []
+        for i, did in enumerate(ids):
+            # top-3 by (cosine DESC, neighbor_id ASC) — full sort of one
+            # block row keeps the tiebreak exact
+            order = sorted(range(len(ids)),
+                           key=lambda j: (-cos[i, j], ids[j]))
+            for r, j in enumerate(order[:3], start=1):
+                if ids[j] == did:
+                    continue
+                out.append((did, ids[j], cos[i, j], r))
+        return pd.DataFrame(out, columns=["doc_id", "neighbor_id",
+                                          "cosine", "rank"])
+
+    return (wv.groupBy("source").applyInPandas(
+        gram, schema="doc_id long, neighbor_id long, cosine double, rank int")
+        .orderBy("doc_id", "rank"))
