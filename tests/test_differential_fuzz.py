@@ -586,3 +586,64 @@ def test_array_higher_order_agree(fuzz_ctx, expr):
     want = sorted(con.execute(qd).fetchall(), key=key)
     assert got == want, (f"divergence:\n  spark: {spark_sql}\n"
                          f"  duck:  {duck_sql}")
+
+
+# ---- lane 12: DATE/TIMESTAMP arithmetic ----
+# interval add/subtract chains, date_trunc at every grain, EXTRACT
+# finishers — classic divergence territory (calendar vs fixed-width
+# units, week anchors, return types). Constraints that make the lane
+# sound: date_trunc at day-or-coarser returns DATE in DuckDB but
+# TIMESTAMP in Spark, so every trunc is wrapped CAST(.. AS TIMESTAMP);
+# EXTRACT(DOW) is EXCLUDED (Spark Sunday=1, DuckDB Sunday=0 — a real
+# dialect trap this lane documents by omission; the engine's fn_date
+# query pins the mapping); both sessions run UTC so no DST ambiguity.
+
+_TRUNC_UNITS = ["minute", "hour", "day", "week", "month", "quarter", "year"]
+_EXTRACT_UNITS = ["YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "DOY", "QUARTER"]
+_IVL_UNITS = ["DAY", "HOUR", "MINUTE"]
+
+
+@st.composite
+def _ts_expr(draw, depth: int = 3) -> str:
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        return "l_shipdate"
+    kind = draw(st.sampled_from(["ivl", "ivl", "trunc"]))
+    inner = draw(_ts_expr(depth=depth - 1))
+    if kind == "ivl":
+        k = draw(st.integers(1, 90))
+        unit = draw(st.sampled_from(_IVL_UNITS))
+        op = draw(st.sampled_from(["+", "-"]))
+        return f"({inner} {op} INTERVAL {k} {unit})"
+    unit = draw(st.sampled_from(_TRUNC_UNITS))
+    return f"CAST(date_trunc('{unit}', {inner}) AS TIMESTAMP)"
+
+
+@st.composite
+def _ts_scalar_expr(draw) -> str:
+    a = draw(_ts_expr())
+    fin = draw(st.sampled_from(["extract", "raw", "cmp", "minmax"]))
+    if fin == "extract":
+        unit = draw(st.sampled_from(_EXTRACT_UNITS))
+        return f"CAST(EXTRACT({unit} FROM {a}) AS BIGINT)"
+    if fin == "raw":
+        return a
+    b = draw(_ts_expr())
+    if fin == "cmp":
+        op = draw(st.sampled_from(_CMP_OPS))
+        return f"({a} {op} {b})"
+    f = draw(st.sampled_from(["greatest", "least"]))
+    return f"{f}({a}, {b})"
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_ts_scalar_expr())
+def test_datetime_arithmetic_agrees(fuzz_ctx, expr):
+    spark, con, _n = fuzz_ctx
+    q = (f"SELECT l_orderkey, l_linenumber, {expr} AS v "
+         f"FROM lineitem")
+    key = lambda r: (r[0], r[1], r[2] is None, str(r[2]))  # noqa: E731
+    got = sorted((tuple(r) for r in spark.sql(q).collect()), key=key)
+    want = sorted(con.execute(q).fetchall(), key=key)
+    assert got == want, f"divergence for datetime expression: {expr}"
