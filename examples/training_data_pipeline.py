@@ -132,6 +132,62 @@ def main() -> None:
              .orderBy("split"))
     print(f"raw docs: {n_raw}")
     stats.show()
+
+    # 7. temperature-rebalanced train mixture (alpha = 0.5): tail
+    # languages upsampled within a floor(N/2) budget — integer-grid
+    # weights, content-hash draw (pure function of the data), corpus
+    # filtered map-side behind a broadcast weight table
+    # (sample_temperature_mixture's shape)
+    from datastream_processing_demo_spark.operators.ranking import (
+        global_rank,
+        salted_key,
+    )
+    train = docs.filter(F.col("split") == "train")
+    counts = (train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+              .withColumn("w_s",
+                          F.round(F.sqrt("n_s") * 1e6, 0).cast("long")))
+    tot = counts.agg(F.sum("n_s").alias("n"), F.sum("w_s").alias("w"))
+    th = (counts.crossJoin(F.broadcast(tot))
+          .select("lang", F.floor(F.least(
+              F.lit(1.0),
+              (F.floor(F.col("n") / 2).cast("long")
+               * F.col("w_s")).cast("double")
+              / (F.col("w") * F.col("n_s")).cast("double"))
+              * F.lit(4294967296.0)).cast("long").alias("t_s")))
+    draw = F.conv(F.substring(salted_key("doc_id", "t:"), 1, 8),
+                  16, 10).cast("long")
+    mix = train.join(F.broadcast(th), "lang").filter(draw < F.col("t_s"))
+
+    # 8. deterministic epoch shuffle: scalable two-phase total sort
+    # (text_shuffle_rank's shape — never a single-partition window)
+    epoch = 0
+    keyed = mix.select("doc_id", "lang", "text",
+                       salted_key("doc_id", f"{epoch}:").alias("_k"))
+    ordered = global_rank(keyed, "_k", rank_col="train_order").drop("_k")
+
+    # 9. tensorize: top-512 vocab broadcast-mapped to token-id arrays
+    # in original order (text_tokenize_ids' shape), OOV = -1
+    toks = (ordered.select("doc_id",
+                           F.posexplode(F.split("text", " "))
+                           .alias("pos", "wtok"))
+            .filter(F.col("wtok") != ""))
+    wcounts = toks.groupBy("wtok").agg(F.count(F.lit(1)).alias("c"))
+    vw = Window.orderBy(F.col("c").desc(), "wtok")
+    vocab = (wcounts.select("wtok",
+                            (F.row_number().over(vw) - 1).alias("vid"))
+             .filter(F.col("vid") < 512))
+    ids = (toks.join(F.broadcast(vocab), "wtok", "left")
+           .groupBy("doc_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct(
+                   "pos", F.coalesce("vid", F.lit(-1)).alias("tid")))),
+               lambda s: s["tid"]).alias("token_ids")))
+    tensor = (ordered.select("doc_id", "lang", "train_order")
+              .join(ids, "doc_id"))
+    first = tensor.orderBy("train_order").first()
+    print(f"train mixture: {mix.count()} docs; first tensor row: "
+          f"doc {first['doc_id']} ({first['lang']}), "
+          f"{len(first['token_ids'])} token ids")
     spark.stop()
 
 
