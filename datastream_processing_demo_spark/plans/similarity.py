@@ -540,7 +540,8 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      / (CAST(df AS DOUBLE) + 1.0))
                                   * 1000.0, 0) AS BIGINT) AS wt
         FROM tf JOIN dfreq USING (w), n),
-    norms AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM wv GROUP BY doc_id),
+    norms AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM wv GROUP BY doc_id
+              HAVING SUM(wt * wt) > 0),
     dots AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                SUM(a.wt * b.wt) AS dot
@@ -572,23 +573,13 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    d = t(spark, sf_dir, "documents")
-    tok = (d.select("doc_id", "source",
-                    F.explode(F.split(F.lower("text"), " ")).alias("w"))
-           .filter(F.col("w") != ""))
-    tf = tok.groupBy("doc_id", "source", "w").agg(
-        F.count(F.lit(1)).alias("tf"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.round(F.log((F.col("n_docs").cast("double") + 1.0)
-                        / (F.col("df").cast("double") + 1.0)) * 1000.0, 0) \
-           .cast("long")
-    wv = (tf.join(F.broadcast(dfreq), "w")
-          .crossJoin(F.broadcast(n))
-          .select("doc_id", "source", "w",
-                  (F.col("tf") * idf).alias("wt")))
-    norms = wv.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt"))
-                                     .alias("n2"))
+    wv = _tfidf_weights(spark, sf_dir)
+    # zero-norm docs (every word's idf grid value is 0 — near-ubiquitous
+    # tokens) have no defined cosine: drop them, matching the oracle's
+    # HAVING. Without the guard the ANSI divide would throw.
+    norms = (wv.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt"))
+                                      .alias("n2"))
+             .filter(F.col("n2") > 0))
     a = wv.select(F.col("doc_id").alias("doc_a"), "source", "w",
                   F.col("wt").alias("wa"))
     b = wv.select(F.col("doc_id").alias("doc_b"), "source", "w",
@@ -670,7 +661,8 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      / (CAST(df AS DOUBLE) + 1.0))
                                   * 1000.0, 0) AS BIGINT) AS wt
         FROM tf JOIN dfreq USING (w), n),
-    norms AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM wv GROUP BY doc_id),
+    norms AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM wv GROUP BY doc_id
+              HAVING SUM(wt * wt) > 0),
     dots AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                SUM(a.wt * b.wt) AS dot
@@ -713,9 +705,21 @@ def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = mat.index.to_numpy()
         m = mat.to_numpy()
         g = m @ m.T                       # exact: integer values < 2^53
+        # zero-norm docs (all idf-grid weights 0) have no defined
+        # cosine — drop them, matching both lanes' oracle HAVING
+        keep = np.diag(g) > 0
+        ids, m, g = ids[keep], m[keep], g[np.ix_(keep, keep)]
+        if len(ids) == 0:
+            return pd.DataFrame(columns=["doc_id", "neighbor_id",
+                                         "cosine", "rank"])
         norm = np.sqrt(np.diag(g))
         cos = g / np.outer(norm, norm)
-        cos = np.floor(cos * 1e6 + 0.5) / 1e6   # oracle's half-away ROUND(,6)
+        # half-away ROUND(,6): reproduces DuckDB's round on these exact
+        # dyadic-free inputs (the multimodal _round_half_away argument);
+        # Spark's F.round in the sparse lane uses the BigDecimal
+        # shortest-decimal path — all three agree away from the
+        # measure-zero .5-boundary doubles
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
         np.fill_diagonal(cos, -1.0)             # exclude self
         out = []
         for i, did in enumerate(ids):

@@ -998,12 +998,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
            .filter(F.col("word") != ""))
     model = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    tot = model.agg(F.sum("c").alias("t_tokens"))
     scaled = F.round(F.log("c") * 1e6, 0).cast("long")
-    return (tok.join(model, "word")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.sum(scaled).alias("sum_lnc_scaled"))
+    per_doc = (tok.join(model, "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(scaled).alias("sum_lnc_scaled")))
+    # T from the per-doc frame, not a second corpus explode+agg: the
+    # two consumers share an identical doc-agg subplan, so Spark's
+    # ReuseExchange serves both from ONE shuffle (plan-audited)
+    tot = per_doc.agg(F.sum("n_tokens").alias("t_tokens"))
+    return (per_doc
             .crossJoin(F.broadcast(tot))
             .select("doc_id", "n_tokens", "sum_lnc_scaled",
                     F.round(F.col("sum_lnc_scaled").cast("double")

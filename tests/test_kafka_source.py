@@ -146,6 +146,9 @@ def test_live_tcp_socket_ingestion(spark, tmp_path):
         expect = sum(1 for i in range(n_msgs) if len(message_at(i)) > 64)
         deadline = time.time() + 45
         while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(
+                    f"streaming query died: {q.exception()}")
             got = spark.sql("SELECT count(*) FROM live_socket").collect()[0][0]
             if got >= expect:
                 break

@@ -605,11 +605,20 @@ def test_temperature_mixture_broadcast_only(spark, sf_dir):
         "corpus must not sort-merge against the weight table"
 
 
-def test_unigram_logprob_single_doc_shuffle(spark, sf_dir):
-    """LM scoring: no cartesian, no Python eval; the model join plus
-    exactly one doc_id aggregation shuffle (plus the model-building
-    aggregate) — the corpus is exploded once, never joined to itself."""
+def test_unigram_logprob_plan_shape(spark, sf_dir):
+    """LM scoring plan guards: no cartesian, no Python eval, the 1-row
+    total broadcast, and the static corpus-scan count capped at 4
+    distinct scan nodes — tok-side + model-side of the scoring join,
+    each duplicated once under the total's subtree (which derives from
+    the per-doc aggregate precisely so AQE stage reuse can serve both
+    consumers from one shuffle at runtime). A regression that adds a
+    third logical corpus pass or drops to Python trips one of these."""
+    import re
+
     plan = _plan(spark, sf_dir, "text_unigram_logprob")
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+    scans = set(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert len(scans) <= 4, plan
+    assert "BroadcastExchange" in plan
