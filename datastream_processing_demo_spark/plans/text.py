@@ -1014,3 +1014,36 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (1e6 * F.col("n_tokens"))
                             - F.log(F.col("t_tokens").cast("double")), 6)
                     .alias("avg_logprob")))
+
+
+@query(
+    "text_quality_quantile_gate", "text",
+    # "Keep the top half of each source by quality" — the per-stratum
+    # quantile gate real pipelines apply instead of one global
+    # threshold (sources have different score distributions; a global
+    # cut empties the weakest source). percent_rank over the
+    # bit-deterministic quality score with a doc_id tiebreak is a pure
+    # function of the data, so both engines rank identically and the
+    # gate is exact. One stratum shuffle; the window never leaves the
+    # source partition.
+    oracle=f"""
+    SELECT doc_id, source,
+           ROUND({QUALITY_SCORE_SQL}, 6) AS quality_r,
+           ROUND(percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY {QUALITY_SCORE_SQL} DESC, doc_id), 6) AS pr
+    FROM documents
+    QUALIFY pr <= 0.5
+    """,
+    description="per-source quality quantile gate: keep top half of each source by percent_rank over the deterministic quality score",
+)
+def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    q = quality_cols("text")["quality_score"]
+    w = (Window.partitionBy("source")
+         .orderBy(F.desc("_q"), "doc_id"))
+    return (d.withColumn("_q", q)
+            .withColumn("pr", F.round(F.percent_rank().over(w), 6))
+            .filter(F.col("pr") <= 0.5)
+            .select("doc_id", "source",
+                    F.round(F.col("_q"), 6).alias("quality_r"), "pr"))
