@@ -102,10 +102,19 @@ def heavy_hitters(items: DataFrame, col: str, phi: float = 0.005,
     T > N/k, and T = ceil(phi*N) >= phi*N, so k = ceil(1/phi) + slack
     counters per partition suffice for any N. Returns (item, cnt),
     exact — bit-identical to GROUP BY item HAVING cnt >= ceil(phi*N).
-    """
-    import math
 
-    k = int(math.ceil(1.0 / phi)) + slack
+    The threshold itself is EXACT integer arithmetic: phi is read as the
+    decimal the caller wrote (Fraction(str(phi)) -> num/den), and
+    cnt >= ceil(phi*N) is evaluated as cnt*den >= num*N in BIGINT. A
+    double-precision ceil(phi*N) can land one above the exact-DECIMAL
+    threshold an ANSI engine computes when the binary product rounds
+    just past an integer boundary; the rational form can't.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(phi))
+    num, den = frac.numerator, frac.denominator
+    k = -(-den // num) + slack  # ceil(1/phi), exact
     item_type = items.schema[col].dataType
     ts = item_type.simpleString()
     src = items.select(F.col(col).alias("item"))

@@ -210,11 +210,10 @@ def agg_ordered_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_approx", "aggregates",
-    oracle=None,  # approx sketches are engine-specific; property-checked in tests
-    description="approx_count_distinct (HLL) + percentile_approx; bounded-error",
-)
+# NOTE: retired from the registry in r4 (was oracle-less rows-only; its
+# r1 driver entry was a permanent `err`). Its whole surface is exercised
+# and driver-GREEN through the exact property-oracled `agg_approx_bounds`
+# below; kept as a plain helper for the pytest error-bound checks.
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -224,11 +223,10 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_sketch_rollup", "aggregates",
-    oracle=None,  # sketch bytes are engine-specific; error-bound-checked in tests
-    description="mergeable HLL sketch rollup: minute sketches unioned to hour/day",
-)
+# NOTE: retired from the registry in r4 (was oracle-less rows-only; its
+# r1 driver entry was a permanent `err`). The sketch-rollup surface is
+# exercised and driver-GREEN through `agg_sketch_bounds` below, which
+# calls this helper and property-checks every unioned estimate.
 def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The incremental-distinct pattern for 100 TB rollups: aggregate raw
     # data ONCE into fine-grain Apache DataSketches HLL sketches, then

@@ -233,14 +233,14 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(round(l_extendedprice * 10) AS BIGINT) AS price_r1_x10,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
-           abs(l_discount - 0.05) AS disc_dev,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(round(abs(l_discount - 0.05) * 1000000) AS BIGINT) AS disc_dev_e6,
            CAST(round(sqrt(l_quantity) * 1000000) AS BIGINT) AS qty_sqrt_e6,
            CAST(round(pow(l_quantity, 2.0) * 1000000) AS BIGINT) AS qty_sq_e6,
            CAST(round(ln(l_extendedprice) * 1000000) AS BIGINT) AS price_ln_e6,
            CAST(round(exp(l_discount) * 1000000) AS BIGINT) AS disc_exp_e6,
-           sign(l_discount - 0.05) AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
            CAST(((l_linenumber - 3) % 5 + 5) % 5 AS BIGINT) AS line_pmod
     FROM lineitem
     """,
@@ -252,9 +252,10 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.round(F.col("l_extendedprice") * 10, 0).cast("long")
             .alias("price_r1_x10"),
-        F.floor("l_extendedprice").cast("double").alias("price_floor"),
-        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
-        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.05) * 1e6, 0).cast("long")
+            .alias("disc_dev_e6"),
         F.round(F.sqrt("l_quantity") * 1e6, 0).cast("long")
             .alias("qty_sqrt_e6"),
         F.round(F.pow("l_quantity", F.lit(2.0)) * 1e6, 0).cast("long")
@@ -263,7 +264,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_ln_e6"),
         F.round(F.exp("l_discount") * 1e6, 0).cast("long")
             .alias("disc_exp_e6"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
         F.pmod(F.col("l_linenumber") - 3, F.lit(5)).cast("long").alias("line_pmod"),
     )
 
@@ -935,11 +936,17 @@ def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents GROUP BY lang),
     tot AS (SELECT SUM(n_s) AS n_total, SUM(w_s) AS w_total FROM counts),
     thresh AS (
+        -- every factor cast to DOUBLE BEFORE multiplying: budget*w_s and
+        -- w_total*n_s in BIGINT overflow 2^63 around 1e9-row strata (the
+        -- ratio only needs ~1 ulp, and each factor is < 2^53 so the
+        -- double products round identically in both engines)
         SELECT lang,
                CAST(floor(least(
                    1.0,
-                   CAST(CAST(floor(n_total / 2) AS BIGINT) * w_s AS DOUBLE)
-                       / CAST(w_total * n_s AS DOUBLE)) * 4294967296.0)
+                   (CAST(CAST(floor(n_total / 2) AS BIGINT) AS DOUBLE)
+                        * CAST(w_s AS DOUBLE))
+                       / (CAST(w_total AS DOUBLE) * CAST(n_s AS DOUBLE)))
+                   * 4294967296.0)
                     AS BIGINT) AS t_s
         FROM counts, tot)
     SELECT d.doc_id, d.lang
@@ -959,12 +966,16 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .cast("long")))
     tot = counts.agg(F.sum("n_s").alias("n_total"),
                      F.sum("w_s").alias("w_total"))
+    # cast each factor to double BEFORE the multiply: the BIGINT products
+    # budget*w_s / w_total*n_s pass 2^63 around 1e9-row strata and would
+    # error under ANSI mode at exactly the scale this operator targets
     thresh = (counts.crossJoin(F.broadcast(tot))
               .select("lang", F.floor(F.least(
                   F.lit(1.0),
-                  (F.floor(F.col("n_total") / 2).cast("long")
-                   * F.col("w_s")).cast("double")
-                  / (F.col("w_total") * F.col("n_s")).cast("double"))
+                  (F.floor(F.col("n_total") / 2).cast("long").cast("double")
+                   * F.col("w_s").cast("double"))
+                  / (F.col("w_total").cast("double")
+                     * F.col("n_s").cast("double")))
                   * F.lit(4294967296.0)).cast("long").alias("t_s")))
     draw = F.conv(F.substring(salted_key("doc_id", "t:"), 1, 8),
                   16, 10).cast("long")

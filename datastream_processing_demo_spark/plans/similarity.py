@@ -720,16 +720,28 @@ def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shortest-decimal path — all three agree away from the
         # measure-zero .5-boundary doubles
         cos = np.floor(cos * 1e6 + 0.5) / 1e6
-        np.fill_diagonal(cos, -1.0)             # exclude self
+        # mask pairs sharing NO token: the oracle's posting-list join only
+        # emits pairs with >=1 common term, while the gram matrix scores
+        # every same-source pair — a no-overlap cosine-0.0 row would rank
+        # here but not there on corpora sparser than this fixture. The
+        # indicator comes from token PRESENCE, not wt != 0: the idf grid
+        # rounds corpus-saturating terms to weight 0, and a pair sharing
+        # only such a term is still a (dot=0, cosine 0.0) oracle row.
+        present = (pdf.assign(_one=1)
+                   .pivot_table(index="doc_id", columns="w", values="_one",
+                                aggfunc="max", fill_value=0)
+                   .to_numpy(np.float64)[keep])
+        shared = (present @ present.T) > 0
+        np.fill_diagonal(shared, False)         # exclude self
         out = []
         for i, did in enumerate(ids):
-            # top-3 by (cosine DESC, neighbor_id ASC) — full sort of one
-            # block row keeps the tiebreak exact
-            order = sorted(range(len(ids)),
+            # top-3 by (cosine DESC, neighbor_id ASC) over candidates that
+            # share a term — full sort of one block row keeps the tiebreak
+            # exact
+            cand = np.flatnonzero(shared[i])
+            order = sorted(cand.tolist(),
                            key=lambda j: (-cos[i, j], ids[j]))
             for r, j in enumerate(order[:3], start=1):
-                if ids[j] == did:
-                    continue
                 out.append((did, ids[j], cos[i, j], r))
         return pd.DataFrame(out, columns=["doc_id", "neighbor_id",
                                           "cosine", "rank"])

@@ -715,7 +715,8 @@ def source_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_jsonl_gzip_scan", "sql_surface",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc
     FROM documents
     GROUP BY lang

@@ -750,3 +750,89 @@ def stream_live_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("user_id", "n_events", "total_value", "n_purchases"))
+
+
+def _plog_fixture_dir(spark: SparkSession, sf_dir: str,
+                      n_parts: int = 4, n_rounds: int = 4) -> str:
+    """Materialize events as a partitioned log (sources/plog.py):
+    pid = event_id % n_parts, appended in event_id order per partition
+    across n_rounds producer rounds — so a paced reader replays it in
+    n_rounds micro-batches with real offset planning. Idempotent."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = os.path.join(_CACHE_ROOT, tag, "events_plog")
+    marker = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(marker):
+        import math
+
+        from ..sources.plog import PartitionedLogWriter
+        pdf = (load_table(spark, sf_dir, "events")
+               .select("event_id", "event_type", "value")
+               .orderBy("event_id").toPandas())
+        # cents via floor(value*100): one IEEE multiply + floor, the
+        # same bits DuckDB's FLOOR(value*100) computes in the oracle
+        pdf["cents"] = (pdf["value"] * 100.0).apply(math.floor).astype("int64")
+        w = PartitionedLogWriter(out, n_partitions=n_parts)
+        for pid in range(n_parts):
+            part = pdf[pdf["event_id"] % n_parts == pid]
+            step = (len(part) + n_rounds - 1) // n_rounds
+            for i in range(0, len(part), step):
+                chunk = part.iloc[i:i + step]
+                w.append(pid, [(f"{eid}", f"{et}|{c}")
+                               for eid, et, c in zip(chunk["event_id"],
+                                                     chunk["event_type"],
+                                                     chunk["cents"])])
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "stream_plog_source", "streaming", boost=True,
+    # S1 live e2e (reference PulsarSource.java:22-214): a REAL streaming
+    # query over the custom partitioned-log DataSource — per-partition
+    # offsets, paced micro-batches (maxRoundsPerTrigger=1 => one producer
+    # round per trigger), ack-on-commit. The oracle recomputes the same
+    # per-log-partition totals straight from events: offsets are
+    # deterministic (event_id order per partition), so max_offset =
+    # count-1 pins offset continuity and n_msgs/total_cents pin that no
+    # record was lost or doubled across the replay.
+    oracle="""
+    SELECT CAST(event_id % 4 AS INT) AS partition,
+           COUNT(*) AS n_msgs,
+           COUNT(*) - 1 AS max_offset,
+           CAST(SUM(event_id) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY 1
+    """,
+    description="LIVE custom-DataSource partitioned log: offsets + pacing + ack-on-commit, exact per-partition totals",
+)
+def stream_plog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.plog import PartitionedLogDataSource
+    log_dir = _plog_fixture_dir(spark, sf_dir)
+    spark.dataSource.register(PartitionedLogDataSource)
+    src = (spark.readStream.format("plog")
+           .option("path", log_dir).option("partitions", "4")
+           .option("maxRoundsPerTrigger", "1").load())
+    agg = (src.groupBy("partition")
+           .agg(F.count(F.lit(1)).alias("n_msgs"),
+                F.max("offset").alias("max_offset"),
+                F.sum(F.col("key").cast("long")).alias("key_sum"),
+                F.sum(F.split("value", r"\|").getItem(1).cast("long"))
+                 .alias("total_cents")))
+    name = f"stream_plog_source_{next(_NAMES)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # processAllAvailable, not availableNow: Python stream sources
+        # fall back to single-batch under availableNow, which would
+        # defeat the paced multi-micro-batch replay this lane exists
+        # to exercise
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").start())
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(timeout=60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)

@@ -265,7 +265,7 @@ _QUALITY_SCORE_SQL = r"""
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
            ROUND(SUM(q) / COUNT(*), 6) AS avg_quality
     FROM deduped
     GROUP BY lang, source
@@ -984,7 +984,7 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(c) AS t_tokens FROM model)
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           SUM(CAST(ROUND(ln(c) * 1e6, 0) AS BIGINT)) AS sum_lnc_scaled,
+           CAST(SUM(CAST(ROUND(ln(c) * 1e6, 0) AS BIGINT)) AS BIGINT) AS sum_lnc_scaled,
            ROUND(CAST(SUM(CAST(ROUND(ln(c) * 1e6, 0) AS BIGINT)) AS DOUBLE)
                      / (1e6 * COUNT(*))
                  - ln(CAST(t_tokens AS DOUBLE)), 6) AS avg_logprob

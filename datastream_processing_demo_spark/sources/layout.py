@@ -52,29 +52,24 @@ def footer_stats(spark: SparkSession, path: str,
     lever behind fast row-count checks, split planning, and the
     freshness probes a training-data pipeline runs before each epoch.
 
-    The two configs are scoped to this call and restored after (the
-    default session keeps parquet on the v1 path, which cannot push
-    aggregates); the result is collected INSIDE the scope because the
-    v1/v2 decision binds when the plan is analyzed. MIN/MAX pushdown
-    covers primitive numeric/string columns; on an unsupported type
-    Spark silently falls back to a scan — same answer, no footer
-    shortcut — so keep `cols` to plain columns. Statistics honesty:
-    parquet writers may omit/invalidate stats (e.g. NaN columns);
-    Spark's pushdown only fires where footer stats are trustworthy.
+    The two configs live in a dedicated `spark.newSession()` — SQL confs
+    are per-session state over the shared SparkContext, so the stats
+    read gets the DSv2 path while concurrent queries on the caller's
+    session keep their v1 plans (mutate-and-restore on the shared
+    session would silently flip any query analyzed inside the window;
+    the default session keeps parquet on v1, which cannot push
+    aggregates). MIN/MAX pushdown covers primitive numeric/string
+    columns; on an unsupported type Spark silently falls back to a scan
+    — same answer, no footer shortcut — so keep `cols` to plain
+    columns. Statistics honesty: parquet writers may omit/invalidate
+    stats (e.g. NaN columns); Spark's pushdown only fires where footer
+    stats are trustworthy.
     """
-    saved = {k: spark.conf.get(k, None)
-             for k in ("spark.sql.sources.useV1SourceList",
-                       "spark.sql.parquet.aggregatePushdown")}
-    spark.conf.set("spark.sql.sources.useV1SourceList", "")
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    try:
-        exprs = ["count(*) AS n_rows"]
-        for c in cols:
-            exprs += [f"min({c}) AS min_{c}", f"max({c}) AS max_{c}"]
-        return spark.read.parquet(path).selectExpr(*exprs).collect()[0].asDict()
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    stats_session = spark.newSession()
+    stats_session.conf.set("spark.sql.sources.useV1SourceList", "")
+    stats_session.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    exprs = ["count(*) AS n_rows"]
+    for c in cols:
+        exprs += [f"min({c}) AS min_{c}", f"max({c}) AS max_{c}"]
+    return (stats_session.read.parquet(path)
+            .selectExpr(*exprs).collect()[0].asDict())

@@ -43,7 +43,8 @@ _CONN_CACHE: dict = {}
 
 
 def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0,
-                 retry_attempts: int = 3, backoff_s: float = 0.2) -> None:
+                 retry_attempts: int = 3, backoff_s: float = 0.2,
+                 auth_header: str | None = None) -> None:
     """POST via a cached keep-alive connection, retaining THIS chunk for
     in-task resend on transient failure.
 
@@ -86,8 +87,11 @@ def _post_pooled(endpoint: str, body: str, timeout_s: float = 5.0,
         if conn.sock is not None:
             conn.sock.settimeout(timeout_s)
         try:
+            headers = {"Content-Type": "application/x-ndjson"}
+            if auth_header is not None:
+                headers["Authorization"] = auth_header
             conn.request("POST", u.path or "/", body=body.encode("utf-8"),
-                         headers={"Content-Type": "application/x-ndjson"})
+                         headers=headers)
             resp = conn.getresponse()
             resp.read()
         except (http.client.HTTPException, OSError) as exc:
@@ -135,9 +139,21 @@ class HttpBulkWriter:
     """
 
     def __init__(self, endpoint: str, batch_size: int = 1000,
-                 retry_attempts: int = 3, backoff_s: float = 0.2) -> None:
+                 retry_attempts: int = 3, backoff_s: float = 0.2,
+                 user: str | None = None, passwd: str | None = None) -> None:
         self.endpoint = endpoint
         self.batch_size = batch_size
+        # HTTP Basic auth (reference CTSDBSink.java builds the client
+        # with ctsdb_user/ctsdb_passwd credentials on the _bulk POST;
+        # config surface SURVEY.md §2.1). Precomputed driver-side: the
+        # header is a plain string closure the executors reuse.
+        if user is not None:
+            import base64
+            token = base64.b64encode(
+                f"{user}:{passwd or ''}".encode("utf-8")).decode("ascii")
+            self.auth_header: str | None = f"Basic {token}"
+        else:
+            self.auth_header = None
         # Chunk-level retain-retry budget (ZhiYanSink.java:95-97,111):
         # transient HTTP failures resend only the failed chunk in-task;
         # retry_attempts=1 disables and falls straight to WAL replay.
@@ -150,6 +166,7 @@ class HttpBulkWriter:
         endpoint, batch_size, is_http = \
             self.endpoint, self.batch_size, self._is_http
         retry_attempts, backoff_s = self.retry_attempts, self.backoff_s
+        auth_header = self.auth_header
         if not is_http:
             os.makedirs(endpoint, exist_ok=True)
             # A replay of this batch may partition differently than the
@@ -184,7 +201,8 @@ class HttpBulkWriter:
                 if is_http:
                     _post_pooled(endpoint, body,
                                  retry_attempts=retry_attempts,
-                                 backoff_s=backoff_s)
+                                 backoff_s=backoff_s,
+                                 auth_header=auth_header)
                 else:
                     # os.replace: a replayed batch overwrites its own chunk
                     # file atomically instead of appending a duplicate.

@@ -14,9 +14,9 @@ from datastream_processing_demo_spark.plans.registry import all_queries
 
 
 def test_approx_count_distinct_bounds(spark, sf_dir, oracle_con):
-    spec = all_queries()["agg_approx"]
+    from datastream_processing_demo_spark.plans.aggregates import agg_approx
     got = {r["l_returnflag"]: r for r in
-           (row.asDict() for row in spec.spark(spark, sf_dir).collect())}
+           (row.asDict() for row in agg_approx(spark, sf_dir).collect())}
     exact = oracle_con.execute("""
         SELECT l_returnflag,
                COUNT(DISTINCT l_partkey) AS n_parts,
@@ -110,8 +110,8 @@ def test_sketch_rollup_merges_to_exact_distinct(spark, sf_dir, oracle_con):
     # distinct count (not a sum of per-minute counts — the whole point
     # of mergeable sketches); DataSketches HLL at default lgK=12 has
     # ~1.6% rsd, take 4 sigma.
-    spec = all_queries()["agg_sketch_rollup"]
-    rows = spec.spark(spark, sf_dir).collect()
+    from datastream_processing_demo_spark.plans.aggregates import agg_sketch_rollup
+    rows = agg_sketch_rollup(spark, sf_dir).collect()
     assert {"minute", "hour", "day"} == {r["resolution"] for r in rows}
     day = {r["bucket"]: r["approx_users"] for r in rows
            if r["resolution"] == "day"}

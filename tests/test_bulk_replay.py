@@ -170,3 +170,56 @@ def test_transient_503_retained_chunk_retries_in_task(spark, tmp_path):
         assert state["n_posts"] == len(ok) + 2
     finally:
         srv.shutdown()
+
+
+def test_bulk_post_basic_auth_required(spark, tmp_path):
+    """CTSDBSink parity (CTSDBSink.java user/passwd, SURVEY §2.1 config
+    surface): the bulk endpoint requires HTTP Basic auth. Without
+    credentials the POST is a non-retryable 401 -> the task raises;
+    with user/passwd the writer sends `Authorization: Basic ...` and
+    every doc lands."""
+    import base64
+
+    expected = "Basic " + base64.b64encode(b"ctsdb_user:s3cret").decode()
+    state = {"docs": {}, "n_unauth": 0}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 — http.server API
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8")
+            with lock:
+                if self.headers.get("Authorization") != expected:
+                    state["n_unauth"] += 1
+                    self.send_response(401)
+                    self.end_headers()
+                    return
+                for line in body.splitlines():
+                    if line.strip():
+                        rec = json.loads(line)
+                        state["docs"][rec["_id"]] = rec["doc"]
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}/metric/doc/_bulk"
+    payloads = [f'{{"k": {i}}}' for i in range(10)]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string") \
+        .repartition(2)
+    try:
+        # without credentials: 401 is a non-retryable client error
+        with pytest.raises(Exception, match="401"):
+            HttpBulkWriter(endpoint, batch_size=4,
+                           retry_attempts=1).write_batch(df, batch_id=0)
+        assert state["n_unauth"] >= 1 and not state["docs"]
+        # with credentials: every doc lands exactly once
+        HttpBulkWriter(endpoint, batch_size=4, retry_attempts=1,
+                       user="ctsdb_user", passwd="s3cret") \
+            .write_batch(df, batch_id=1)
+        assert sorted(state["docs"].values()) == sorted(payloads)
+    finally:
+        srv.shutdown()

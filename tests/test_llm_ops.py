@@ -764,3 +764,56 @@ def test_temperature_mixture_rebalances_tails(spark, sf_dir):
 
     again = {(r["doc_id"], r["lang"]) for r in spec.spark(spark, sf_dir).collect()}
     assert again == {(r["doc_id"], r["lang"]) for r in rows}
+
+
+def test_tfidf_dense_lane_masks_no_overlap_pairs(spark, tmp_path):
+    # ADVICE r3: the dense gram matrix scores EVERY same-source pair,
+    # including pairs sharing no term (cosine 0.0), while the sparse
+    # lane / oracle posting join only emits pairs sharing >=1 token.
+    # Corpus: doc 1/2 share vocab; doc 3 is disjoint from both. The
+    # dense lane must emit NO neighbor rows for doc 3 and must not rank
+    # doc 3 as a neighbor of 1/2 — identical to the sparse lane.
+    import pandas as pd
+
+    from datastream_processing_demo_spark.plans.similarity import (
+        sim_tfidf_cosine_topk, sim_tfidf_cosine_topk_dense)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["s"] * 3,
+        "text": ["red apple tree", "red apple pie", "quantum flux engine"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+    dense = {tuple(r) for r in
+             sim_tfidf_cosine_topk_dense(spark, sf).collect()}
+    sparse = {tuple(r) for r in sim_tfidf_cosine_topk(spark, sf).collect()}
+    assert dense == sparse
+    assert all(r[0] != 3 and r[1] != 3 for r in dense), \
+        f"no-overlap doc 3 must not appear: {dense}"
+    assert {r[0] for r in dense} == {1, 2}
+
+
+def test_native_codec_contract_without_lib():
+    # VERDICT r3 item 7: the native-codec swap point exists behind the
+    # stdlib codec contract. Without PIL (this sandbox) the native path
+    # raises a LOUD typed error — never a silent fallback — while
+    # decode_image_best composes to the stdlib codec with the same
+    # return contract.
+    from datastream_processing_demo_spark.operators import native_codec as nc
+    from datastream_processing_demo_spark.operators.multimodal import (
+        decode_image_real, encode_ppm_rgb)
+
+    payload = encode_ppm_rgb(bytes(range(1, 25)), width=4)
+    if not nc.HAVE_PIL:
+        with pytest.raises(nc.NativeCodecUnavailable):
+            nc.decode_image_native(payload)
+        best = nc.decode_image_best(payload)
+        ref = decode_image_real(payload)
+        assert best["width"] == ref["width"]
+        assert (best["pixels"] == ref["pixels"]).all()
+    else:  # conformance where a lib exists: pixel-identical lossless
+        got, ref = nc.decode_image_native(payload), decode_image_real(payload)
+        assert (got["width"], got["height"], got["channels"]) == \
+            (ref["width"], ref["height"], ref["channels"])
+        assert (got["pixels"] == ref["pixels"]).all()

@@ -34,6 +34,25 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     assert not problems, f"{name}: {problems}"
 
 
+def test_compare_catches_dtype_class_mismatch():
+    """The driver's value hash is type-sensitive: a Spark DOUBLE column with
+    values equal to a DuckDB TINYINT column (signum vs sign, both ±1/0) is a
+    driver red. compare() must catch it locally — this exact blind spot let
+    fn_math stay red for three rounds."""
+    import numpy as np
+    import pandas as pd
+
+    spark_side = pd.DataFrame({"s": np.array([1.0, -1.0, 0.0], dtype="float64")})
+    oracle_side = pd.DataFrame({"s": np.array([1, -1, 0], dtype="int8")})
+    problems = compare(spark_side, oracle_side)
+    assert problems and "dtype class" in problems[0]
+
+    # equal classes (different widths) must still pass
+    a = pd.DataFrame({"s": np.array([1, 2], dtype="int64")})
+    b = pd.DataFrame({"s": np.array([1, 2], dtype="int32")})
+    assert not compare(a, b)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

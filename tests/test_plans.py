@@ -226,8 +226,23 @@ def test_rollup_cascades_scan_raw_once(spark, sf_dir):
     # raw scan (grouping sets over the minute-grain table). A union of
     # cascaded aggregates silently replans N full rescans — Spark shares
     # no subplans across union branches.
+    from datastream_processing_demo_spark.plans.aggregates import agg_sketch_rollup
+
+    def _plan_of(name):
+        # agg_sketch_rollup retired from the registry (superseded by the
+        # exact-oracled agg_sketch_bounds) but its plan shape stays pinned
+        if name == "agg_sketch_rollup":
+            import contextlib
+            import io
+            df = agg_sketch_rollup(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+        return _plan(spark, sf_dir, name)
+
     for name in ("stream_hypertable_rollup", "agg_sketch_rollup"):
-        plan = _plan(spark, sf_dir, name)
+        plan = _plan_of(name)
         n_scans = plan.count("Scan parquet")
         assert n_scans <= 2, \
             f"{name}: expected one raw scan, plan mentions {n_scans}"

@@ -60,6 +60,24 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Broad dtype class. The driver's value hash is TYPE-sensitive: a Spark
+    DOUBLE column whose values equal a DuckDB TINYINT column (e.g. signum vs
+    sign, both ±1/0) hashes differently even though Python `==` says equal.
+    That exact class of red survived rounds 1-3 invisibly; this check makes
+    it fail locally. `object` is a wildcard (Decimals, dates, lists land
+    there on both engines with engine-specific wrapping)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -68,6 +86,13 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     if sc != oc:
         problems.append(f"columns spark={sc} oracle={oc}")
         return problems
+    for c in sc:
+        ca, cb = _dtype_class(spark_pdf[c]), _dtype_class(oracle_pdf[c])
+        if "object" not in (ca, cb) and ca != cb:
+            problems.append(
+                f"col {c}: dtype class spark={ca}({spark_pdf[c].dtype}) "
+                f"oracle={cb}({oracle_pdf[c].dtype}) — driver hash is "
+                f"type-sensitive; align the types on both sides")
     if problems:
         return problems
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
