@@ -68,7 +68,9 @@ HEADLINE = [
     "win_funnel_stages",       # single-shuffle ordered-sequence funnel
     "sample_temperature_mixture",  # broadcast-weight temperature sampling
     "text_unigram_logprob",    # corpus unigram-LM doc scoring
+    "text_bigram_logprob",     # bigram-LM doc scoring (fluency gate)
     "sim_tfidf_cosine_topk_dense",  # block-dense gram-matrix cosine (applyInPandas)
+    "sim_hybrid_rrf",          # lexical+vector reciprocal-rank fusion
 ]
 
 RUNS = 3

@@ -681,32 +681,42 @@ def fn_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="edit-distance fuzzy matching: blocked pair join + bounded levenshtein",
 )
 def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fuzzy string matching, the scalar backbone of fuzzy dedup. Scale
-    # shape: a BLOCKED self-join (equi-join on p_brand keeps the pair
-    # space per-block, never all-pairs) + Spark's bounded levenshtein
-    # (3-arg threshold form: the DP early-exits and returns -1 once the
-    # distance provably exceeds the bound — O(n*k) not O(n*m) per pair).
-    # Two pair-space prunings that drop the cost before the DP runs:
-    # the length filter (|len(a)-len(b)| <= k is NECESSARY for
-    # distance <= k) kills pairs with one comparison, and spread() on
-    # the probe side keeps the pair enumeration parallel even when the
-    # scan is one file (single-partition probe = single-task join).
-    from ..operators.spread import spread
+    # Fuzzy string matching, the scalar backbone of fuzzy dedup.
+    # Scale shape (r4 rewrite, caught by the sf1 rehearsal): the naive
+    # brand-blocked self-join enumerates Σ block² id pairs BEFORE the
+    # distance test — 1.6B pairs at sf1 (25 brands), 58x the sf0.1 wall
+    # time for 10x the data. But the VALUE space is tiny (64 distinct
+    # names), so compress the quadratic step onto it: (1) distance
+    # matrix over DISTINCT names only (64² bounded-levenshtein calls,
+    # the 3-arg DP early-exits past the bound), (2) keep surviving name
+    # pairs (a few hundred, broadcast), (3) two hash joins fan the name
+    # pairs back out to id pairs — enumerated rows = the OUTPUT, never
+    # the block square. The classic distinct-before-quadratic move
+    # (same insight as array_distinct-before-explode in the dedup
+    # family). For genuinely high-cardinality names the swap is
+    # SymSpell/PassJoin candidate generation (deletion neighborhoods /
+    # segment pigeonhole) + the same verify; this corpus is the
+    # low-cardinality regime where the distinct matrix is optimal.
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = spread(p).alias("a")
-    b = p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
-    len_ok = (F.abs(F.length(F.col("a.p_name"))
-                    - F.length(F.col("b.p_name"))) <= 3)
-    return (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
-                   & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-                   & len_ok)
+    dn = p.select("p_name").distinct()
+    na, nb = dn.alias("na"), dn.alias("nb")
+    dist = F.levenshtein(F.col("na.p_name"), F.col("nb.p_name"), 3)
+    name_pairs = (na.crossJoin(nb)           # 64 x 64 — broadcast-sized
+                  .select(F.col("na.p_name").alias("name_a"),
+                          F.col("nb.p_name").alias("name_b"),
+                          dist.alias("edit_dist"))
+                  .filter(F.col("edit_dist") >= 0))
+    a, b = p.alias("a"), p.alias("b")
+    return (a.join(F.broadcast(name_pairs),
+                   F.col("a.p_name") == F.col("name_a"))
+            .join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                  & (F.col("b.p_name") == F.col("name_b"))
+                  & (F.col("a.p_partkey") < F.col("b.p_partkey")))
             .select(F.col("a.p_partkey").alias("a_key"),
                     F.col("b.p_partkey").alias("b_key"),
                     F.col("a.p_name").alias("a_name"),
                     F.col("b.p_name").alias("b_name"),
-                    dist.alias("edit_dist"))
-            .filter(F.col("edit_dist") >= 0))
+                    "edit_dist"))
 
 
 @query(

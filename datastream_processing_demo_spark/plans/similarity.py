@@ -749,3 +749,137 @@ def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (wv.groupBy("source").applyInPandas(
         gram, schema="doc_id long, neighbor_id long, cosine double, rank int")
         .orderBy("doc_id", "rank"))
+
+
+@query(
+    "sim_hybrid_rrf", "similarity",
+    # Hybrid retrieval fusion — the missing composition over the two
+    # retrieval stacks this module already ships: LEXICAL ranks from
+    # TF-IDF cosine (posting join restricted to the query docs) and
+    # VECTOR ranks from exact embedding cosine, fused per query with
+    # Reciprocal Rank Fusion: rrf = 1/(60+rank_lex) + 1/(60+rank_vec)
+    # (Cormack et al.'s k=60), missing-list contributions = 0. The
+    # fixture's vec_id and doc_id share a key space, so the two lists
+    # rank the same ids. Exactness: each reciprocal is one IEEE divide
+    # of exact integers and the fusion is ONE two-term sum — identical
+    # bits cross-engine; list ranks come from the same integer-grid
+    # cosine arguments both lanes already drive under the driver gate.
+    # SCALE: the lexical side joins postings ONLY for the 10 query
+    # docs (candidate space = docs sharing a term with a query, never
+    # all-pairs); the vector side is the brute-force k-NN baseline the
+    # IVF/LSH lanes swap in for at corpus scale; the fusion itself is a
+    # (query, neighbor)-keyed outer join of two top-k lists — tiny by
+    # construction.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf
+           FROM tok WHERE w <> '' GROUP BY doc_id, w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    wv AS (
+        SELECT tf.doc_id, tf.w,
+               tf.tf * CAST(ROUND(ln((CAST(n_docs AS DOUBLE) + 1.0)
+                                     / (CAST(df AS DOUBLE) + 1.0))
+                                  * 1000.0, 0) AS BIGINT) AS wt
+        FROM tf JOIN dfreq USING (w), n),
+    norms AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM wv GROUP BY doc_id
+              HAVING SUM(wt * wt) > 0),
+    dots AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+               SUM(a.wt * b.wt) AS dot
+        FROM wv a JOIN wv b ON a.w = b.w AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < 10
+        GROUP BY 1, 2),
+    lex AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(CAST(dot AS DOUBLE)
+                                  / (sqrt(CAST(na.n2 AS DOUBLE))
+                                     * sqrt(CAST(nb.n2 AS DOUBLE))), 6) DESC,
+                            neighbor_id) AS rank_lex
+        FROM dots
+        JOIN norms na ON na.doc_id = query_id
+        JOIN norms nb ON nb.doc_id = neighbor_id),
+    lex5 AS (SELECT * FROM lex WHERE rank_lex <= 5),
+    q AS (SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+    vec AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(list_dot_product(qv, cv)
+                                  / (sqrt(list_dot_product(qv, qv))
+                                     * sqrt(list_dot_product(cv, cv))), 6)
+                            DESC, neighbor_id) AS rank_vec
+        FROM q, c WHERE query_id != neighbor_id),
+    vec5 AS (SELECT * FROM vec WHERE rank_vec <= 5),
+    fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+               coalesce(1.0 / (60.0 + l.rank_lex), 0.0)
+                   + coalesce(1.0 / (60.0 + v.rank_vec), 0.0) AS rrf,
+               CAST(l.rank_lex IS NOT NULL AS BIGINT) AS in_lex,
+               CAST(v.rank_vec IS NOT NULL AS BIGINT) AS in_vec
+        FROM lex5 l
+        FULL OUTER JOIN vec5 v
+          ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id)
+    SELECT query_id, neighbor_id, rrf, in_lex, in_vec, fused_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, neighbor_id)
+                        AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= 3
+    """,
+    description="hybrid retrieval: TF-IDF lexical ranks + embedding cosine ranks fused per query via Reciprocal Rank Fusion (k=60), top-3",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    vec5 = (bruteforce_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").alias("rank_vec")))
+    wv = _tfidf_weights(spark, sf_dir).select("doc_id", "w", "wt")
+    norms = (wv.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt"))
+                                      .alias("n2"))
+             .filter(F.col("n2") > 0))
+    qs = wv.filter(F.col("doc_id") < 10) \
+        .select(F.col("doc_id").alias("query_id"), "w",
+                F.col("wt").alias("wt_q"))
+    dots = (qs.join(wv.select(F.col("doc_id").alias("neighbor_id"), "w",
+                              F.col("wt").alias("wt_c")), "w")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum(F.col("wt_q") * F.col("wt_c")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("query_id"),
+                      F.col("n2").alias("n2_q"))
+    nb = norms.select(F.col("doc_id").alias("neighbor_id"),
+                      F.col("n2").alias("n2_c"))
+    cos = F.round(F.col("dot").cast("double")
+                  / (F.sqrt(F.col("n2_q").cast("double"))
+                     * F.sqrt(F.col("n2_c").cast("double"))), 6)
+    wl = W.partitionBy("query_id").orderBy(F.desc("_cos"), "neighbor_id")
+    lex5 = (dots.join(na, "query_id").join(nb, "neighbor_id")
+            .withColumn("_cos", cos)
+            .withColumn("rank_lex", F.row_number().over(wl))
+            .filter(F.col("rank_lex") <= 5)
+            .select("query_id", "neighbor_id", "rank_lex"))
+    fused = (lex5.join(vec5, ["query_id", "neighbor_id"], "full_outer")
+             .select("query_id", "neighbor_id",
+                     (F.coalesce(1.0 / (F.col("rank_lex") + 60.0), F.lit(0.0))
+                      + F.coalesce(1.0 / (F.col("rank_vec") + 60.0),
+                                   F.lit(0.0))).alias("rrf"),
+                     F.col("rank_lex").isNotNull().cast("long")
+                     .alias("in_lex"),
+                     F.col("rank_vec").isNotNull().cast("long")
+                     .alias("in_vec")))
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), "neighbor_id")
+    return (fused.withColumn("fused_rank", F.row_number().over(wf))
+            .filter(F.col("fused_rank") <= 3))

@@ -1047,3 +1047,74 @@ def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("pr") <= 0.5)
             .select("doc_id", "source",
                     F.round(F.col("_q"), 6).alias("quality_r"), "pr"))
+
+
+@query(
+    "text_bigram_logprob", "text",
+    # Bigram-LM document scoring — the next rung above the unigram lane
+    # (text_unigram_logprob): score each document by the average
+    # ln-probability of its token BIGRAMS under an add-one-smoothed
+    # corpus bigram model, P(w2|w1) = (c12 + 1) / (c1 + V). The fluency
+    # signal a perplexity gate uses that unigram frequency cannot see
+    # (word-order scrambles keep unigram scores, crash bigram scores).
+    # Cross-engine exactness: ln is taken ONLY of integers (c12+1,
+    # c1+V), each rounded to the 1e-6 grid BEFORE the sum — the same
+    # integer-grid-ln idiom the unigram lane uses, so libm-vs-JVM ln
+    # ulps cannot reorder a sum. SCALE: model = one (w1,w2) aggregate
+    # (map-combinable), context counts by one more agg over the model
+    # (tiny), join back on the bigram key (broadcast while the model is
+    # small, plain shuffle join at 100 TB vocab), one doc_id window for
+    # adjacency riding a single shuffle.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)),
+    big AS (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok),
+    bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+    model AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM model GROUP BY w1),
+    voc AS (SELECT COUNT(DISTINCT w) AS v FROM tok)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(ROUND(ln(m.c12 + 1) * 1000000.0, 0) AS BIGINT)
+                    - CAST(ROUND(ln(ctx.c1 + voc.v) * 1000000.0, 0) AS BIGINT))
+                AS BIGINT) AS sum_ln_scaled,
+           ROUND(CAST(SUM(CAST(ROUND(ln(m.c12 + 1) * 1000000.0, 0) AS BIGINT)
+                          - CAST(ROUND(ln(ctx.c1 + voc.v) * 1000000.0, 0) AS BIGINT))
+                      AS DOUBLE) / (1000000.0 * COUNT(*)), 6) AS avg_logprob
+    FROM bg
+    JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+    JOIN ctx ON bg.w1 = ctx.w1, voc
+    GROUP BY bg.doc_id
+    """,
+    description="bigram-LM document scoring with add-one smoothing: avg ln P(w2|w1) per doc (fluency/perplexity quality gate)",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (tok.withColumn("w2", F.lead("w").over(wspec))
+          .filter(F.col("w2").isNotNull())
+          .select("doc_id", F.col("w").alias("w1"), "w2"))
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    voc = tok.agg(F.countDistinct("w").alias("v"))
+    ln_grid = lambda col: F.round(F.log(col) * 1e6, 0).cast("long")  # noqa: E731
+    term = ln_grid(F.col("c12") + 1) - ln_grid(F.col("c1") + F.col("v"))
+    return (bg.join(F.broadcast(model), ["w1", "w2"])
+            .join(F.broadcast(ctx), "w1")
+            .crossJoin(F.broadcast(voc))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(term).alias("sum_ln_scaled"))
+            .select("doc_id", "n_bigrams", "sum_ln_scaled",
+                    F.round(F.col("sum_ln_scaled").cast("double")
+                            / (1e6 * F.col("n_bigrams")), 6)
+                    .alias("avg_logprob")))

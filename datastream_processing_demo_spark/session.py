@@ -57,9 +57,19 @@ def get_session(config: EngineConfig | None = None) -> SparkSession:
     master = cfg.master or f"local[{cpus}]"
     shuffle_parts = cfg.parallelism or max(2 * cpus, 8)
 
+    # local-mode executors live INSIDE the driver JVM, so the driver heap
+    # is the whole engine's memory. Spark's 1g default starves 32 task
+    # threads the moment data outgrows toy scale (first caught by the
+    # sf1 rehearsal: broadcast-build + sort-spill OOMs at lineitem 6M).
+    # Sized generously for the bench host; harmless when unused, and a
+    # no-op if the JVM already exists (getOrCreate on a live session).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     builder = (
         SparkSession.builder.appName(cfg.app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.default.parallelism", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")

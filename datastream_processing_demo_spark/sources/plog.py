@@ -43,6 +43,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -239,9 +240,29 @@ def committed_acks(log_dir: str) -> dict | None:
         return None
 
 
+class _PartitionedLogBatchReader(DataSourceReader):
+    """Batch read of the whole log up to the current high watermark —
+    the backfill/bootstrap path every log consumer needs next to the
+    stream (Kafka's `spark.read.format("kafka")` analogue). One input
+    split per log partition; same torn-tail rule (reads only below the
+    published hwm)."""
+
+    def __init__(self, options) -> None:
+        self._r = _PartitionedLogStreamReader(options)
+
+    def partitions(self):
+        return self._r.partitions(self._r.initialOffset(),
+                                  self._r.latestOffset())
+
+    def read(self, partition: _LogSlice):
+        return self._r.read(partition)
+
+
 class PartitionedLogDataSource(DataSource):
     """`spark.dataSource.register(PartitionedLogDataSource)` then
-    `spark.readStream.format("plog").option("path", d).load()`."""
+    `spark.readStream.format("plog").option("path", d).load()` (live,
+    offsets + ack-on-commit) or `spark.read.format("plog")...` (batch
+    backfill of everything below the high watermark)."""
 
     @classmethod
     def name(cls) -> str:
@@ -252,3 +273,6 @@ class PartitionedLogDataSource(DataSource):
 
     def streamReader(self, schema) -> _PartitionedLogStreamReader:
         return _PartitionedLogStreamReader(self.options)
+
+    def reader(self, schema) -> _PartitionedLogBatchReader:
+        return _PartitionedLogBatchReader(self.options)

@@ -143,3 +143,21 @@ def test_plog_torn_tail_invisible_until_hwm(tmp_path):
     slices = r.partitions(r.initialOffset(), r.latestOffset())
     recs = [rec for s in slices for rec in r.read(s)]
     assert recs == [(0, 0, "k", "v0")]
+
+
+def test_plog_batch_backfill(spark, tmp_path):
+    # spark.read.format("plog"): batch backfill of everything below the
+    # published hwm — one split per partition, torn tails excluded
+    log_dir = str(tmp_path / "log")
+    w = PartitionedLogWriter(log_dir, n_partitions=2)
+    w.append(0, [("a", "1"), ("b", "2")])
+    w.append(1, [("c", "3")])
+    df = (spark.read.format("plog")
+          .option("path", log_dir).option("partitions", 2).load())
+    assert df.rdd.getNumPartitions() == 2
+    rows = {(r["partition"], r["offset"]): (r["key"], r["value"])
+            for r in df.collect()}
+    assert rows == {(0, 0): ("a", "1"), (0, 1): ("b", "2"),
+                    (1, 0): ("c", "3")}
+    # batch agg over the log matches the producer's view
+    assert df.count() == 3

@@ -72,6 +72,14 @@ def replicate(src: str, out: str, copies: int) -> None:
             if t == "documents" and r > 0:
                 c["text"] = _salt_tokens(c["text"].to_numpy(), r)
                 c["n_chars"] = c["text"].str.len()
+            if t == "part" and r > 0:
+                # suffix of 4 identical replica-specific chars: pairwise
+                # suffix edit distance 4 > the fuzzy-match bound (3), so
+                # cross-replica name pairs can't match and the TRUE
+                # fuzzy-join output scales linearly (unsalted names made
+                # it quadratic — every name recurs in all 10 replicas)
+                tag = " " + chr(ord("a") + r) * 4
+                c["p_name"] = c["p_name"] + tag
             if t == "embeddings" and r > 0:
                 c["embedding"] = [np.roll(np.asarray(v), r).tolist()
                                   for v in c["embedding"]]
