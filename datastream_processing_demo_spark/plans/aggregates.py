@@ -763,3 +763,35 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (t(spark, sf_dir, "documents")
              .select(F.explode(F.split("text", " ")).alias("item")))
     return heavy_hitters(words, "item", phi=0.005)
+
+
+@query(
+    "agg_k_anonymity", "aggregates",
+    # Privacy audit — the aggregate-side counterpart of text_pii_redact:
+    # group the table by its quasi-identifier tuple and flag every
+    # equivalence class smaller than k (k=10). Rows in a violating
+    # class are re-identifiable by joining the quasi-ids against an
+    # external dataset; a release pipeline either suppresses them or
+    # generalizes a quasi-id until every class passes. Quasi-ids here:
+    # (nation, market segment, account-balance hundred-bucket) — the
+    # bucket floor is exact integer math in both engines. SCALE: one
+    # map-combinable groupBy on the quasi-id tuple; the violation scan
+    # is the aggregate itself (no join back unless suppressing).
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS class_size,
+           CAST(COUNT(*) < 10 AS BIGINT) AS violates_k
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+    description="k-anonymity audit (k=10): quasi-identifier equivalence-class sizes + violation flags",
+)
+def agg_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return (c.groupBy(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100.0).cast("long").alias("bal_bucket"))
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select("c_nationkey", "c_mktsegment", "bal_bucket", "class_size",
+                (F.col("class_size") < 10).cast("long").alias("violates_k")))
