@@ -34,3 +34,10 @@ def test_library_usage_example_runs():
     assert "q1 pricing summary" in out
     assert "near-duplicate pairs:" in out
     assert "LSH candidate pairs:" in out
+
+
+def test_log_ingestion_example_runs():
+    out = _run_example("log_ingestion.py")
+    assert "produced hwms:" in out
+    assert "acked offsets" in out
+    assert "backfill rows: 40" in out
