@@ -1100,9 +1100,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id",
                    F.posexplode(F.split("text", " ")).alias("pos", "w"))
     wspec = Window.partitionBy("doc_id").orderBy("pos")
+    # localCheckpoint: THREE consumers read the bigram stream (the model
+    # aggregate, its context rollup, and the final per-doc join) and
+    # Spark shares no subplans across them — uncheckpointed, the plan
+    # tokenizes + window-shuffles the corpus three times (audited; the
+    # plan test pins the fixed form). One materialization beats three
+    # full passes at any scale.
     bg = (tok.withColumn("w2", F.lead("w").over(wspec))
           .filter(F.col("w2").isNotNull())
-          .select("doc_id", F.col("w").alias("w1"), "w2"))
+          .select("doc_id", F.col("w").alias("w1"), "w2")
+          .localCheckpoint())
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     voc = tok.agg(F.countDistinct("w").alias("v"))

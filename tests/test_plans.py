@@ -637,3 +637,41 @@ def test_unigram_logprob_plan_shape(spark, sf_dir):
     scans = set(re.findall(r"\(\d+\) Scan parquet", plan))
     assert len(scans) <= 4, plan
     assert "BroadcastExchange" in plan
+
+
+def test_string_distance_compresses_to_distinct_name_matrix(spark, sf_dir):
+    # r4 rewrite (sf1 rehearsal finding): the quadratic step must run on
+    # DISTINCT names (the 64-value space), never on sum(block^2) id
+    # pairs. Plan contract: the only nested-loop is the tiny distinct-
+    # name cross (both sides are aggregates of the name column), the
+    # fan-out back to ids is broadcast/hash equi-joins, and the part
+    # table never self-joins on p_brand alone.
+    plan = _plan(spark, sf_dir, "fn_string_distance")
+    assert plan.count("HashAggregate") >= 2, "distinct-name aggregate missing"
+    assert "BroadcastHashJoin" in plan, "id fan-out must be a hash join"
+    # the name-matrix cross join exists but must sit ABOVE aggregates
+    # (inputs are the distinct sets), not above raw scans
+    assert "SortMergeJoin" not in plan or "p_brand" not in \
+        plan.split("SortMergeJoin")[1][:200], \
+        "no raw brand-blocked self-join"
+
+
+def test_bigram_logprob_single_adjacency_shuffle(spark, sf_dir):
+    # adjacency (lead over doc_id,pos) must ride ONE shuffle of the
+    # token stream; the model/context joins must be broadcasts at this
+    # corpus scale (Catalyst picks them via AQE/size estimate)
+    import re
+    plan = _plan(spark, sf_dir, "text_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\s*(?:\+-|:-)?\s*\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 6, f"too many exchanges ({len(exchanges)})"
+    scans = re.findall(r"^\s*(?:\+-|:-)?\s*\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) <= 2, \
+        f"bigram stream must be materialized once, not re-scanned: {len(scans)}"
+
+
+def test_hybrid_rrf_no_allpairs_lexical(spark, sf_dir):
+    # the lexical posting join must be keyed on the term (w) — an
+    # all-pairs doc x doc product would dwarf it at corpus scale
+    plan = _plan(spark, sf_dir, "sim_hybrid_rrf")
+    assert "CartesianProduct" not in plan
