@@ -25,13 +25,20 @@ from .spread import spread
 
 
 def shingles_col(text_col: str = "text", n: int = 3):
-    """Word n-gram shingles as an array column (distinct not applied)."""
+    """Word n-gram shingles as an array column (distinct not applied).
+
+    Boundary (found by the r5 corpus fuzzer): for docs shorter than the
+    shingle width, Spark's sequence(1, 0) is the DESCENDING [1, 0] —
+    not empty like DuckDB's range(1, 1) — and the 0 start then crashes
+    slice(). Guard with an explicit empty array for n_sh < 1."""
     words = F.split(text_col, " ")
     n_sh = F.size(words) - (n - 1)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(0))),
+    return F.when(
+        n_sh < 1, F.array().cast("array<string>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), n_sh),
         lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
+    ))
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
@@ -228,10 +235,21 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """MinHash signature per doc: sig[h] = min over shingles of
     xxhash64(shingle, h). One explode + one hash-aggregate pass."""
-    sh = doc_shingles(docs, id_col, text_col, n)
+    return minhash_signatures_from_shingles(
+        doc_shingles(docs, id_col, text_col, n), num_hashes, id_col)
+
+
+def minhash_signatures_from_shingles(shingles: DataFrame,
+                                     num_hashes: int = 32,
+                                     id_col: str = "doc_id") -> DataFrame:
+    """Signatures from a PRECOMPUTED (id, shingle) stream — lets a caller
+    materialize the shingle explode once (localCheckpoint / persist) and
+    share it with the exact-verify stage, instead of tokenizing the
+    corpus twice. The min-agg is map-side combinable: the shuffle
+    carries (doc_id, 32 partial mins), never the shingles themselves."""
     mins = [F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}")
             for h in range(num_hashes)]
-    agg = sh.groupBy(id_col).agg(*mins)
+    agg = shingles.groupBy(id_col).agg(*mins)
     return agg.select(id_col, F.array(*[f"h{h}" for h in range(num_hashes)])
                       .alias("signature"))
 

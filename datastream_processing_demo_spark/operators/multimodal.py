@@ -218,26 +218,43 @@ def decode_png_real(payload: bytes) -> dict:
             cur = row
         elif ftype == 2:    # Up
             cur = (row + prev) % 256
-        elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth read the already-reconstructed left
-            # pixel — sequential per pixel position. Plain Python lists:
-            # per-element numpy indexing is ~10x slower in this loop.
-            rl, pl = row.tolist(), prev.tolist()
+        elif ftype == 1:    # Sub: cur[x] = row[x] + cur[x-ch]
+            # per-channel PREFIX SUM — the left-pixel recurrence with no
+            # other term is exactly cumsum mod 256, fully vectorized
+            # (the r5 filter-type-partitioned rewrite; the generic
+            # left-pixel loop only survives for Average/Paeth below)
+            cur = np.cumsum(row.reshape(-1, channels), axis=0) \
+                .reshape(stride) % 256
+        elif ftype in (3, 4):
+            # Average/Paeth read the already-reconstructed left pixel —
+            # sequential per pixel position, but independent ACROSS
+            # channels: one tight zip-loop per channel (no per-element
+            # index arithmetic or boundary tests; plain Python lists —
+            # per-element numpy indexing is ~10x slower here)
             cl = [0] * stride
-            for x in range(stride):
-                a = cl[x - channels] if x >= channels else 0
-                b = pl[x]
-                c = pl[x - channels] if x >= channels else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) // 2
+            for ch in range(channels):
+                rl = row[ch::channels].tolist()
+                pl = prev[ch::channels].tolist()
+                a = 0       # left reconstructed byte, 0 before column 0
+                c = 0       # upper-left reconstructed byte
+                if ftype == 3:
+                    o = []
+                    for r, b in zip(rl, pl):
+                        a = (r + ((a + b) >> 1)) & 255
+                        o.append(a)
                 else:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else \
-                        (b if pb <= pc else c)
-                cl[x] = (rl[x] + pred) % 256
+                    o = []
+                    for r, b in zip(rl, pl):
+                        p = a + b - c
+                        pa = abs(p - a)
+                        pb = abs(p - b)
+                        pc = abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else \
+                            (b if pb <= pc else c)
+                        a = (r + pred) & 255
+                        o.append(a)
+                        c = b
+                cl[ch::channels] = o
             cur = np.array(cl, dtype=np.int64)
         else:
             raise ValueError(f"bad filter type {ftype} on row {y}")

@@ -126,17 +126,22 @@ def heavy_hitters(items: DataFrame, col: str, phi: float = 0.005,
         f"item {ts}, _pn long, _pnull long").localCheckpoint()
     cand = (p1.filter(F.col("item").isNotNull()).select("item").distinct())
     tot = p1.agg(F.sum("_pn").alias("n"), F.sum("_pnull").alias("null_cnt"))
-    thresh = F.ceil(F.lit(phi) * F.col("n"))
+
+    # cnt >= ceil(phi*N) for integer cnt <=> cnt >= phi*N
+    # <=> cnt*den >= num*N, all in BIGINT — no double-precision ceil
+    def passes(cnt_col: str):
+        return (F.col(cnt_col).cast("long") * F.lit(den).cast("long")
+                >= F.lit(num).cast("long") * F.col("n").cast("long"))
+
     counted = (src.filter(F.col("item").isNotNull())
                .join(F.broadcast(cand), "item", "left_semi")
                .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
     non_null = (counted.crossJoin(F.broadcast(tot))
-                .filter(F.col("cnt") >= thresh)
+                .filter(passes("cnt"))
                 .select("item", "cnt"))
     # NULL branch: an equi-semi-join never matches NULL, so the NULL
     # group's exact count comes from the pass-1 summaries instead
-    null_row = (tot.filter((F.col("null_cnt") > 0)
-                           & (F.col("null_cnt") >= thresh))
+    null_row = (tot.filter((F.col("null_cnt") > 0) & passes("null_cnt"))
                 .select(F.lit(None).cast(item_type).alias("item"),
                         F.col("null_cnt").alias("cnt")))
     return non_null.unionByName(null_row)

@@ -89,17 +89,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_minhash_lsh", "dedup", boost=True,
-    # r4 promotion (VERDICT r3 item 8): the PRODUCTION xxhash64 path now
-    # carries an exact driver verdict. The lane is the full production
-    # pipeline — xxhash64 MinHash(32) signatures -> 8-band LSH bucket
-    # join -> exact-Jaccard VERIFY of candidates only (array_intersect
-    # per candidate pair, bounded by the candidate count, never by n²).
-    # The verify stage makes precision exact BY CONSTRUCTION; recall is
-    # the LSH banding's, deterministic for a fixed corpus (xxhash64 is a
-    # fixed function — full recall verified at sf0.001/0.01/0.1, and
-    # dedup_minhash_recall pins the same contract per-pair). So the
-    # output equals the exact truth the oracle computes all-pairs.
+    "dedup_minhash_lsh", "dedup",
+    # The PRODUCTION xxhash64 path under an exact driver verdict (green
+    # r4). The lane is the full production pipeline — xxhash64
+    # MinHash(32) signatures -> 16-band LSH bucket join -> exact-Jaccard
+    # VERIFY of candidates only (array_intersect per candidate pair,
+    # bounded by the candidate count, never by n²). The verify stage
+    # makes precision exact BY CONSTRUCTION; recall is the LSH
+    # banding's, deterministic for a fixed corpus (xxhash64 is a fixed
+    # function). r5 hardening: bands 8 -> 16 (2-row bands). A 4-row band
+    # match implies both 2-row halves match, so the 16-band candidate
+    # set is a STRICT SUPERSET of the old 8-band set; per-pair miss
+    # probability at j=0.8 drops from (1-0.8^4)^8 ~ 1.5e-2 to
+    # (1-0.8^2)^16 ~ 8e-8 — recall headroom instead of the zero-margin
+    # empirical match ADVICE r4 flagged. tests/test_llm_ops.py
+    # (recall-margin test) fails loudly with per-pair diagnostics if a
+    # fixture change ever produces a missed true pair.
     oracle="""
     WITH sh AS (
         SELECT doc_id,
@@ -121,22 +126,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
     """,
-    description="production MinHash(32)+LSH(8 bands) -> exact-Jaccard verify: the full near-dup pipeline, exact-oracled",
+    description="production MinHash(32)+LSH(16 bands) -> exact-Jaccard verify: the full near-dup pipeline, exact-oracled",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
         doc_shingles,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_from_shingles,
     )
     docs = t(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(
-        minhash_signatures(docs, num_hashes=32, n=3), bands=8) \
-        .select("doc_a", "doc_b")
-    # verify ONLY the candidates: per-doc distinct shingle arrays join
-    # to the (tiny) candidate list; intersection size via array_intersect
-    # — cost is O(candidates · doc_len), never O(n²)
-    sets = (doc_shingles(docs, "doc_id", "text", 3)
+    # ONE tokenize+explode pass, materialized and shared by BOTH the
+    # signature stage and the exact verify (uncheckpointed, Spark shares
+    # no subplan and the corpus is shingled twice — the
+    # text_bigram_logprob defect class; plan test pins one Generate).
+    # At cluster scale localCheckpoint becomes persist(DISK_ONLY) or a
+    # reliable checkpoint — same plan shape.
+    sh = doc_shingles(docs, "doc_id", "text", 3).localCheckpoint()
+    cands = (lsh_candidate_pairs(
+                 minhash_signatures_from_shingles(sh, num_hashes=32),
+                 bands=16)
+             .select("doc_a", "doc_b")
+             .localCheckpoint())  # tiny; read 3x below
+    # verify ONLY the candidates: semi-join the shingle stream to the
+    # candidate ids FIRST, so only candidate docs pay the collect_set
+    # shuffle — non-candidates never build shingle sets.
+    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
+                .union(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    sets = (sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(F.collect_set("shingle").alias("sh")))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -266,9 +283,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_near_pairs,
     )
     docs = t(spark, sf_dir, "documents")
-    cands = simhash_near_pairs(simhash_col_df(docs), max_hamming=10) \
-        .select("doc_a", "doc_b")
-    sets = (doc_shingles(docs, "doc_id", "text", 3)
+    cands = (simhash_near_pairs(simhash_col_df(docs), max_hamming=10)
+             .select("doc_a", "doc_b")
+             .localCheckpoint())  # tiny; read 3x (ids x2 + final join)
+    # shingle-verify only CANDIDATE docs: semi-join the base table to
+    # the candidate ids before the explode, so non-candidates are never
+    # tokenized for the verify stage (the simhash itself reads tokens,
+    # not shingles, so there is no shared stream to checkpoint here —
+    # pruning the verify scan is the win).
+    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
+                .union(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sets = (doc_shingles(cand_docs, "doc_id", "text", 3)
             .groupBy("doc_id")
             .agg(F.collect_set("shingle").alias("sh")))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -120,10 +120,9 @@ def pipeline_bulk_error_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup (window-min over md5(text), ONE hash shuffle) -> exact-count
     # per-source pick (top-10 by content hash, one source shuffle) ->
     # deterministic final ordering by md5('0:' || doc_id). The final
-    # ordering window is partition-less but runs over <= 10 x |sources|
-    # survivor rows (metadata scale); for unbounded survivor sets swap
-    # it for operators/ranking.global_rank — same output by
-    # construction.
+    # ordering rides operators/ranking.global_rank (two-phase total
+    # sort) — no partition-less Window anywhere, so the lane scales to
+    # unbounded survivor sets unchanged.
     oracle=rf"""
     WITH gated AS (
         SELECT doc_id, source, text FROM documents
@@ -161,6 +160,8 @@ def pipeline_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
           .orderBy(salted_key("doc_id", "s:"), "doc_id"))
     picked = (kept.withColumn("pick_rank", F.row_number().over(ws))
               .filter(F.col("pick_rank") <= 10))
-    wo = Window.orderBy(salted_key("doc_id", "0:"))
-    return picked.select("doc_id", "source",
-                         F.row_number().over(wo).alias("eval_order"))
+    from ..operators.ranking import global_rank
+    keyed = picked.select("doc_id", "source",
+                          salted_key("doc_id", "0:").alias("_okey"))
+    return (global_rank(keyed, "_okey", rank_col="eval_order")
+            .select("doc_id", "source", "eval_order"))

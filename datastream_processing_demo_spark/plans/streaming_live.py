@@ -763,15 +763,25 @@ def _plog_fixture_dir(spark: SparkSession, sf_dir: str,
     marker = os.path.join(out, "_FIXTURE_DONE")
     if not os.path.exists(marker):
         import math
+        import shutil
 
         from ..sources.plog import PartitionedLogWriter
+
+        # crash-safety (ADVICE r4): build in a scratch dir and rename
+        # into place atomically — a process dying mid-build can never
+        # leave a marker-less half-log that a rerun would append onto
+        # (duplicating records under the surviving hwm sidecars)
+        tmp = out + ".build"
+        for stale in (out, tmp):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         pdf = (load_table(spark, sf_dir, "events")
                .select("event_id", "event_type", "value")
                .orderBy("event_id").toPandas())
         # cents via floor(value*100): one IEEE multiply + floor, the
         # same bits DuckDB's FLOOR(value*100) computes in the oracle
         pdf["cents"] = (pdf["value"] * 100.0).apply(math.floor).astype("int64")
-        w = PartitionedLogWriter(out, n_partitions=n_parts)
+        w = PartitionedLogWriter(tmp, n_partitions=n_parts)
         for pid in range(n_parts):
             part = pdf[pdf["event_id"] % n_parts == pid]
             step = (len(part) + n_rounds - 1) // n_rounds
@@ -781,7 +791,8 @@ def _plog_fixture_dir(spark: SparkSession, sf_dir: str,
                                for eid, et, c in zip(chunk["event_id"],
                                                      chunk["event_type"],
                                                      chunk["cents"])])
-        open(marker, "w").close()
+        open(os.path.join(tmp, "_FIXTURE_DONE"), "w").close()
+        os.rename(tmp, out)
     return out
 
 

@@ -341,20 +341,25 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The vocabulary-construction step of tokenizer training: corpus
     # term counts, then a contiguous id assigned by (frequency desc,
     # word) — deterministic, so retraining on re-sharded data yields the
-    # identical vocab. The explode+count is map-side combinable; the
-    # global row_number runs over |vocab| rows (tiny vs corpus), the
-    # single-partition sort is over the aggregated table only. At 100 TB
-    # cap the vocab first (HAVING count >= min_freq) before ranking.
+    # identical vocab. The explode+count is map-side combinable. The id
+    # assignment is the two-phase total sort from operators/ranking.py
+    # (range exchange + offset merge) — a web-scale vocab is billions of
+    # rows, and the r4 `Window.orderBy` spelling funneled them all into
+    # ONE task (WindowExec: No Partition Defined); global_rank never
+    # collapses below the shuffle parallelism.
+    from ..operators.ranking import global_rank
     d = t(spark, sf_dir, "documents")
     counts = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
               .filter(F.col("word") != "")
               .groupBy("word")
               .agg(F.count(F.lit(1)).alias("n_occurrences"),
                    F.countDistinct("doc_id").alias("n_docs")))
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word"))
-    return counts.select(
+    ranked = global_rank(
+        counts, [F.col("n_occurrences").desc(), F.col("word")],
+        rank_col="_rk")
+    return ranked.select(
         "word", "n_occurrences", "n_docs",
-        (F.row_number().over(w) - 1).alias("vocab_id"))
+        (F.col("_rk") - 1).alias("vocab_id"))
 
 
 @query(
@@ -946,9 +951,15 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.posexplode(F.split("text", " ")).alias("pos", "word"))
             .filter(F.col("word") != ""))
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("word"))
-    vocab = (counts.select("word", (F.row_number().over(w) - 1).alias("vid"))
-             .filter(F.col("vid") < 512))
+    # top-512 via orderBy().limit() — compiles to the distributed
+    # TakeOrderedAndProject (per-partition top-k + merge), replacing the
+    # r4 partition-less Window over the full vocab; ids for the 512
+    # survivors come from the two-phase rank (no WindowExec anywhere).
+    from ..operators.ranking import global_rank
+    top = counts.orderBy(F.col("c").desc(), "word").limit(512)
+    vocab = (global_rank(top, [F.col("c").desc(), F.col("word")],
+                         rank_col="_rk")
+             .select("word", (F.col("_rk") - 1).cast("int").alias("vid")))
     ids = (toks.join(F.broadcast(vocab), "word", "left")
            .select("doc_id", "pos",
                    F.coalesce("vid", F.lit(-1)).cast("long").alias("tid")))

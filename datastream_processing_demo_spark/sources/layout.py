@@ -43,6 +43,24 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_STATS_SESSIONS: dict[str, SparkSession] = {}
+
+
+def _stats_session(spark: SparkSession) -> SparkSession:
+    """One DSv2-configured stats session per SparkContext (ADVICE r4:
+    a fresh newSession() per call accumulates session state on the
+    shared context and is never released)."""
+    key = spark.sparkContext.applicationId
+    sess = _STATS_SESSIONS.get(key)
+    if sess is None:
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.sources.useV1SourceList", "")
+        sess.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        _STATS_SESSIONS.clear()  # drop sessions of dead contexts
+        _STATS_SESSIONS[key] = sess
+    return sess
+
+
 def footer_stats(spark: SparkSession, path: str,
                  cols: tuple[str, ...] = ()) -> dict:
     """Table stats answered from parquet FOOTERS, not data pages:
@@ -65,9 +83,7 @@ def footer_stats(spark: SparkSession, path: str,
     stats (e.g. NaN columns); Spark's pushdown only fires where footer
     stats are trustworthy.
     """
-    stats_session = spark.newSession()
-    stats_session.conf.set("spark.sql.sources.useV1SourceList", "")
-    stats_session.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    stats_session = _stats_session(spark)
     exprs = ["count(*) AS n_rows"]
     for c in cols:
         exprs += [f"min({c}) AS min_{c}", f"max({c}) AS max_{c}"]

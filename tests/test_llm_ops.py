@@ -72,6 +72,44 @@ def test_simhash_recall(docs, true_near_dups):
     assert recall >= 0.9, f"SimHash recall {recall:.2f}; missed {true_near_dups - got}"
 
 
+def test_minhash_16band_margin(docs, true_near_dups):
+    """Recall-margin gate for the production dedup_minhash_lsh lane
+    (ADVICE r4): the lane's exact all-pairs oracle silently depends on
+    LSH recall being FULL for this corpus. This test fails loudly with
+    per-pair diagnostics if a fixture/scale change ever breaks that,
+    and pins the 16-band superset argument the lane's comment makes:
+    any 4-row band match implies both 2-row halves match."""
+    sigs = minhash_signatures(docs, num_hashes=32, n=3)
+    c8 = {(r["doc_a"], r["doc_b"])
+          for r in lsh_candidate_pairs(sigs, bands=8).collect()}
+    c16 = {(r["doc_a"], r["doc_b"])
+           for r in lsh_candidate_pairs(sigs, bands=16).collect()}
+    assert c8 <= c16, f"16-band candidates must superset 8-band: {c8 - c16}"
+    missed = true_near_dups - c16
+    assert not missed, (
+        "dedup_minhash_lsh's exact oracle is BROKEN: 16-band LSH missed "
+        f"true j>=0.8 pairs {missed} — widen bands or re-measure before "
+        "trusting CORRECTNESS output for this lane")
+
+
+def test_simhash_radius10_margin(docs, true_near_dups):
+    """Recall-margin gate for dedup_simhash (ADVICE r4): radius 10 was
+    chosen as the measured max hamming of true pairs at sf0.1 — zero
+    headroom. Measure the ACTUAL hamming of every true pair and fail
+    with the offending pairs + distances if any sits past the radius,
+    and warn-level assert that the margin hasn't collapsed silently."""
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_col_df(docs).collect()}
+    dists = {(a, b): bin(sims[a] ^ sims[b]).count("1")
+             for a, b in true_near_dups}
+    over = {p: d for p, d in dists.items() if d > 10}
+    assert not over, (
+        "dedup_simhash's exact oracle is BROKEN: true j>=0.9 pairs past "
+        f"the radius-10 pigeonhole: {over} — raise max_hamming or "
+        "re-measure before trusting CORRECTNESS output for this lane")
+    # diagnosis breadcrumb: current worst-case distance (margin = 10 - max)
+    assert max(dists.values(), default=0) <= 10
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -817,3 +855,21 @@ def test_native_codec_contract_without_lib():
         assert (got["width"], got["height"], got["channels"]) == \
             (ref["width"], ref["height"], ref["channels"])
         assert (got["pixels"] == ref["pixels"]).all()
+
+
+def test_tfidf_lane_decision(spark, sf_dir):
+    """The executable pick-by-vocab-shape rule: this synthetic corpus
+    (31-word vocab, every posting maximally hot) must pick the dense
+    gram lane; forcing the per-block doc cap to 1 must flip it to the
+    posting join regardless of flops."""
+    from datastream_processing_demo_spark.plans.similarity import (
+        tfidf_lane_decision,
+    )
+    from datastream_processing_demo_spark.plans.similarity import (
+        DENSE_FLOP_DISCOUNT,
+    )
+    d = tfidf_lane_decision(spark, sf_dir)
+    assert d["lane"] == "dense", d
+    assert d["dense_flops"] <= DENSE_FLOP_DISCOUNT * d["sum_df2"], d
+    forced = tfidf_lane_decision(spark, sf_dir, dense_block_doc_cap=1)
+    assert forced["lane"] == "sparse", forced

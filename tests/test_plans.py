@@ -182,14 +182,14 @@ def test_merge_upsert_is_single_join(spark, sf_dir):
 
 
 def test_vocab_build_ranks_aggregated_table_only(spark, sf_dir):
+    # r5 shape: the aggregate + range-exchange happen before the
+    # two-phase rank's checkpoint, so the FINAL plan is a pure map-side
+    # projection over the checkpointed ranked table — no Window, no
+    # re-aggregation, no second shuffle.
     plan = _plan(spark, sf_dir, "text_vocab_build")
-    # term count partial-aggregates before the shuffle; the global-order
-    # window runs after the aggregate (over |vocab| rows), never over
-    # the exploded corpus
-    assert plan.count("HashAggregate") >= 2
-    win_pos = plan.find("Window")
-    agg_pos = plan.find("HashAggregate")
-    assert win_pos != -1 and agg_pos != -1
+    assert "Window" not in plan, "vocab rank must not use a Window"
+    assert "ExistingRDD" in plan, "rank must read the checkpointed sort"
+    assert "Exchange" not in plan, "id assignment must be map-side"
 
 
 def test_q2_correlated_min_decorrelates(spark, sf_dir):
@@ -668,6 +668,48 @@ def test_bigram_logprob_single_adjacency_shuffle(spark, sf_dir):
     scans = re.findall(r"^\s*(?:\+-|:-)?\s*\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) <= 2, \
         f"bigram stream must be materialized once, not re-scanned: {len(scans)}"
+
+
+def test_minhash_lsh_single_tokenize(spark, sf_dir):
+    # r5 fix (VERDICT r4 #2): the shingle stream is materialized ONCE
+    # (localCheckpoint) and shared by the signature and verify stages,
+    # so the final plan reads checkpointed RDDs — zero re-scans of the
+    # documents parquet, and the verify collect_set runs only on docs
+    # semi-joined to the candidate ids.
+    import re
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    scans = re.findall(r"^\s*(?:\+-|:-)?\s*\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 0, \
+        f"corpus must be tokenized once via the checkpoint, got re-scans: {scans}"
+    assert "LeftSemi" in plan, "verify must prune to candidates pre-collect_set"
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_lanes_no_partitionless_window(spark, sf_dir):
+    # r5 fix (VERDICT r4 #3): vocab ranking must never funnel the vocab
+    # through a single-task Window. text_tokenize_ids takes top-512 via
+    # TakeOrderedAndProject; both lanes rank via the two-phase total
+    # sort (operators/ranking.py) — zero WindowExec in either plan.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from datastream_processing_demo_spark.catalog import load_table
+
+    for name in ("text_vocab_build", "text_tokenize_ids"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Window" not in plan, f"{name} still plans a Window:\n{plan[:800]}"
+    # the top-512 sub-plan (pre-checkpoint, so not visible in the final
+    # explain) must compile to the distributed TakeOrderedAndProject —
+    # pin it on the same counts->orderBy->limit shape the lane builds
+    counts = (load_table(spark, sf_dir, "documents")
+              .select(F.explode(F.split("text", " ")).alias("word"))
+              .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        counts.orderBy(F.col("c").desc(), "word").limit(512).explain("simple")
+    assert "TakeOrderedAndProject" in buf.getvalue()
 
 
 def test_hybrid_rrf_no_allpairs_lexical(spark, sf_dir):

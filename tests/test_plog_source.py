@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,15 +23,6 @@ from datastream_processing_demo_spark.sources.plog import (
 @pytest.fixture(scope="module", autouse=True)
 def _register(spark):
     spark.dataSource.register(PartitionedLogDataSource)
-
-
-def _drain(q, timeout_s: float = 60.0) -> None:
-    """Run until the source has no new data, then stop."""
-    deadline = time.time() + timeout_s
-    while time.time() < deadline:
-        q.processAllAvailable()
-        return
-    raise TimeoutError("stream did not drain")
 
 
 def _read_sink(spark, out_dir: str) -> list:

@@ -82,3 +82,17 @@ def test_ledger_names_match_registry():
     renames that would silently break rotation)."""
     unknown = set(_ledger()) - set(all_queries())
     assert not unknown, f"ledger entries not in registry: {sorted(unknown)}"
+
+
+def test_every_query_ships_an_oracle():
+    """OPERATORS.md claims '228 oracle-checked, 0 rows-only'. Guard the
+    invariant: a new @query registration without a DuckDB oracle would
+    silently reintroduce the weaker rows-only driver check (VERDICT r4
+    item 7). Genuinely non-SQL-expressible ops must be added to the
+    explicit allowlist here, with a justification."""
+    allowed_rows_only: set[str] = set()
+    missing = {name for name, spec in all_queries().items()
+               if spec.oracle is None} - allowed_rows_only
+    assert not missing, (
+        f"queries registered without an oracle: {sorted(missing)} — "
+        "add a DuckDB oracle or allowlist with justification")
