@@ -80,22 +80,17 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _streaming_throughput(spark, sf_dir: str) -> dict:
-    """End-to-end msgs/sec through the reference-parity three-sink
-    pipeline (parse -> route -> delay -> bulk/metric/main sinks), the
-    number BASELINE.md's operational envelope speaks in (the reference's
-    batch-fill regime implies >= 200 msgs/s/subtask). File-stream source
-    in 8 micro-batches, spool sinks, full checkpointing — the real
-    streaming path, not a batch proxy."""
+def _run_pipeline_regime(spark, msgs, n_msgs: int, prefix: str) -> dict:
+    """One end-to-end run of the reference-parity three-sink pipeline
+    (parse -> route -> delay -> bulk/metric/main sinks) over a prepared
+    message DataFrame. File-stream source in 8 micro-batches, spool
+    sinks, full checkpointing — the real streaming path, not a batch
+    proxy."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from datastream_processing_demo_spark.catalog import load_table
-    from datastream_processing_demo_spark.streaming.messages import (
-        messages_from_events,
-    )
     from datastream_processing_demo_spark.streaming.pipeline import (
         run_pipeline_stream,
     )
@@ -104,13 +99,10 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
         MetricAvgReporter,
     )
 
-    events = load_table(spark, sf_dir, "events")
-    n_msgs = events.count()
     work = tempfile.mkdtemp(prefix="bench-stream-")
     try:
         src_dir = os.path.join(work, "src")
-        messages_from_events(events).repartition(8) \
-            .write.mode("overwrite").parquet(src_dir)
+        msgs.repartition(8).write.mode("overwrite").parquet(src_dir)
         src = (spark.readStream.schema("value string")
                .option("maxFilesPerTrigger", 1).parquet(src_dir))
         t0 = time.perf_counter()
@@ -126,13 +118,54 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
             # Timed out: stop the query and report an error instead of a
             # bogus ~600 s-denominator throughput (ADVICE r2).
             q.stop()
-            return {"streaming_msgs": n_msgs,
-                    "streaming_error": "streaming query not finished after 600s"}
-        return {"streaming_msgs": n_msgs,
-                "streaming_wall_sec": round(wall, 4),
-                "streaming_msgs_per_sec": round(n_msgs / wall, 1)}
+            return {f"{prefix}_msgs": n_msgs,
+                    f"{prefix}_error": "streaming query not finished after 600s"}
+        return {f"{prefix}_msgs": n_msgs,
+                f"{prefix}_wall_sec": round(wall, 4),
+                f"{prefix}_msgs_per_sec": round(n_msgs / wall, 1)}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _streaming_throughput(spark, sf_dir: str) -> dict:
+    """Two regimes, both reported (VERDICT r4 item 8):
+
+    - `streaming_*` — the sf events table as-is (~100k msgs at sf0.1).
+      Per-batch fixed costs (checkpoint commits, sink rotation)
+      dominate at this size, so this is the LATENCY-regime check.
+    - `streaming_tp_*` — the same messages replicated to >= 1M rows
+      (distinct event ids per replica). Overheads amortize; this is the
+      honest THROUGHPUT headline for a pipeline that runs continuously.
+    """
+    from pyspark.sql import functions as F
+
+    from datastream_processing_demo_spark.catalog import load_table
+    from datastream_processing_demo_spark.streaming.messages import (
+        messages_from_events,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n_msgs = events.count()
+    out = _run_pipeline_regime(spark, messages_from_events(events), n_msgs,
+                               prefix="streaming")
+    out["streaming_regime"] = "latency (sf events, 8 micro-batches)"
+    reps = max(1, -(-1_000_000 // max(n_msgs, 1)))
+    if reps > 1:
+        # salt event ids per replica so dedup/session state sees 1M
+        # DISTINCT messages, not 10 copies of 100k
+        base = (events
+                .withColumn("_rep", F.explode(
+                    F.sequence(F.lit(0), F.lit(reps - 1))))
+                .withColumn("event_id", F.col("event_id").cast("long")
+                            + F.col("_rep").cast("long")
+                            * F.lit(1_000_000_000).cast("long"))
+                .drop("_rep"))
+        out.update(_run_pipeline_regime(
+            spark, messages_from_events(base), n_msgs * reps,
+            prefix="streaming_tp"))
+        out["streaming_tp_regime"] = (
+            f"throughput ({reps}x replicated distinct ids, 8 micro-batches)")
+    return out
 
 
 def main() -> None:

@@ -92,17 +92,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh", "dedup",
     # The PRODUCTION xxhash64 path under an exact driver verdict (green
     # r4). The lane is the full production pipeline — xxhash64
-    # MinHash(32) signatures -> 16-band LSH bucket join -> exact-Jaccard
-    # VERIFY of candidates only (array_intersect per candidate pair,
-    # bounded by the candidate count, never by n²). The verify stage
-    # makes precision exact BY CONSTRUCTION; recall is the LSH
-    # banding's, deterministic for a fixed corpus (xxhash64 is a fixed
-    # function). r5 hardening: bands 8 -> 16 (2-row bands). A 4-row band
-    # match implies both 2-row halves match, so the 16-band candidate
-    # set is a STRICT SUPERSET of the old 8-band set; per-pair miss
-    # probability at j=0.8 drops from (1-0.8^4)^8 ~ 1.5e-2 to
-    # (1-0.8^2)^16 ~ 8e-8 — recall headroom instead of the zero-margin
-    # empirical match ADVICE r4 flagged. tests/test_llm_ops.py
+    # MinHash(64) signatures -> 16-band x 4-row LSH bucket join ->
+    # exact-Jaccard VERIFY of candidates only (array_intersect per
+    # candidate pair, bounded by the candidate count, never by n²). The
+    # verify stage makes precision exact BY CONSTRUCTION; recall is the
+    # LSH banding's, deterministic for a fixed corpus (xxhash64 is a
+    # fixed function). r5 hardening (ADVICE r4 zero-margin finding):
+    # 32 hashes/8 bands -> 64 hashes/16 bands. Row width stays 4, so
+    # the per-band threshold (1/b)^(1/r) ~ 0.5 is unchanged and the
+    # candidate count doesn't move (measured: 256 pairs at sf0.1 for
+    # both geometries; the rejected 2-row alternative ballooned to
+    # 2225), while per-pair miss probability at j=0.8 falls from
+    # (1-0.8^4)^8 ~ 1.5e-2 to (1-0.8^4)^16 ~ 2.2e-4 — ~70x recall
+    # headroom for the exact oracle. tests/test_llm_ops.py
     # (recall-margin test) fails loudly with per-pair diagnostics if a
     # fixture change ever produces a missed true pair.
     oracle="""
@@ -126,7 +128,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
     """,
-    description="production MinHash(32)+LSH(16 bands) -> exact-Jaccard verify: the full near-dup pipeline, exact-oracled",
+    description="production MinHash(64)+LSH(16x4 bands) -> exact-Jaccard verify: the full near-dup pipeline, exact-oracled",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
@@ -135,27 +137,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_from_shingles,
     )
     docs = t(spark, sf_dir, "documents")
-    # ONE tokenize+explode pass, materialized and shared by BOTH the
-    # signature stage and the exact verify (uncheckpointed, Spark shares
-    # no subplan and the corpus is shingled twice — the
-    # text_bigram_logprob defect class; plan test pins one Generate).
-    # At cluster scale localCheckpoint becomes persist(DISK_ONLY) or a
-    # reliable checkpoint — same plan shape.
-    sh = doc_shingles(docs, "doc_id", "text", 3).localCheckpoint()
+    # ONE full-corpus tokenize pass, PIPELINED straight into the
+    # signature aggregate (scan -> explode -> map-combinable min-agg,
+    # nothing materialized); the r4 defect was a SECOND full-corpus
+    # tokenize+collect_set for the verify. Measured at sf0.1: pipelining
+    # beats localCheckpointing the 260k-row shingle stream (2.4s vs
+    # 3.1s end-to-end) because the checkpoint's serialize+store costs
+    # more than the explode it saves — the bigram-logprob pattern pays
+    # off only when MULTIPLE consumers need the same WIDE stream; here
+    # the verify needs shingles for candidate docs alone.
+    sh = doc_shingles(docs, "doc_id", "text", 3)
     cands = (lsh_candidate_pairs(
-                 minhash_signatures_from_shingles(sh, num_hashes=32),
+                 minhash_signatures_from_shingles(sh, num_hashes=64),
                  bands=16)
              .select("doc_a", "doc_b")
-             .localCheckpoint())  # tiny; read 3x below
-    # verify ONLY the candidates: semi-join the shingle stream to the
-    # candidate ids FIRST, so only candidate docs pay the collect_set
-    # shuffle — non-candidates never build shingle sets.
+             .localCheckpoint())  # tiny; read 3x in the verify
+    return _verified_pairs(docs, cands, threshold=0.8)
+
+
+def _candidate_shingle_sets(docs: DataFrame, cands: DataFrame,
+                            n: int = 3) -> DataFrame:
+    """Verify-stage set build, exposed UN-materialized for plan audits:
+    semi-join the base table to the candidate ids FIRST, so only
+    candidate docs are re-tokenized and pay the collect_set shuffle —
+    non-candidates never enter the verify at all."""
+    from ..operators.dedup import doc_shingles
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .union(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
-    sets = (sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    return (doc_shingles(cand_docs, "doc_id", "text", n)
             .groupBy("doc_id")
             .agg(F.collect_set("shingle").alias("sh")))
+
+
+def _verified_pairs(docs: DataFrame, cands: DataFrame,
+                    threshold: float, n: int = 3) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: intersection via
+    array_intersect over per-candidate-doc distinct shingle sets.
+    Cost is O(candidates · doc_len), never O(n²)."""
+    sets = _candidate_shingle_sets(docs, cands, n) \
+        .localCheckpoint()        # candidate-count rows; read twice (a+b)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -163,7 +185,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cands.join(a, "doc_a").join(b, "doc_b")
             .withColumn("jaccard",
                         common.cast("double") / union.cast("double"))
-            .filter(F.col("jaccard") >= 0.8)
+            .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
 
@@ -277,36 +299,16 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="production 63-bit SimHash (radius-10 pigeonhole) -> exact-Jaccard verify: full near-dup pipeline, exact-oracled",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import (
-        doc_shingles,
-        simhash_col_df,
-        simhash_near_pairs,
-    )
+    from ..operators.dedup import simhash_col_df, simhash_near_pairs
     docs = t(spark, sf_dir, "documents")
+    # the simhash itself reads word tokens, not shingles, so there is
+    # no shared stream to materialize — the win is the shared verify's
+    # candidate prune (_candidate_shingle_sets): only candidate docs
+    # are shingled and collect_set-shuffled.
     cands = (simhash_near_pairs(simhash_col_df(docs), max_hamming=10)
              .select("doc_a", "doc_b")
-             .localCheckpoint())  # tiny; read 3x (ids x2 + final join)
-    # shingle-verify only CANDIDATE docs: semi-join the base table to
-    # the candidate ids before the explode, so non-candidates are never
-    # tokenized for the verify stage (the simhash itself reads tokens,
-    # not shingles, so there is no shared stream to checkpoint here —
-    # pruning the verify scan is the win).
-    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
-                .union(cands.select(F.col("doc_b").alias("doc_id")))
-                .distinct())
-    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    sets = (doc_shingles(cand_docs, "doc_id", "text", 3)
-            .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sh")))
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - common
-    return (cands.join(a, "doc_a").join(b, "doc_b")
-            .withColumn("jaccard",
-                        common.cast("double") / union.cast("double"))
-            .filter(F.col("jaccard") >= 0.9)
-            .select("doc_a", "doc_b", "jaccard"))
+             .localCheckpoint())  # tiny; read 3x in the verify
+    return _verified_pairs(docs, cands, threshold=0.9)
 
 
 def _simhash_portable_oracle(bits: int = 60, max_hamming: int = 8) -> str:

@@ -72,24 +72,27 @@ def test_simhash_recall(docs, true_near_dups):
     assert recall >= 0.9, f"SimHash recall {recall:.2f}; missed {true_near_dups - got}"
 
 
-def test_minhash_16band_margin(docs, true_near_dups):
+def test_minhash_64hash_margin(docs, true_near_dups):
     """Recall-margin gate for the production dedup_minhash_lsh lane
     (ADVICE r4): the lane's exact all-pairs oracle silently depends on
-    LSH recall being FULL for this corpus. This test fails loudly with
-    per-pair diagnostics if a fixture/scale change ever breaks that,
-    and pins the 16-band superset argument the lane's comment makes:
-    any 4-row band match implies both 2-row halves match."""
-    sigs = minhash_signatures(docs, num_hashes=32, n=3)
-    c8 = {(r["doc_a"], r["doc_b"])
-          for r in lsh_candidate_pairs(sigs, bands=8).collect()}
-    c16 = {(r["doc_a"], r["doc_b"])
-           for r in lsh_candidate_pairs(sigs, bands=16).collect()}
-    assert c8 <= c16, f"16-band candidates must superset 8-band: {c8 - c16}"
-    missed = true_near_dups - c16
+    LSH recall being FULL for this corpus. The production geometry is
+    64 hashes / 16 bands x 4 rows (~2.2e-4 per-pair miss at j=0.8,
+    ~70x headroom over the r4 32/8 geometry at the same band
+    threshold). This test fails loudly with per-pair diagnostics if a
+    fixture/scale change ever breaks full recall, and pins that the
+    wider geometry never candidates FEWER true pairs than the old one."""
+    c_old = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=32, n=3), bands=8).collect()}
+    c_new = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=64, n=3), bands=16).collect()}
+    assert true_near_dups & c_old <= c_new, \
+        f"64/16 geometry lost true pairs the 32/8 one had: " \
+        f"{(true_near_dups & c_old) - c_new}"
+    missed = true_near_dups - c_new
     assert not missed, (
-        "dedup_minhash_lsh's exact oracle is BROKEN: 16-band LSH missed "
-        f"true j>=0.8 pairs {missed} — widen bands or re-measure before "
-        "trusting CORRECTNESS output for this lane")
+        "dedup_minhash_lsh's exact oracle is BROKEN: 64-hash/16-band LSH "
+        f"missed true j>=0.8 pairs {missed} — widen bands or re-measure "
+        "before trusting CORRECTNESS output for this lane")
 
 
 def test_simhash_radius10_margin(docs, true_near_dups):
