@@ -725,3 +725,53 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hits.filter(F.col("n_in") == _BLOOM_K)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bloom_grams")))
+
+
+@query(
+    "dedup_incremental_delta", "dedup",
+    # Incremental ingest dedup — the shape every continuously-growing
+    # training corpus needs: a NEW shard (sources src10..src19) lands
+    # next to the EXISTING corpus (src0..src9); keep only new docs
+    # whose normalized content hash (1) does not already exist in the
+    # corpus and (2) is not a duplicate within the shard (keep-first by
+    # doc_id). SCALE: the existing side reduces to DISTINCT hashes
+    # (Catalyst/AQE broadcasts while small; at 100 TB it is a correct
+    # hash-keyed anti join — the new shard, not the corpus, drives the
+    # shuffle size, and the corpus hash set is exactly the incremental
+    # state a production pipeline persists between ingests). The
+    # within-shard keep-first is one window over the same hash key, so
+    # both steps share a single partitioning.
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, source, md5(text) AS content_md5,
+               CAST(substr(source, 4) AS INT) >= 10 AS is_new
+        FROM documents),
+    existing AS (SELECT DISTINCT content_md5 FROM tagged WHERE NOT is_new),
+    fresh AS (
+        SELECT t.doc_id, t.source, t.content_md5
+        FROM tagged t
+        WHERE t.is_new
+          AND t.content_md5 NOT IN (SELECT content_md5 FROM existing)),
+    ranked AS (
+        SELECT doc_id, source, content_md5,
+               row_number() OVER (PARTITION BY content_md5
+                                  ORDER BY doc_id) AS rn
+        FROM fresh)
+    SELECT doc_id, source, content_md5 FROM ranked WHERE rn = 1
+    """,
+    description="incremental shard dedup: anti-join new docs against existing corpus hashes, keep-first within shard",
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id", "source",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        (F.substring("source", 4, 10).cast("int") >= 10).alias("is_new"))
+    existing = (tagged.filter(~F.col("is_new"))
+                .select("content_md5").distinct())
+    fresh = (tagged.filter(F.col("is_new"))
+             .join(existing, "content_md5", "left_anti"))
+    w = W.partitionBy("content_md5").orderBy("doc_id")
+    return (fresh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "source", "content_md5"))

@@ -1136,3 +1136,52 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("sum_ln_scaled").cast("double")
                             / (1e6 * F.col("n_bigrams")), 6)
                     .alias("avg_logprob")))
+
+
+@query(
+    "text_chunk_overlap", "text",
+    # Context-window chunking — the "concat-and-chunk" counterpart for
+    # models with a fixed context: every document's token stream is cut
+    # into windows of 8 tokens at stride 6 (2-token overlap, so no
+    # boundary-spanning n-gram is lost between adjacent chunks), tail
+    # chunks shorter but never empty, zero-token docs dropped. SCALE:
+    # pure per-row array arithmetic + one explode — map-only, no
+    # shuffle, linear at any corpus size; the chunk stream feeds
+    # straight into tokenize/pack stages under the same partitioning.
+    # Boundary discipline per the r5 corpus fuzzer: starts come from
+    # sequence(1, n, stride) with n >= 1 guaranteed by the filter, so
+    # the descending-sequence trap (shingles_col's r5 bug) can't fire.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS tk
+        FROM documents),
+    t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+    ch AS (
+        SELECT doc_id,
+               CAST((u.s - 1) // 6 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, u.s, least(u.s + 7, n)), ' ')
+                   AS chunk_text,
+               CAST(least(u.s + 7, n) - u.s + 1 AS BIGINT) AS n_tokens
+        FROM t2, unnest(generate_series(1, n, 6)) AS u(s))
+    SELECT doc_id, chunk_id, chunk_text, n_tokens FROM ch
+    """,
+    description="context-window chunking: 8-token windows at stride 6 (2-token overlap), tail-safe, map-only",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    window, stride = 8, 6
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("tk"))
+    t2 = toks.withColumn("n", F.size("tk")).filter(F.col("n") > 0)
+    starts = F.sequence(F.lit(1), F.col("n"), F.lit(stride))
+    ch = t2.select(
+        "doc_id", "tk", "n", F.explode(starts).alias("s"))
+    return ch.select(
+        "doc_id",
+        ((F.col("s") - 1) / stride).cast("long").alias("chunk_id"),
+        F.array_join(F.slice("tk", F.col("s"), F.lit(window)), " ")
+            .alias("chunk_text"),
+        (F.least(F.col("s") + window - 1, F.col("n")) - F.col("s") + 1)
+            .cast("long").alias("n_tokens"))

@@ -780,3 +780,37 @@ def test_corpus_vocab_rank_agrees(spark, corpus_con, docs):
             GROUP BY word) c
     """).fetchall()))
     assert got == want, f"vocab-rank divergence on corpus {docs!r}"
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=_fuzz_corpus(), geom=st.sampled_from([(8, 6), (4, 4), (5, 2)]))
+def test_corpus_chunk_overlap_agrees(spark, corpus_con, docs, geom):
+    # context-window chunking boundary logic (tail chunks, empty docs,
+    # docs shorter than the window) across window/stride geometries
+    from pyspark.sql import functions as F
+    window, stride = geom
+    sdf = _load_corpus(spark, corpus_con, docs)
+    toks = sdf.select(
+        "doc_id", F.filter(F.split("text", " "), lambda w: w != "").alias("tk"))
+    t2 = toks.withColumn("n", F.size("tk")).filter(F.col("n") > 0)
+    ch = t2.select("doc_id", "tk", "n", F.explode(
+        F.sequence(F.lit(1), F.col("n"), F.lit(stride))).alias("s"))
+    out = ch.select(
+        "doc_id", ((F.col("s") - 1) / stride).cast("long").alias("chunk_id"),
+        F.array_join(F.slice("tk", F.col("s"), F.lit(window)), " ")
+            .alias("chunk_text"))
+    got = {(r["doc_id"], r["chunk_id"], r["chunk_text"])
+           for r in out.collect()}
+    want = set(map(tuple, corpus_con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM fuzz_docs),
+        t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0)
+        SELECT doc_id, CAST((u.s - 1) // {stride} AS BIGINT),
+               array_to_string(list_slice(tk, u.s, least(u.s + {window} - 1, n)), ' ')
+        FROM t2, unnest(generate_series(1, n, {stride})) AS u(s)
+    """).fetchall()))
+    assert got == want, f"chunk divergence on corpus {docs!r} geom={geom}"
