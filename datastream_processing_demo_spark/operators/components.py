@@ -63,3 +63,51 @@ def min_label_components(edges: DataFrame, src: str = "src",
         if not changed:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def blocked_components(edges: DataFrame, block_col: str,
+                       src: str = "src", dst: str = "dst") -> DataFrame:
+    """Connected components when every edge is confined to a BLOCK
+    (e.g. SemDeDup's k-means cell: candidate pairs are within-cell by
+    construction, so no component can span blocks). One shuffle on the
+    block key + per-block union-find in an Arrow batch replaces the
+    iterative join-per-round of `min_label_components` — at sf0.1 that
+    is 1 job instead of ~4 checkpoint+probe rounds, and at cluster
+    scale the block IS the unit that fits an executor task (the same
+    contract that bounds the pair join itself).
+
+    Returns (node, cluster_id = min node in component), one row per
+    node that appears in any edge — same contract as
+    min_label_components. Use the iterative form for unblocked graphs.
+    """
+    import pandas as pd
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:        # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["_s"], pdf["_d"]):
+            for n in (a, b):
+                if n not in parent:
+                    parent[n] = n
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the final label needs no re-walk
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = list(parent)
+        return pd.DataFrame({"node": nodes,
+                             "cluster_id": [find(n) for n in nodes]})
+
+    dt = edges.schema[src].dataType.simpleString()
+    return (edges.select(F.col(block_col).alias("_b"),
+                         F.col(src).alias("_s"), F.col(dst).alias("_d"))
+            .groupBy("_b")
+            .applyInPandas(uf, schema=f"node {dt}, cluster_id {dt}"))

@@ -438,13 +438,13 @@ def semdedup_candidates(corpus: DataFrame, threshold: float = 0.35,
         a.join(b, "cell_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.round(cosine_col("va", "vb"), round_to) >= threshold)
-        .select("id_a", "id_b"))
+        .select("cell_id", "id_a", "id_b"))
     return member, pairs
 
 
 def semdedup(corpus: DataFrame, threshold: float = 0.35, n_cells: int = 16,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             round_to: int = 6, max_iter: int = 20) -> DataFrame:
+             round_to: int = 6) -> DataFrame:
     """SemDeDup — semantic deduplication over embedding clusters
     (Abbas et al. 2023, arXiv:2303.09540): k-means cells bound the
     candidate space, near-duplicate pairs are cosine >= threshold within
@@ -464,17 +464,22 @@ def semdedup(corpus: DataFrame, threshold: float = 0.35, n_cells: int = 16,
     cell_id, so per-cell work is quadratic only in the cell size — size
     `n_cells ~ n_rows / target_cell_size` exactly like the paper (11k
     clusters for LAION-440M) and `auto_n_planes` does for sign-LSH.
-    Components run min-label propagation (`operators/components.py`),
-    rounds bounded by dup-chain diameter (tiny). Everything is
-    deterministic — seeds, integer-grid centroid means, dot-form L2,
-    1e-6-rounded cosines — so an ANSI oracle reproduces the output
-    exactly, keep-decisions included.
+    Components: SemDeDup edges are within-cell BY CONSTRUCTION (the
+    pair join is keyed on cell_id), so no component spans cells and
+    the per-cell union-find (`operators/components.py
+    blocked_components`) computes the transitive closure in ONE
+    shuffle — replacing the iterative min-label rounds the unblocked
+    dedup_cluster_canonical graph still needs (measured r5: ~4
+    checkpoint+probe jobs saved per run). Everything is deterministic
+    — seeds, integer-grid centroid means, dot-form L2, 1e-6-rounded
+    cosines — so an ANSI oracle reproduces the output exactly,
+    keep-decisions included.
     """
-    from .components import min_label_components
+    from .components import blocked_components
     member, pairs = semdedup_candidates(corpus, threshold, n_cells,
                                         id_col, vec_col, round_to)
-    comp = min_label_components(pairs, src="id_a", dst="id_b",
-                                max_iter=max_iter)
+    comp = blocked_components(pairs, block_col="cell_id",
+                              src="id_a", dst="id_b")
     labeled = (
         member.join(comp, member.vec_id == comp.node, "left")
         .select(member.vec_id, "cell_id",

@@ -143,3 +143,34 @@ def test_interval_overlap_join_width_invariant_and_matches_theta(spark, sf_dir):
             points, sessions, point_ts="purchase_ts",
             start="session_start", end="session_end", width_s=width_s))
         assert got == truth, f"width_s={width_s} diverged from theta join"
+
+
+def test_blocked_components_match_iterative(spark):
+    """blocked_components (per-block union-find, one shuffle) must
+    produce exactly the min-label fixpoint of the iterative propagation
+    on any blocked graph — chains, pairs, singdup-free blocks, and a
+    block whose chain is long enough to need several iterative rounds."""
+    import random
+
+    from datastream_processing_demo_spark.operators.components import (
+        blocked_components,
+        min_label_components,
+    )
+    rng = random.Random(11)
+    rows = []
+    for blk in range(6):
+        base = blk * 1000
+        # random chain segments + random extra edges, all within block
+        nodes = [base + i for i in range(rng.randint(2, 30))]
+        for a, b in zip(nodes, nodes[1:]):
+            if rng.random() < 0.7:
+                rows.append((blk, a, b))
+        for _ in range(rng.randint(0, 10)):
+            rows.append((blk, rng.choice(nodes), rng.choice(nodes)))
+    rows = [(b, s, d) for b, s, d in rows if s != d]
+    edges = spark.createDataFrame(rows, "blk long, src long, dst long")
+    got = {(r["node"], r["cluster_id"])
+           for r in blocked_components(edges, "blk").collect()}
+    want = {(r["node"], r["cluster_id"])
+            for r in min_label_components(edges, max_iter=100).collect()}
+    assert got == want
