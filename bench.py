@@ -71,6 +71,9 @@ HEADLINE = [
     "text_bigram_logprob",     # bigram-LM doc scoring (fluency gate)
     "sim_tfidf_cosine_topk_dense",  # block-dense gram-matrix cosine (applyInPandas)
     "sim_hybrid_rrf",          # lexical+vector reciprocal-rank fusion
+    "dedup_incremental_delta",  # anti-join new shard vs corpus hash state
+    "text_chunk_overlap",      # map-only context-window chunking
+    "sim_semdedup",            # k-means-cell semantic dedup (blocked components)
 ]
 
 RUNS = 3

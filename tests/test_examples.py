@@ -41,3 +41,10 @@ def test_log_ingestion_example_runs():
     assert "produced hwms:" in out
     assert "acked offsets" in out
     assert "backfill rows: 40" in out
+
+
+def test_incremental_ingest_example_runs():
+    out = _run_example("incremental_ingest.py")
+    assert "existing corpus:" in out
+    assert "survivors after incremental dedup:" in out
+    assert "per-source packing:" in out
