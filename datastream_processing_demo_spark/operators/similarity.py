@@ -206,7 +206,45 @@ def _nearest_cells_expr(vec_col: Column | str, centroids: list,
 def _sorted_cell_structs(vec_col: Column | str, centroids: list) -> Column:
     """Array of (l2, cell_id) structs sorted nearest-first — the shared
     core of `_nearest_cells_expr` (which keeps only the ids) and
-    `semdedup` (which also needs the winning distance)."""
+    `semdedup` (which also needs the winning distance).
+
+    Built as ONE SQL string handed to F.expr: the Column-API spelling
+    costs thousands of py4j round-trips (n_cells x dim F.lit calls plus
+    a fold builder per cell — measured 1.5 s of pure driver time for
+    16x64 at r5) for an expression the JVM parses from text in
+    milliseconds. `_sorted_cell_structs_columns` keeps the Column
+    spelling; tests pin bit-equality of the two, and double literals
+    use repr() + the D suffix so Double.parseDouble round-trips every
+    bit (shortest-repr guarantee)."""
+    if not isinstance(vec_col, str):
+        return _sorted_cell_structs_columns(vec_col, centroids)
+
+    def d(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+
+    def dot(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"0.0D, (acc, x) -> acc + x)")
+
+    dvv = dot(vd, vd)
+    cells = ", ".join(
+        "named_struct('l2', {dvv} - 2.0D * {dvc} + {cc}, 'cell_id', {cid})"
+        .format(
+            dvv=dvv,
+            dvc=dot(vd, "transform(array({}), x -> CAST(x AS DOUBLE))"
+                    .format(", ".join(d(x) for x in vec))),
+            cc=d(_dot_py(vec, vec)), cid=int(cid))
+        for cid, vec in centroids)
+    return F.expr(f"array_sort(array({cells}))")
+
+
+def _sorted_cell_structs_columns(vec_col: Column | str,
+                                 centroids: list) -> Column:
+    """Column-API twin of `_sorted_cell_structs` (the r4 spelling):
+    semantically identical tree, kept for Column-typed inputs and as
+    the bit-equality reference the tests compare against."""
     dvv = dot_col(vec_col, vec_col)
     cells = F.array(*[
         F.named_struct(

@@ -876,3 +876,26 @@ def test_tfidf_lane_decision(spark, sf_dir):
     assert d["dense_flops"] <= DENSE_FLOP_DISCOUNT * d["sum_df2"], d
     forced = tfidf_lane_decision(spark, sf_dir, dense_block_doc_cap=1)
     assert forced["lane"] == "sparse", forced
+
+
+def test_cell_struct_sql_matches_column_spelling(spark, sf_dir):
+    """_sorted_cell_structs builds one SQL string (driver-cheap); its
+    Column-API twin is the reference spelling. Every (l2, cell_id)
+    struct must be BIT-identical across the two — the oracle-parity
+    argument (identical IEEE fold sequence) depends on it."""
+    from datastream_processing_demo_spark.catalog import load_table
+    from datastream_processing_demo_spark.operators import similarity as S
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (emb.orderBy("vec_id").limit(8)
+            .select(S._as_double("embedding").alias("v")).collect())
+    cent = [(i + 1, list(r["v"])) for i, r in enumerate(rows)]
+    a = emb.select("vec_id", S._sorted_cell_structs("embedding", cent)
+                   .alias("s"))
+    b = emb.select("vec_id",
+                   S._sorted_cell_structs_columns("embedding", cent)
+                   .alias("s"))
+    ra = {r["vec_id"]: [(x["l2"], x["cell_id"]) for x in r["s"]]
+          for r in a.collect()}
+    rb = {r["vec_id"]: [(x["l2"], x["cell_id"]) for x in r["s"]]
+          for r in b.collect()}
+    assert ra == rb
