@@ -125,7 +125,30 @@ def _hyperplane(plane: int, dim: int = 64) -> list[float]:
 
 def lsh_bucket_col(vec_col: Column | str, n_planes: int = 12,
                    dim: int = 64) -> Column:
-    """Sign-LSH bucket code: bit p = 1 iff dot(vec, plane_p) > 0."""
+    """Sign-LSH bucket code: bit p = 1 iff dot(vec, plane_p) > 0.
+
+    Built as one SQL string (same rationale as _sorted_cell_structs:
+    n_planes x dim F.lit py4j round-trips cost ~1 s of driver time per
+    build; the JVM parses the text form in milliseconds). Bucket codes
+    are exact integers, pinned equal to the Column spelling by a test."""
+    if not isinstance(vec_col, str):
+        return _lsh_bucket_col_columns(vec_col, n_planes, dim)
+    vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    bits = []
+    for p in range(n_planes):
+        plane = "transform(array({}), x -> CAST(x AS DOUBLE))".format(
+            ", ".join(f"{c!r}D" for c in _hyperplane(p, dim)))
+        dot = (f"aggregate(zip_with({vd}, {plane}, (x, y) -> x * y), "
+               f"0.0D, (acc, x) -> acc + x)")
+        bits.append(f"(CASE WHEN {dot} > 0 THEN "
+                    f"shiftleft(CAST(1 AS BIGINT), {p}) ELSE 0 END)")
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(bits))
+
+
+def _lsh_bucket_col_columns(vec_col: Column | str, n_planes: int = 12,
+                            dim: int = 64) -> Column:
+    """Column-API twin of `lsh_bucket_col`, kept for Column-typed
+    inputs and as the equality reference the tests compare against."""
     code = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])

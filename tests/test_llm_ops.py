@@ -899,3 +899,19 @@ def test_cell_struct_sql_matches_column_spelling(spark, sf_dir):
     rb = {r["vec_id"]: [(x["l2"], x["cell_id"]) for x in r["s"]]
           for r in b.collect()}
     assert ra == rb
+
+
+def test_lsh_bucket_sql_matches_column_spelling(spark, sf_dir):
+    """lsh_bucket_col's SQL-string build must produce the exact bucket
+    code of the Column-API twin for every corpus vector."""
+    from datastream_processing_demo_spark.catalog import load_table
+    from datastream_processing_demo_spark.operators.similarity import (
+        _lsh_bucket_col_columns,
+        lsh_bucket_col,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id",
+        lsh_bucket_col("embedding", n_planes=12).alias("a"),
+        _lsh_bucket_col_columns("embedding", n_planes=12).alias("b")).collect()
+    assert rows and all(r["a"] == r["b"] for r in rows)
