@@ -915,3 +915,36 @@ def test_lsh_bucket_sql_matches_column_spelling(spark, sf_dir):
         lsh_bucket_col("embedding", n_planes=12).alias("a"),
         _lsh_bucket_col_columns("embedding", n_planes=12).alias("b")).collect()
     assert rows and all(r["a"] == r["b"] for r in rows)
+
+
+def test_semdedup_fast_matches_exact(spark, sf_dir):
+    """The vectorized SemDeDup twin (numpy assignment + per-cell gram
+    + fast-trained centroids) must reproduce the exact lane's full
+    output — every (vec_id, cell_id, cluster_id, is_kept) row."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        semdedup,
+        semdedup_fast,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {tuple(r) for r in semdedup(emb, 0.35, n_cells=16).collect()}
+    b = {tuple(r) for r in semdedup_fast(emb, 0.35, n_cells=16).collect()}
+    assert a == b
+
+
+def test_ivf_centroids_fast_matches_exact(spark, sf_dir):
+    from datastream_processing_demo_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_centroids_fast,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert ivf_centroids(emb, 16) == ivf_centroids_fast(emb, 16)
+
+
+def test_auto_n_cells_sizing_rule():
+    from datastream_processing_demo_spark.operators.similarity import (
+        auto_n_cells,
+    )
+    sizes = [10**3, 10**5, 10**7, 10**9]
+    cells = [auto_n_cells(n) for n in sizes]
+    assert cells == sorted(cells)
+    assert cells[0] == 4 and auto_n_cells(440_000_000, 40_000) == 11000
