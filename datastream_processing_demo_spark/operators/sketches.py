@@ -33,7 +33,7 @@ an error contract. The reference has no aggregation at all
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # simpleString -> Python-scalar converter: with NULLs present, Arrow
