@@ -609,7 +609,9 @@ def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame(columns=["cell_id", "id_a", "id_b"])
+            return pd.DataFrame({"cell_id": pd.Series([], dtype="int32"),
+                                 "id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
