@@ -57,6 +57,18 @@ def main() -> None:
     sigs = minhash_portable_signatures(docs, num_hashes=16)
     print("LSH candidate pairs:", lsh_portable_candidate_pairs(sigs).count())
 
+    # 5. the 100 TB semantic-dedup mode: the vectorized SemDeDup twin
+    #    with the cells-proportional-to-corpus sizing rule (the exact
+    #    fold spelling is the oracle surface; this is the scale dial)
+    from datastream_processing_demo_spark.operators.similarity import (
+        auto_n_cells,
+        semdedup_fast,
+    )
+    n_cells = auto_n_cells(emb.count(), target_cell_size=64)
+    kept = (semdedup_fast(emb, threshold=0.35, n_cells=n_cells)
+            .filter("is_kept").count())
+    print(f"semdedup_fast ({n_cells} cells): {kept} survivors")
+
     spark.stop()
 
 

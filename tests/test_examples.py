@@ -34,6 +34,7 @@ def test_library_usage_example_runs():
     assert "q1 pricing summary" in out
     assert "near-duplicate pairs:" in out
     assert "LSH candidate pairs:" in out
+    assert "semdedup_fast" in out
 
 
 def test_log_ingestion_example_runs():
