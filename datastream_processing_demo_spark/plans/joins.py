@@ -356,7 +356,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    AS prev_end
         FROM events),
-    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end
                          THEN 1 ELSE 0 END AS is_new FROM o),
     i AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id

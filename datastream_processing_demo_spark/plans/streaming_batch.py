@@ -70,7 +70,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -258,7 +258,7 @@ def stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                              AND 1 PRECEDING) AS prev_end
         FROM g),
-    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end
                          THEN 1 ELSE 0 END AS is_new FROM o),
     isl AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id

@@ -814,3 +814,73 @@ def test_corpus_chunk_overlap_agrees(spark, corpus_con, docs, geom):
         FROM t2, unnest(generate_series(1, n, {stride})) AS u(s)
     """).fetchall()))
     assert got == want, f"chunk divergence on corpus {docs!r} geom={geom}"
+
+
+@st.composite
+def _fuzz_events(draw) -> list[tuple]:
+    # (event_id, user_id, offset_seconds): offsets drawn from multiples
+    # of HALF the session gap so exact-gap distances (the end-exclusive
+    # merge boundary) occur constantly, plus ties on the same instant
+    n = draw(st.integers(2, 24))
+    rows = []
+    for i in range(n):
+        rows.append((i,
+                     draw(st.integers(0, 2)),
+                     30 * draw(st.integers(0, 20))))
+    return rows
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=_fuzz_events())
+def test_sessionization_agrees(spark, corpus_con, rows):
+    # session_window (60s gap) vs the gaps-and-islands SQL the
+    # streaming lanes' oracles use. Spark MERGES boundary-touching
+    # sessions (an event at exactly last_ts + gap joins the session
+    # — this lane's first sweep proved it and fixed four oracles
+    # that split there), so: new session iff distance > gap,
+    # session_end = last_ts + gap.
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    base = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "user_id": [r[1] for r in rows],
+        "ts": [base + datetime.timedelta(seconds=r[2]) for r in rows]})
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sdf = spark.createDataFrame(pdf)
+    got = {(r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"], r["first_event_id"])
+           for r in (sdf.groupBy("user_id",
+                                 F.session_window("ts", "60 seconds"))
+                     .agg(F.count(F.lit(1)).alias("n_events"),
+                          F.min("event_id").alias("first_event_id"))
+                     .select("user_id",
+                             F.col("session_window.start")
+                             .alias("session_start"),
+                             F.col("session_window.end")
+                             .alias("session_end"),
+                             "n_events", "first_event_id")
+                     .collect())}
+    corpus_con.register("fuzz_events", pdf)
+    want = set(map(tuple, corpus_con.execute("""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 60 SECOND
+                        THEN 1 ELSE 0 END AS is_new
+            FROM fuzz_events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        islands AS (
+            SELECT *, SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess_no
+            FROM ordered)
+        SELECT user_id, MIN(ts), MAX(ts) + INTERVAL 60 SECOND,
+               COUNT(*), MIN(event_id)
+        FROM islands GROUP BY user_id, sess_no
+    """).fetchall()))
+    assert got == want, f"sessionization divergence on {rows!r}"
