@@ -884,3 +884,32 @@ def test_sessionization_agrees(spark, corpus_con, rows):
         FROM islands GROUP BY user_id, sess_no
     """).fetchall()))
     assert got == want, f"sessionization divergence on {rows!r}"
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.integers(0, 2),      # user
+                               st.integers(0, 6),      # ts grid (forces ties)
+                               st.integers(-5, 5)),    # value
+                     min_size=1, max_size=20),
+       width=st.sampled_from([0, 1, 2]),
+       agg=st.sampled_from(["SUM", "COUNT", "MIN", "MAX"]))
+def test_range_frame_ties_agree(spark, corpus_con, rows, width, agg):
+    # RANGE frames with DUPLICATE order keys: ANSI peer-row semantics
+    # (all ties enter the frame together) are the classic dialect trap;
+    # the narrow grid guarantees ties in nearly every example
+    import pandas as pd
+    pdf = pd.DataFrame({"rid": range(len(rows)),
+                        "u": [r[0] for r in rows],
+                        "k": [r[1] for r in rows],
+                        "v": [r[2] for r in rows]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("fuzz_rf")
+    corpus_con.register("fuzz_rf", pdf)
+    q = (f"SELECT rid, {agg}(v) OVER ("
+         f"PARTITION BY u ORDER BY k "
+         f"RANGE BETWEEN {width} PRECEDING AND CURRENT ROW) AS a "
+         f"FROM fuzz_rf")
+    got = sorted(tuple(r) for r in spark.sql(q).collect())
+    want = sorted(map(tuple, corpus_con.execute(q).fetchall()))
+    assert got == want, f"range-frame divergence: {q} on {rows!r}"
