@@ -913,3 +913,34 @@ def test_range_frame_ties_agree(spark, corpus_con, rows, width, agg):
     got = sorted(tuple(r) for r in spark.sql(q).collect())
     want = sorted(map(tuple, corpus_con.execute(q).fetchall()))
     assert got == want, f"range-frame divergence: {q} on {rows!r}"
+
+
+def test_tumbling_window_exact_boundary(spark, corpus_con):
+    """Companion to the sessionization catch: an event at EXACTLY a
+    tumbling-window boundary must open the next window (start-inclusive,
+    end-exclusive) and the floor-arithmetic oracle spelling must agree —
+    the fixtures' microsecond-random timestamps never test this."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    base = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame({"ts": pd.Series(
+        [base,
+         base + datetime.timedelta(seconds=59),
+         base + datetime.timedelta(seconds=60),    # exact boundary
+         base + datetime.timedelta(seconds=120)],  # exact boundary
+        dtype="datetime64[us]")})
+    sdf = spark.createDataFrame(pdf)
+    got = sorted((r["start"], r["n"]) for r in
+                 (sdf.groupBy(F.window("ts", "60 seconds").alias("w"))
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .select(F.col("w.start").alias("start"), "n").collect()))
+    corpus_con.register("fuzz_tb", pdf)
+    want = sorted(map(tuple, corpus_con.execute("""
+        SELECT make_timestamp(CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)
+                              * 1000000) AS start, COUNT(*)
+        FROM fuzz_tb GROUP BY 1
+    """).fetchall()))
+    assert got == want
+    assert [n for _, n in got] == [2, 1, 1]
