@@ -112,6 +112,12 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--category", default=None)
+    ap.add_argument("--spark-conf", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="runtime Spark conf override (repeatable) — for "
+                    "config-variation sweeps: a correct engine must give "
+                    "identical answers with AQE off, odd shuffle widths, "
+                    "codegen disabled, ...")
     args = ap.parse_args()
 
     specs = all_queries()
@@ -121,6 +127,10 @@ def main() -> int:
         specs = {k: v for k, v in specs.items() if v.category == args.category}
 
     spark = get_session(EngineConfig(app_name="selfcheck"))
+    for kv in args.spark_conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
+        print(f"spark-conf override: {k}={v}")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLE_NAMES:
