@@ -39,12 +39,19 @@ def interval_overlap_join(points: DataFrame, intervals: DataFrame, *,
 
     Returns points columns + intervals columns. Column names must be
     disjoint between the two sides (the join key is internal).
+    Degenerate intervals (end <= start) match nothing and are dropped —
+    with an outer `how` they will not appear as null-padded rows.
     """
     if width_s <= 0:
         raise ValueError(f"width_s must be positive, got {width_s}")
     w_us = F.lit(width_s * _US)
     p = points.withColumn(
         "_ivj_bucket", F.floor(F.unix_micros(F.col(point_ts)) / w_us))
+    # degenerate intervals (end <= start) cover no instant under the
+    # end-exclusive contract — drop them BEFORE the bucket explode:
+    # their sequence(lo, hi) would be DESCENDING (hi < lo, the r5
+    # corpus-fuzzer bug class) and emit phantom buckets
+    intervals = intervals.filter(F.col(end) > F.col(start))
     i = intervals.withColumn(
         "_ivj_bucket",
         F.explode(F.sequence(

@@ -589,13 +589,20 @@ def combined_codec_features(df: DataFrame, id_col: str = "doc_id",
 
 
 def frames_col(text_col: str = "text", frame_bytes: int = FRAME_BYTES) -> Column:
-    """Chunk a payload into fixed-size 'frames' (array<binary>)."""
+    """Chunk a payload into fixed-size 'frames' (array<binary>).
+
+    Empty payloads yield an empty array — without the guard,
+    sequence(0, -1) is Spark's DESCENDING [0, -1] (the r5 corpus-fuzzer
+    bug class, see operators/dedup.shingles_col) and would emit two
+    bogus frames."""
     n_frames = F.ceil(F.length(text_col) / frame_bytes).cast("int")
-    return F.transform(
+    return F.when(
+        n_frames < 1, F.array().cast("array<binary>")
+    ).otherwise(F.transform(
         F.sequence(F.lit(0), n_frames - 1),
         lambda i: F.encode(
             F.substring(F.col(text_col), i * frame_bytes + 1, frame_bytes), "UTF-8"),
-    )
+    ))
 
 
 def sample_frames(frames: Column, every: int = 3) -> Column:

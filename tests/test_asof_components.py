@@ -174,3 +174,35 @@ def test_blocked_components_match_iterative(spark):
     want = {(r["node"], r["cluster_id"])
             for r in min_label_components(edges, max_iter=100).collect()}
     assert got == want
+
+
+def test_interval_join_degenerate_interval_matches_nothing(spark):
+    """end <= start covers no instant (end-exclusive) — without the
+    guard its bucket sequence(lo, hi) is DESCENDING (the r5 fuzzer bug
+    class) and emits phantom buckets."""
+    import datetime
+
+    from datastream_processing_demo_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(1, t0), (2, t0 + datetime.timedelta(hours=1))], "pid long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(10, t0, t0),                                        # zero-length
+         (11, t0 + datetime.timedelta(hours=2), t0),          # inverted
+         (12, t0, t0 + datetime.timedelta(hours=3))],         # real
+        "iid long, s timestamp, e timestamp")
+    got = {(r["pid"], r["iid"]) for r in interval_overlap_join(
+        points, intervals, point_ts="ts", start="s", end="e",
+        width_s=600).collect()}
+    assert got == {(1, 12), (2, 12)}
+
+
+def test_frames_col_empty_payload(spark):
+    from pyspark.sql import functions as F
+
+    from datastream_processing_demo_spark.operators.multimodal import frames_col
+    rows = (spark.createDataFrame([("",), ("ab",)], "text string")
+            .select(F.size(frames_col("text")).alias("n")).collect())
+    assert [r["n"] for r in rows] == [0, 1]
