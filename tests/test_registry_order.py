@@ -6,11 +6,14 @@ contract so prefix starvation (round 1: window burned on three
 categories; round 2: window re-checked already-green queries) cannot
 recur:
 
-- any 50-prefix samples every category;
+- first-time verdicts (red + never-checked) always come before ANY
+  already-green query — a green may enter the window only once every
+  red/never query fits inside it;
+- once the first-time backlog fits the window, any 50-prefix samples
+  every category (one stalest-green representative per category
+  directly follows the backlog);
 - exactly-oracled queries all come before rows-only ones;
-- queries whose latest official verdict is red lead the window;
-- already-green queries never displace never-checked ones in the window
-  beyond the one-representative-per-category head block.
+- queries whose latest official verdict is red lead the window.
 """
 
 from __future__ import annotations
@@ -38,12 +41,30 @@ def _ledger() -> dict:
         return json.load(f)
 
 
+def _first_time(spec, ledger) -> bool:
+    rec = ledger.get(spec.name)
+    return rec is None or rec["verdict"] == "red" or (
+        rec["verdict"] == "rows_only" and spec.oracle is not None)
+
+
 def test_every_category_in_any_window_prefix():
+    """Category sampling holds whenever the first-time backlog fits the
+    window; with a larger backlog the window is spent entirely on
+    first-time verdicts instead (each worth more than a re-sample)."""
+    ledger = _ledger()
     ordered = list(ordered_queries().values())
-    prefix_cats = {s.category for s in ordered[:WINDOW]}
-    all_cats = {s.category for s in ordered}
-    assert prefix_cats == all_cats, (
-        f"missing from first {WINDOW}: {sorted(all_cats - prefix_cats)}")
+    backlog = sum(1 for s in ordered if s.oracle is not None
+                  and _first_time(s, ledger))
+    prefix = ordered[:WINDOW]
+    if backlog >= WINDOW:
+        assert all(_first_time(s, ledger) for s in prefix), (
+            "green query inside the window while first-time backlog "
+            f"({backlog}) exceeds it")
+    else:
+        prefix_cats = {s.category for s in prefix}
+        all_cats = {s.category for s in ordered}
+        assert prefix_cats == all_cats, (
+            f"missing from first {WINDOW}: {sorted(all_cats - prefix_cats)}")
 
 
 def test_rows_only_queries_sit_after_all_oracled():
@@ -65,16 +86,21 @@ def test_red_queries_lead_the_window():
 
 
 def test_window_prefers_unverified_over_green():
-    """Green-ledger queries may appear in the window only via the
-    one-per-category representative head (when their category has no
-    red/never-checked query left)."""
+    """A green-ledger query may appear in the window only when every
+    red/never-checked oracled query is already inside it."""
     ledger = _ledger()
     ordered = list(ordered_queries().values())
-    n_cats = len({s.category for s in ordered})
+    prefix = ordered[:WINDOW]
     greens_in_window = [
-        s.name for s in ordered[:WINDOW]
+        s.name for s in prefix
         if ledger.get(s.name, {}).get("verdict") == "green"]
-    assert len(greens_in_window) <= n_cats, greens_in_window
+    first_time_outside = [
+        s.name for s in ordered[WINDOW:]
+        if s.oracle is not None and _first_time(s, ledger)]
+    if first_time_outside:
+        assert not greens_in_window, (
+            f"greens {greens_in_window} in window while first-time "
+            f"queries wait outside: {first_time_outside}")
 
 
 def test_ledger_names_match_registry():
