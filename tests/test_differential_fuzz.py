@@ -944,3 +944,60 @@ def test_tumbling_window_exact_boundary(spark, corpus_con):
     """).fetchall()))
     assert got == want
     assert [n for _, n in got] == [2, 1, 1]
+
+
+# ---- lane 20: as-of join vs DuckDB's native ASOF JOIN ----
+# operators/asof.py implements backward as-of via the union+window
+# idiom; DuckDB has a first-class ASOF JOIN. Random event tables on a
+# narrow integer time grid force the boundary cases constantly: exact
+# ts equality (must match — right sorts before left at equal ts),
+# left rows before any right row (NULL payload), keys absent from the
+# right side entirely, and an empty right table. Right-side (k, ts)
+# pairs are deduplicated because at duplicate timestamps DuckDB's pick
+# is unspecified while ours is tiebreak-deterministic — that
+# determinism is pinned separately by the engine's join_asof tests.
+
+_ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 2),      # key
+              st.integers(0, 12),     # ts grid (forces equal-ts hits)
+              st.integers(-99, 99)),  # payload
+    min_size=0, max_size=15)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(left=st.lists(st.tuples(st.integers(0, 3),   # key (3 never in right)
+                               st.integers(0, 12)),  # ts
+                     min_size=1, max_size=20),
+       right=_ASOF_RIGHT)
+def test_asof_join_agrees_with_duckdb(spark, corpus_con, left, right):
+    import pandas as pd
+
+    from datastream_processing_demo_spark.operators.asof import asof_join
+    # dedup right (k, ts): keep the first payload drawn for each pair
+    seen: dict = {}
+    for k, ts, val in right:
+        seen.setdefault((k, ts), val)
+    lpdf = pd.DataFrame({"rid": range(len(left)),
+                         "k": [r[0] for r in left],
+                         "ts": [r[1] for r in left]})
+    rpdf = pd.DataFrame({"k": [k for k, _ in seen],
+                         "ts": [t for _, t in seen],
+                         "val": list(seen.values())},
+                        dtype="int64")
+    lsdf = spark.createDataFrame(lpdf)
+    rsdf = spark.createDataFrame(
+        rpdf, schema="k bigint, ts bigint, val bigint")
+    got = sorted(
+        (r["rid"], r["val"]) for r in
+        asof_join(lsdf, rsdf, on="k", ts="ts", payload=["val"]).collect())
+    corpus_con.register("fuzz_asof_l", lpdf)
+    corpus_con.register("fuzz_asof_r", rpdf)
+    want = sorted(map(tuple, corpus_con.execute("""
+        SELECT l.rid, r.val
+        FROM fuzz_asof_l l ASOF LEFT JOIN fuzz_asof_r r
+          ON l.k = r.k AND l.ts >= r.ts
+    """).fetchall()))
+    assert got == want, (
+        f"asof divergence: left={left!r} right={sorted(seen.items())!r}")
