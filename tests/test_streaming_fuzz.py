@@ -1,0 +1,139 @@
+"""Differential fuzz of Structured Streaming watermark semantics.
+
+The e2e streaming tests pin ONE hand-picked scenario each; this lane
+drives hypothesis-generated micro-batch sequences through a real
+append-mode streaming query (file source, one file per trigger) and
+compares the emitted windows against an executable model of Spark's
+documented watermark algebra, probed and pinned here:
+
+- TWO watermarks are in effect per batch (Spark >= 3.4 splits
+  eventTimeWatermarkForLateEvents from ...ForEviction — this lane's
+  first two shrunk divergences rediscovered the split empirically):
+  the LATE-ROW FILTER in batch i uses the watermark derived from
+  batches 0..i-2 (two-batch lag), while EVICTION/emission in batch i
+  uses the one from batches 0..i-1. A batch can therefore admit a row
+  for an already-closable window and emit that window in the same
+  batch, late row included (shrunk witness: batches [[8],[0]],
+  delay 1 h -> window [0,6) emits WITH the h=0 row, filtered under
+  W=epoch but evicted under W=07:00);
+- both comparisons are inclusive at the boundary: a watermark landing
+  EXACTLY on a window end evicts the window (probed directly), and a
+  row whose window end equals the LAGGED watermark is dropped — which
+  is precisely what makes a second emission of an already-evicted
+  window impossible (shrunk witness: [[7],[0],[0]] emits [0,6) once,
+  not twice: the third batch's h=0 row hits wend == lagged W and is
+  dropped before it can rebuild evicted state);
+- after the last file, availableNow runs a trailing no-data batch with
+  the final watermark (probed: 2 files -> 3 batches), so windows
+  closed by the last batch's own event times DO emit.
+
+Hour-grid event times with a 6 h window and 1 h delay make the
+watermark land exactly on window boundaries constantly — the regime
+where an off-by-one in any of the three rules above flips results.
+Every example is a real streaming query (~4 s), so this lane caps its
+example count instead of inheriting the full soak knob.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import sys
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datastream_processing_demo_spark.schemas import EVENTS
+from datastream_processing_demo_spark.streaming.windows import tumbling_counts
+
+MAX_EXAMPLES = min(int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25")), 40)
+
+WIDTH_H = 6
+BASE = pd.Timestamp("2024-03-01")
+_qname = (f"wm_fuzz_{i}" for i in itertools.count())
+
+_BATCHES = st.lists(
+    st.lists(st.integers(0, 36), min_size=1, max_size=3),  # event hours
+    min_size=2, max_size=4)
+
+
+def _model_emitted(batches: list[list[int]],
+                   delay_h: int) -> list[tuple[int, int]]:
+    """Executable model of append-mode tumbling counts under the pinned
+    watermark rules. Returns sorted (window_start_hour, n_events)
+    emissions — a LIST, so a hypothetical double emission of one window
+    (state rebuilt by an exact-boundary late row after eviction) would
+    diverge loudly instead of being collapsed by a dict."""
+    epoch = pd.Timestamp(0)  # engine's initial watermark
+    wm_filter = epoch       # lags eviction by one batch
+    wm_evict = epoch
+    state: dict[int, int] = {}
+    emitted: list[tuple[int, int]] = []
+
+    def wend(ws: int) -> pd.Timestamp:
+        return BASE + pd.Timedelta(hours=ws + WIDTH_H)
+
+    for batch in batches:
+        for h in batch:
+            ws = (h // WIDTH_H) * WIDTH_H
+            if wend(ws) <= wm_filter:  # late under the LAGGED watermark
+                continue
+            state[ws] = state.get(ws, 0) + 1
+        for ws in sorted(w for w in state if wend(w) <= wm_evict):
+            emitted.append((ws, state.pop(ws)))
+        wm_filter = wm_evict
+        wm_evict = max(wm_evict,
+                       BASE + pd.Timedelta(hours=max(batch) - delay_h))
+    # trailing no-data batch: eviction only
+    for ws in sorted(w for w in state if wend(w) <= wm_evict):
+        emitted.append((ws, state.pop(ws)))
+    return sorted(emitted)
+
+
+def _events(hours: list[int]) -> pd.DataFrame:
+    ts = pd.Series([BASE + pd.Timedelta(hours=h) for h in hours],
+                   dtype="datetime64[us]")
+    n = len(hours)
+    return pd.DataFrame({"event_id": range(n), "ts": ts,
+                         "user_id": [1] * n, "event_type": ["click"] * n,
+                         "value": [1.0] * n, "props": ["{}"] * n})
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_BATCHES, delay_h=st.sampled_from([1, 7]))
+def test_watermark_emission_matches_model(spark, batches, delay_h):
+    d = tempfile.mkdtemp(prefix="wm_fuzz_")
+    try:
+        for i, batch in enumerate(batches):
+            p = os.path.join(d, f"b{i:03d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(_events(batch), preserve_index=False),
+                p, coerce_timestamps="us", allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)  # mtime = batch order
+        name = next(_qname)
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (tumbling_counts(src, width=f"{WIDTH_H} hours",
+                             watermark=f"{delay_h} hours")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        got = sorted(
+            (int((r["window_start"] - BASE).total_seconds() // 3600),
+             r["n_events"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect())
+        want = _model_emitted(batches, delay_h)
+        assert got == want, (
+            f"watermark divergence: batches={batches!r} delay={delay_h}h\n"
+            f"  spark emitted {got}\n  model emitted {want}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
