@@ -137,3 +137,103 @@ def test_watermark_emission_matches_model(spark, batches, delay_h):
             f"  spark emitted {got}\n  model emitted {want}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- session windows under watermarks ----
+# Same dual-watermark algebra, richer state: sessions [ts, ts+gap)
+# merge on TOUCH (batch-mode boundary pinned by the r5 sessionization
+# fuzz lane; probed here for the streaming path too — a late-admitted
+# event at h=6 merged into a live [10,14) session through the exact
+# start-touch and emitted as [6,14)). The late filter keys on the
+# event's own prospective session end (ts+gap vs the LAGGED watermark)
+# — an event whose raw ts is far below the watermark is still admitted
+# while ts+gap clears it. Emissions compare (start, end, n_events,
+# first_event_id), so merge bookkeeping is checked too.
+
+_SESSION_BATCHES = st.lists(
+    st.lists(st.integers(0, 36), min_size=1, max_size=3),
+    min_size=2, max_size=4)
+
+
+def _model_sessions(batches: list[list[int]], gap_h: int,
+                    delay_h: int) -> list[tuple[int, int, int, int]]:
+    epoch = pd.Timestamp(0)
+    wm_filter = epoch
+    wm_evict = epoch
+    # live sessions: [start_ts, end_ts, n_events, min_event_id]
+    live: list[list] = []
+    emitted: list[tuple[int, int, int, int]] = []
+
+    def hours(t: pd.Timestamp) -> int:
+        return int((t - BASE).total_seconds() // 3600)
+
+    eid = 0
+    for batch in batches:
+        for h in batch:
+            start = BASE + pd.Timedelta(hours=h)
+            end = start + pd.Timedelta(hours=gap_h)
+            if end <= wm_filter:  # prospective session end vs lagged W
+                eid += 1
+                continue
+            cur = [start, end, 1, eid]
+            eid += 1
+            merged = []
+            for s in live:
+                if s[0] <= cur[1] and cur[0] <= s[1]:  # overlap or touch
+                    cur = [min(s[0], cur[0]), max(s[1], cur[1]),
+                           s[2] + cur[2], min(s[3], cur[3])]
+                else:
+                    merged.append(s)
+            live = merged + [cur]
+        for s in [s for s in live if s[1] <= wm_evict]:
+            live.remove(s)
+            emitted.append((hours(s[0]), hours(s[1]), s[2], s[3]))
+        wm_filter = wm_evict
+        wm_evict = max(wm_evict,
+                       BASE + pd.Timedelta(hours=max(batch) - delay_h))
+    for s in [s for s in live if s[1] <= wm_evict]:  # trailing batch
+        live.remove(s)
+        emitted.append((hours(s[0]), hours(s[1]), s[2], s[3]))
+    return sorted(emitted)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_SESSION_BATCHES, gap_h=st.sampled_from([2, 4]),
+       delay_h=st.sampled_from([1, 7]))
+def test_session_window_emission_matches_model(spark, batches, gap_h, delay_h):
+    from datastream_processing_demo_spark.streaming.windows import (
+        session_windows,
+    )
+    d = tempfile.mkdtemp(prefix="sw_fuzz_")
+    try:
+        eid = 0
+        for i, batch in enumerate(batches):
+            pdf = _events(batch)
+            pdf["event_id"] = range(eid, eid + len(batch))
+            eid += len(batch)
+            p = os.path.join(d, f"b{i:03d}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                           p, coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+        name = next(_qname)
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (session_windows(src, gap=f"{gap_h} hours",
+                             watermark=f"{delay_h} hours")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        got = sorted(
+            (int((r["session_start"] - BASE).total_seconds() // 3600),
+             int((r["session_end"] - BASE).total_seconds() // 3600),
+             r["n_events"], r["first_event_id"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect())
+        want = _model_sessions(batches, gap_h, delay_h)
+        assert got == want, (
+            f"session divergence: batches={batches!r} gap={gap_h}h "
+            f"delay={delay_h}h\n  spark emitted {got}\n  model emitted {want}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
