@@ -237,3 +237,88 @@ def test_session_window_emission_matches_model(spark, batches, gap_h, delay_h):
             f"delay={delay_h}h\n  spark emitted {got}\n  model emitted {want}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- sliding windows under watermarks ----
+# Each event lands in every window whose [start, start+width) covers
+# it, starts on the epoch-aligned slide grid — including NON-multiple
+# width/slide pairs (6h windows every 4h), where per-event window
+# counts vary. Same dual-watermark emission rules as the tumbling
+# lane, applied per assigned window; the late filter must drop a row
+# only from windows already closed under the lagged watermark, so one
+# row can be late for its oldest window and on time for its newest.
+
+def _model_sliding(batches: list[list[int]], width_h: int, slide_h: int,
+                   delay_h: int) -> list[tuple[int, int]]:
+    epoch = pd.Timestamp(0)
+    wm_filter = epoch
+    wm_evict = epoch
+    state: dict[int, int] = {}
+    emitted: list[tuple[int, int]] = []
+
+    def wend(ws: int) -> pd.Timestamp:
+        return BASE + pd.Timedelta(hours=ws + width_h)
+
+    def windows_of(h: int) -> list[int]:
+        first = (h // slide_h) * slide_h  # newest window start <= h
+        out = []
+        ws = first
+        while ws > h - width_h:
+            out.append(ws)
+            ws -= slide_h
+        return out
+
+    for batch in batches:
+        for h in batch:
+            for ws in windows_of(h):
+                if wend(ws) <= wm_filter:
+                    continue
+                state[ws] = state.get(ws, 0) + 1
+        for ws in sorted(w for w in state if wend(w) <= wm_evict):
+            emitted.append((ws, state.pop(ws)))
+        wm_filter = wm_evict
+        wm_evict = max(wm_evict,
+                       BASE + pd.Timedelta(hours=max(batch) - delay_h))
+    for ws in sorted(w for w in state if wend(w) <= wm_evict):
+        emitted.append((ws, state.pop(ws)))
+    return sorted(emitted)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_BATCHES, geom=st.sampled_from([(12, 6), (6, 4), (4, 2)]),
+       delay_h=st.sampled_from([1, 7]))
+def test_sliding_window_emission_matches_model(spark, batches, geom, delay_h):
+    from datastream_processing_demo_spark.streaming.windows import (
+        sliding_counts,
+    )
+    width_h, slide_h = geom
+    d = tempfile.mkdtemp(prefix="sl_fuzz_")
+    try:
+        for i, batch in enumerate(batches):
+            p = os.path.join(d, f"b{i:03d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(_events(batch), preserve_index=False),
+                p, coerce_timestamps="us", allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+        name = next(_qname)
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (sliding_counts(src, width=f"{width_h} hours",
+                            slide=f"{slide_h} hours",
+                            watermark=f"{delay_h} hours")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        got = sorted(
+            (int((r["window_start"] - BASE).total_seconds() // 3600),
+             r["n_events"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect())
+        want = _model_sliding(batches, width_h, slide_h, delay_h)
+        assert got == want, (
+            f"sliding divergence: batches={batches!r} width={width_h}h "
+            f"slide={slide_h}h delay={delay_h}h\n"
+            f"  spark emitted {got}\n  model emitted {want}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
