@@ -322,3 +322,85 @@ def test_sliding_window_emission_matches_model(spark, batches, geom, delay_h):
             f"  spark emitted {got}\n  model emitted {want}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- dropDuplicatesWithinWatermark (stateful cross-batch dedup) ----
+# Emission is immediate (first sighting of a key emits that row), so
+# what the watermark governs here is STATE LIFETIME: a key's dedup
+# state survives until the watermark passes its expiry, after which
+# the same key is emitted AGAIN as a fresh record — re-emission timing
+# is the whole semantics. Probed: state eviction happens at the END of
+# a batch under that batch's eviction watermark (equivalently, at the
+# next batch's start under its lagged watermark) — a duplicate in the
+# same batch where the key's expiry first falls under the eviction
+# watermark is still dropped; the key re-emits only one batch later.
+
+_DEDUP_BATCHES = st.lists(
+    st.lists(st.tuples(st.integers(1, 3),       # event_id (tiny key space)
+                       st.integers(0, 36)),     # hour
+             min_size=1, max_size=3),
+    min_size=2, max_size=4)
+
+
+def _model_dedup(batches: list[list[tuple[int, int]]],
+                 delay_h: int) -> list[tuple[int, int]]:
+    """Returns sorted (event_id, hour) rows the query must emit."""
+    epoch = pd.Timestamp(0)
+    wm_filter = epoch
+    wm_evict = epoch
+    expiry: dict[int, pd.Timestamp] = {}  # key -> state expiration
+    emitted: list[tuple[int, int]] = []
+
+    for batch in batches:
+        for key, h in batch:
+            ts = BASE + pd.Timedelta(hours=h)
+            if ts <= wm_filter:  # late row: dropped outright
+                continue
+            if key in expiry:    # duplicate: dropped, extends state
+                expiry[key] = max(expiry[key],
+                                  ts + pd.Timedelta(hours=delay_h))
+                continue
+            expiry[key] = ts + pd.Timedelta(hours=delay_h)
+            emitted.append((key, h))
+        for key in [k for k, e in expiry.items() if e <= wm_evict]:
+            del expiry[key]
+        wm_filter = wm_evict
+        wm_evict = max(wm_evict, BASE + pd.Timedelta(
+            hours=max(h for _, h in batch) - delay_h))
+    return sorted(emitted)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_DEDUP_BATCHES, delay_h=st.sampled_from([1, 7]))
+def test_dedup_within_watermark_matches_model(spark, batches, delay_h):
+    from datastream_processing_demo_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+    d = tempfile.mkdtemp(prefix="dd_fuzz_")
+    try:
+        for i, batch in enumerate(batches):
+            pdf = _events([h for _, h in batch])
+            pdf["event_id"] = [k for k, _ in batch]
+            p = os.path.join(d, f"b{i:03d}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                           p, coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+        name = next(_qname)
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (dedup_within_watermark(src, watermark=f"{delay_h} hours")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        got = sorted(
+            (r["event_id"], int((r["ts"] - BASE).total_seconds() // 3600))
+            for r in spark.sql(f"SELECT * FROM {name}").collect())
+        want = _model_dedup(batches, delay_h)
+        assert got == want, (
+            f"dedup divergence: batches={batches!r} delay={delay_h}h\n"
+            f"  spark emitted {got}\n  model emitted {want}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
