@@ -1001,3 +1001,113 @@ def test_asof_join_agrees_with_duckdb(spark, corpus_con, left, right):
     """).fetchall()))
     assert got == want, (
         f"asof divergence: left={left!r} right={sorted(seen.items())!r}")
+
+
+# ---- lane 21: JSON path extraction ----
+# get_json_object vs DuckDB json_extract_string over hypothesis-built
+# JSON documents: nested objects/arrays to depth 3, unicode + escaped
+# strings (quotes, backslashes, newlines), negative/large ints, bools,
+# JSON nulls, empty strings/objects/arrays. A fixed path pool mixes
+# hits, type mismatches (indexing into a scalar), out-of-range array
+# indices, and misses. Floats are limited to exact halves so neither
+# engine re-renders the literal. Probed conventions both engines
+# share: scalars unquoted, objects/arrays re-serialized compactly,
+# JSON null and missing paths both -> SQL NULL... with TWO exceptions
+# this lane's first 300-example sweeps shrank, both real dialect
+# divergences: (1) an explicit JSON null as an ARRAY ELEMENT ($.a[0]
+# on {"a":[null]}) comes back as the STRING 'null' from
+# get_json_object but SQL NULL from DuckDB — Spark only maps
+# object-member nulls to SQL NULL (pinned in
+# test_json_null_array_element_divergence); (2) re-serialized
+# CONTAINERS escape non-BMP characters as surrogate pairs in Spark
+# ('["\\uD83D\\uDE00"]') but raw UTF-8 in DuckDB ('["😀"]') — scalar
+# extraction of the same character agrees. The compare therefore
+# canonicalizes every value that parses as JSON (sorted-key compact
+# re-dump), which normalizes both divergences while still comparing
+# structure and values exactly; non-JSON scalars compare raw.
+
+_JSON_KEYS = ["a", "b", "c", "d"]
+_JSON_STRINGS = st.sampled_from(
+    ["", "x", "héllo", "漢字", 'has "quotes"', "back\\slash",
+     "line\nbreak", "tab\there", "😀"])
+_JSON_SCALARS = st.one_of(
+    st.integers(-10**15, 10**15),
+    st.sampled_from([0.5, -2.5, 4.0]),
+    st.booleans(), st.none(), _JSON_STRINGS)
+
+
+def _json_values(depth: int):
+    if depth == 0:
+        return _JSON_SCALARS
+    sub = _json_values(depth - 1)
+    return st.one_of(
+        _JSON_SCALARS,
+        st.lists(sub, max_size=3),
+        st.dictionaries(st.sampled_from(_JSON_KEYS), sub, max_size=3))
+
+
+_JSON_DOC = st.dictionaries(st.sampled_from(_JSON_KEYS),
+                            _json_values(2), max_size=4)
+_JSON_PATHS = ["$.a", "$.b", "$.a.b", "$.a.c", "$.b.c.d", "$.a[0]",
+               "$.a[2]", "$.a[0].b", "$.b[1]", "$.d", "$.a.b[0]", "$.c.a"]
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(_JSON_DOC, min_size=1, max_size=6))
+def test_json_path_extraction_agrees(spark, corpus_con, docs):
+    import json as _json
+
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": range(len(docs)),
+                        "js": [_json.dumps(d, ensure_ascii=False)
+                               for d in docs]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("fuzz_json")
+    corpus_con.register("fuzz_json", pdf)
+    qs = ("SELECT doc_id, " + ", ".join(
+        f"get_json_object(js, '{p}') AS p{i}"
+        for i, p in enumerate(_JSON_PATHS)) + " FROM fuzz_json")
+    qd = ("SELECT doc_id, " + ", ".join(
+        f"json_extract_string(js, '{p}') AS p{i}"
+        for i, p in enumerate(_JSON_PATHS)) + " FROM fuzz_json")
+    def canon(v):
+        if not isinstance(v, str):
+            return v
+        try:
+            parsed = _json.loads(v)
+        except ValueError:
+            return "S:" + v
+        if parsed is None:  # Spark's in-array 'null' string == SQL NULL
+            return None
+        return "J:" + _json.dumps(parsed, sort_keys=True,
+                                  ensure_ascii=False,
+                                  separators=(",", ":"))
+
+    got = sorted(tuple(canon(v) for v in r)
+                 for r in spark.sql(qs).collect())
+    want = sorted(tuple(canon(v) for v in r)
+                  for r in corpus_con.execute(qd).fetchall())
+    assert got == want, f"json-path divergence on docs {docs!r}"
+
+
+def test_json_null_array_element_divergence(spark, corpus_con):
+    """Deterministic pin of the dialect trap lane 21 shrank: a JSON
+    null OBJECT MEMBER extracts as SQL NULL in both engines, but a
+    JSON null ARRAY ELEMENT is the string 'null' from Spark's
+    get_json_object and SQL NULL from DuckDB's json_extract_string.
+    The engine's registry queries must therefore never ship an
+    un-normalized get_json_object over a path that can land on an
+    in-array null."""
+    import pandas as pd
+    pdf = pd.DataFrame({"js": ['{"a": [null], "b": null}']})
+    spark.createDataFrame(pdf).createOrReplaceTempView("json_null_pin")
+    corpus_con.register("json_null_pin", pdf)
+    s = spark.sql("SELECT get_json_object(js, '$.a[0]') AS elem, "
+                  "get_json_object(js, '$.b') AS member "
+                  "FROM json_null_pin").collect()[0]
+    d = corpus_con.execute(
+        "SELECT json_extract_string(js, '$.a[0]'), "
+        "json_extract_string(js, '$.b') FROM json_null_pin").fetchone()
+    assert s["elem"] == "null" and d[0] is None  # the divergence
+    assert s["member"] is None and d[1] is None  # the agreement
