@@ -145,16 +145,28 @@ class _PartitionedLogStreamReader(DataSourceStreamReader):
         # pacing (the Kafka-source maxOffsetsPerTrigger analogue, in
         # units of producer append rounds = segment boundaries): each
         # latestOffset() advances at most k boundaries past what THIS
-        # reader last planned. Driver-side cursor only — a restart
-        # re-paces from the log head, but partitions() guards against
-        # regression (end <= checkpointed start plans an empty batch),
-        # so pacing never violates offset monotonicity.
+        # reader last planned. Driver-side cursor only. On a RESTART the
+        # cursor must NOT re-pace from the log head: the plog property
+        # fuzz (tests/test_plog_fuzz.py) shrank two real failures of the
+        # old head-re-pacing — a paced latestOffset landing exactly on
+        # the checkpointed offset stalls processAllAvailable with
+        # records unread, and one landing BELOW it makes Spark commit
+        # the regressed offset through an empty batch and then RE-READ
+        # already-delivered records (duplicate). Since the Python
+        # DataSource API has no ReadLimit form of latestOffset, the
+        # restarted reader's first latestOffset reports the true
+        # high-water mark (one unpaced catch-up batch — same
+        # availability semantics processAllAvailable assumes) and
+        # pacing resumes from there; a FRESH query (initialOffset was
+        # invoked) paces from the head as before.
         mrt = options.get("maxroundspertrigger")
         self.max_rounds = int(mrt) if mrt is not None else None
         self._cursor: dict[str, dict] | None = None
+        self._fresh_start = False
 
     # -- offsets ------------------------------------------------------------
     def initialOffset(self) -> dict:
+        self._fresh_start = True
         return {str(pid): {"n": 0, "bytes": 0}
                 for pid in range(self.n_partitions)}
 
@@ -168,10 +180,15 @@ class _PartitionedLogStreamReader(DataSourceStreamReader):
                 out[str(pid)] = {"n": 0, "bytes": 0}
         if self.max_rounds is None:
             return out
+        if self._cursor is None:
+            if not self._fresh_start:
+                # restart: catch up unpaced once (see __init__ comment)
+                self._cursor = out
+                return out
+            self._cursor = {str(pid): {"n": 0, "bytes": 0}
+                            for pid in range(self.n_partitions)}
         # paced: advance at most max_rounds boundary lines past the
         # cursor, per partition (metadata read, O(boundary lines))
-        if self._cursor is None:
-            self._cursor = self.initialOffset()
         paced = {}
         for pid_s, hwm in out.items():
             cur = self._cursor.get(pid_s, {"n": 0, "bytes": 0})
