@@ -355,3 +355,52 @@ def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 8,
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def segment_dedup(docs: DataFrame, width: int = 12, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-wide segment-level exact dedup with in-order reassembly
+    (RefinedWeb/CCNet line-dedup for single-line word-stream corpora:
+    "lines" are fixed `width`-word segments).
+
+    A segment repeated anywhere in the corpus survives only at its
+    first occurrence — min (doc_id, idx), encoded as one BIGINT so a
+    plain MIN aggregates identically on any engine — and each document
+    is reassembled from its surviving segments in original order.
+
+    Scale shape: explode -> partial-agg min per segment (map-side
+    combine, never a window over a hot segment's partition) ->
+    equi-join back on segment -> one groupBy(doc_id) with
+    array_sort(collect_list(struct)) reassembly. Two shuffles + the
+    join; no quadratic term, no Python. Extracted from the
+    text_segment_dedup registry query so the corpus fuzzer can drive
+    it at narrow widths over hostile corpora. No spread() here: the
+    caller controls input partitioning (the registry query's plan pins
+    its Exchange count)."""
+    d = docs
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(float(width))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), n_seg),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            F.array_join(
+                F.slice(words, i.cast("int") * width - (width - 1),
+                        F.lit(width)), " ").alias("seg")))
+    seg = (d.select(id_col, F.explode(segs).alias("s"))
+           .select(id_col, F.col("s.idx").alias("idx"),
+                   F.col("s.seg").alias("seg"),
+                   (F.col(id_col) * 1000000 + F.col("s.idx"))
+                       .alias("encoded")))
+    own = seg.groupBy("seg").agg(F.min("encoded").alias("own_enc"))
+    j = seg.join(own, "seg")
+    is_kept = F.col("encoded") == F.col("own_enc")
+    kept = F.when(is_kept, F.struct("idx", "seg"))
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.count(F.when(is_kept, 1)).alias("n_kept"),
+                 F.coalesce(
+                     F.array_join(
+                         F.transform(F.array_sort(F.collect_list(kept)),
+                                     lambda s: s["seg"]), " "),
+                     F.lit("")).alias("kept_text")))

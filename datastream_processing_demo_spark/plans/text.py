@@ -860,32 +860,8 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic term, no Python. The 100 TB posture matches
     # dedup_corpus_dup_fraction's join-back shape (BASELINE.md records
     # the df=1-ownership rewrite measuring 2.7x slower).
-    d = t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_seg = F.ceil(F.size(words) / F.lit(12.0)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(1), n_seg),
-        lambda i: F.struct(
-            i.cast("long").alias("idx"),
-            F.array_join(F.slice(words, i.cast("int") * 12 - 11, F.lit(12)),
-                         " ").alias("seg")))
-    seg = (d.select("doc_id", F.explode(segs).alias("s"))
-           .select("doc_id", F.col("s.idx").alias("idx"),
-                   F.col("s.seg").alias("seg"),
-                   (F.col("doc_id") * 1000000 + F.col("s.idx"))
-                       .alias("encoded")))
-    own = seg.groupBy("seg").agg(F.min("encoded").alias("own_enc"))
-    j = seg.join(own, "seg")
-    is_kept = F.col("encoded") == F.col("own_enc")
-    kept = F.when(is_kept, F.struct("idx", "seg"))
-    return (j.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_segments"),
-                 F.count(F.when(is_kept, 1)).alias("n_kept"),
-                 F.coalesce(
-                     F.array_join(
-                         F.transform(F.array_sort(F.collect_list(kept)),
-                                     lambda s: s["seg"]), " "),
-                     F.lit("")).alias("kept_text")))
+    from ..operators.dedup import segment_dedup
+    return segment_dedup(t(spark, sf_dir, "documents"), width=12)
 
 
 @query(

@@ -1111,3 +1111,53 @@ def test_json_null_array_element_divergence(spark, corpus_con):
         "json_extract_string(js, '$.b') FROM json_null_pin").fetchone()
     assert s["elem"] == "null" and d[0] is None  # the divergence
     assert s["member"] is None and d[1] is None  # the agreement
+
+
+# ---- lane 22: corpus segment dedup (keep-first + reassembly) ----
+# operators/dedup.segment_dedup at width 3 over the hostile corpus
+# strategy: empty docs (split('') is [''] in BOTH engines — one empty
+# segment), docs shorter than one segment, exact-width docs, unicode,
+# and replicated docs (whole-doc segment collisions, where keep-first
+# ownership and in-order reassembly interact). Differential against
+# the same SQL shape the registry oracle uses, reparameterized.
+
+_SEGDEDUP_SQL = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM fuzz_docs),
+    seg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, CAST(ceil(len(words) / 3.0) AS BIGINT) + 1),
+                   i -> struct_pack(
+                       idx := i,
+                       seg := array_to_string(
+                           list_slice(words, (i - 1) * 3 + 1, i * 3), ' '))),
+                   recursive := true)
+        FROM w),
+    enc AS (SELECT doc_id, idx, seg,
+                   doc_id * 1000000 + idx AS encoded FROM seg),
+    own AS (SELECT seg, MIN(encoded) AS own_enc FROM enc GROUP BY seg)
+    SELECT e.doc_id,
+           COUNT(*) AS n_segments,
+           COUNT(*) FILTER (WHERE e.encoded = o.own_enc) AS n_kept,
+           coalesce(string_agg(e.seg, ' ' ORDER BY e.idx)
+                        FILTER (WHERE e.encoded = o.own_enc), '')
+               AS kept_text
+    FROM enc e JOIN own o ON e.seg = o.seg
+    GROUP BY e.doc_id
+"""
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=_fuzz_corpus())
+def test_corpus_segment_dedup_agrees(spark, corpus_con, docs):
+    from datastream_processing_demo_spark.operators.dedup import (
+        segment_dedup,
+    )
+    sdf = _load_corpus(spark, corpus_con, docs)
+    got = {(r["doc_id"], r["n_segments"], r["n_kept"], r["kept_text"])
+           for r in segment_dedup(sdf, width=3).collect()}
+    want = set(map(tuple, corpus_con.execute(_SEGDEDUP_SQL).fetchall()))
+    assert got == want, f"segment-dedup divergence on corpus {docs!r}"
