@@ -377,7 +377,6 @@ def segment_dedup(docs: DataFrame, width: int = 12, id_col: str = "doc_id",
     it at narrow widths over hostile corpora. No spread() here: the
     caller controls input partitioning (the registry query's plan pins
     its Exchange count)."""
-    d = docs
     words = F.split(F.col(text_col), " ")
     n_seg = F.ceil(F.size(words) / F.lit(float(width))).cast("int")
     segs = F.transform(
@@ -387,7 +386,7 @@ def segment_dedup(docs: DataFrame, width: int = 12, id_col: str = "doc_id",
             F.array_join(
                 F.slice(words, i.cast("int") * width - (width - 1),
                         F.lit(width)), " ").alias("seg")))
-    seg = (d.select(id_col, F.explode(segs).alias("s"))
+    seg = (docs.select(id_col, F.explode(segs).alias("s"))
            .select(id_col, F.col("s.idx").alias("idx"),
                    F.col("s.seg").alias("seg"),
                    (F.col(id_col) * 1000000 + F.col("s.idx"))
