@@ -37,7 +37,13 @@ def _materialize(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
         df = load_table(spark, sf_dir, name)
         writer = df.coalesce(1).write.mode("overwrite")
         if fmt == "csv":
-            writer.option("header", "true").csv(out)
+            # Spark's CSV WRITER defaults ignore{Leading,Trailing}
+            # WhiteSpace=true — it silently TRIMS field whitespace on
+            # write (the csv-dialect fuzz lane caught 'trailing space '
+            # round-tripping as 'trailing space'). Preserve bytes.
+            writer.option("header", "true") \
+                .option("ignoreLeadingWhiteSpace", "false") \
+                .option("ignoreTrailingWhiteSpace", "false").csv(out)
         elif fmt == "orc":
             writer.orc(out)
         elif fmt == "jsonl_gz":
