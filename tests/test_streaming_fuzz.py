@@ -64,13 +64,21 @@ _BATCHES = st.lists(
     min_size=2, max_size=4)
 
 
-def _model_emitted(batches: list[list[int]],
-                   delay_h: int) -> list[tuple[int, int]]:
+def _model_emitted(batches: list[list[int]], delay_h: int,
+                   restart_at: int | None = None) -> list[tuple[int, int]]:
     """Executable model of append-mode tumbling counts under the pinned
     watermark rules. Returns sorted (window_start_hour, n_events)
     emissions — a LIST, so a hypothetical double emission of one window
     (state rebuilt by an exact-boundary late row after eviction) would
-    diverge loudly instead of being collapsed by a dict."""
+    diverge loudly instead of being collapsed by a dict.
+
+    restart_at=k models a query kill + checkpoint restart between
+    batches k-1 and k: the dying run's trailing no-data batch flushes
+    under its eviction watermark, and the restarted run restores that
+    single persisted watermark as BOTH its watermarks — the one-batch
+    filter lag COLLAPSES across a restart (restart-lane shrunk
+    witness: [[7],[0]] split 1 emits nothing, where the unsplit run
+    admits the h=0 late row and emits [0,6))."""
     epoch = pd.Timestamp(0)  # engine's initial watermark
     wm_filter = epoch       # lags eviction by one batch
     wm_evict = epoch
@@ -80,20 +88,24 @@ def _model_emitted(batches: list[list[int]],
     def wend(ws: int) -> pd.Timestamp:
         return BASE + pd.Timedelta(hours=ws + WIDTH_H)
 
-    for batch in batches:
+    def flush():
+        for ws in sorted(w for w in state if wend(w) <= wm_evict):
+            emitted.append((ws, state.pop(ws)))
+
+    for i, batch in enumerate(batches):
+        if restart_at is not None and i == restart_at:
+            flush()                 # dying run's trailing no-data batch
+            wm_filter = wm_evict    # restored watermark: lag collapses
         for h in batch:
             ws = (h // WIDTH_H) * WIDTH_H
             if wend(ws) <= wm_filter:  # late under the LAGGED watermark
                 continue
             state[ws] = state.get(ws, 0) + 1
-        for ws in sorted(w for w in state if wend(w) <= wm_evict):
-            emitted.append((ws, state.pop(ws)))
+        flush()
         wm_filter = wm_evict
         wm_evict = max(wm_evict,
                        BASE + pd.Timedelta(hours=max(batch) - delay_h))
-    # trailing no-data batch: eviction only
-    for ws in sorted(w for w in state if wend(w) <= wm_evict):
-        emitted.append((ws, state.pop(ws)))
+    flush()  # trailing no-data batch
     return sorted(emitted)
 
 
@@ -404,3 +416,69 @@ def test_dedup_within_watermark_matches_model(spark, batches, delay_h):
             f"  spark emitted {got}\n  model emitted {want}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- checkpoint restart: watermark + window state recovery ----
+# The single-query lanes above pin the in-run algebra; this lane kills
+# the query between two random halves of the batch sequence and
+# restarts from the checkpoint (parquet sink — its _spark_metadata
+# commit log is the exactly-once boundary). The model treats the
+# restart as just another batch boundary: the committed watermark is
+# restored, already-emitted windows stay emitted, live state resumes.
+# Divergence here would mean watermark reset (lates re-admitted,
+# windows double-emitted) or state loss (undercounted windows).
+
+@settings(max_examples=min(MAX_EXAMPLES, 20), deadline=None,
+          derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_BATCHES, delay_h=st.sampled_from([1, 7]),
+       data=st.data())
+def test_restart_preserves_watermark_and_state(spark, batches, delay_h,
+                                               data):
+    split = data.draw(st.integers(1, len(batches) - 1), label="split")
+    root = tempfile.mkdtemp(prefix="wm_restart_")
+    src_dir = os.path.join(root, "src")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src_dir)
+
+    def write_batches(lo, hi):
+        for i in range(lo, hi):
+            p = os.path.join(src_dir, f"b{i:03d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(_events(batches[i]),
+                                     preserve_index=False),
+                p, coerce_timestamps="us", allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+
+    def run_once():
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        q = (tumbling_counts(src, width=f"{WIDTH_H} hours",
+                             watermark=f"{delay_h} hours")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        q.stop()
+
+    try:
+        write_batches(0, split)
+        run_once()                 # first half, then killed
+        write_batches(split, len(batches))
+        run_once()                 # restart from checkpoint
+        if os.path.exists(out_dir):
+            rows = spark.read.parquet(out_dir).collect()
+        else:
+            rows = []
+        got = sorted(
+            (int((r["window_start"] - BASE).total_seconds() // 3600),
+             r["n_events"]) for r in rows)
+        want = _model_emitted(batches, delay_h, restart_at=split)
+        assert got == want, (
+            f"restart divergence: batches={batches!r} split={split} "
+            f"delay={delay_h}h\n  spark emitted {got}\n  model {want}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
