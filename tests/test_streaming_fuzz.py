@@ -167,8 +167,9 @@ _SESSION_BATCHES = st.lists(
     min_size=2, max_size=4)
 
 
-def _model_sessions(batches: list[list[int]], gap_h: int,
-                    delay_h: int) -> list[tuple[int, int, int, int]]:
+def _model_sessions(batches: list[list[int]], gap_h: int, delay_h: int,
+                    restart_at: int | None = None
+                    ) -> list[tuple[int, int, int, int]]:
     epoch = pd.Timestamp(0)
     wm_filter = epoch
     wm_evict = epoch
@@ -179,8 +180,16 @@ def _model_sessions(batches: list[list[int]], gap_h: int,
     def hours(t: pd.Timestamp) -> int:
         return int((t - BASE).total_seconds() // 3600)
 
+    def flush():
+        for s in [s for s in live if s[1] <= wm_evict]:
+            live.remove(s)
+            emitted.append((hours(s[0]), hours(s[1]), s[2], s[3]))
+
     eid = 0
-    for batch in batches:
+    for i, batch in enumerate(batches):
+        if restart_at is not None and i == restart_at:
+            flush()                 # dying run's trailing no-data batch
+            wm_filter = wm_evict    # restored watermark: lag collapses
         for h in batch:
             start = BASE + pd.Timedelta(hours=h)
             end = start + pd.Timedelta(hours=gap_h)
@@ -197,15 +206,11 @@ def _model_sessions(batches: list[list[int]], gap_h: int,
                 else:
                     merged.append(s)
             live = merged + [cur]
-        for s in [s for s in live if s[1] <= wm_evict]:
-            live.remove(s)
-            emitted.append((hours(s[0]), hours(s[1]), s[2], s[3]))
+        flush()
         wm_filter = wm_evict
         wm_evict = max(wm_evict,
                        BASE + pd.Timedelta(hours=max(batch) - delay_h))
-    for s in [s for s in live if s[1] <= wm_evict]:  # trailing batch
-        live.remove(s)
-        emitted.append((hours(s[0]), hours(s[1]), s[2], s[3]))
+    flush()  # trailing no-data batch
     return sorted(emitted)
 
 
@@ -480,5 +485,74 @@ def test_restart_preserves_watermark_and_state(spark, batches, delay_h,
         assert got == want, (
             f"restart divergence: batches={batches!r} split={split} "
             f"delay={delay_h}h\n  spark emitted {got}\n  model {want}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=min(MAX_EXAMPLES, 15), deadline=None,
+          derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_SESSION_BATCHES, gap_h=st.sampled_from([2, 4]),
+       delay_h=st.sampled_from([1, 7]), data=st.data())
+def test_session_restart_recovers_merged_state(spark, batches, gap_h,
+                                               delay_h, data):
+    """Kill-and-restart for SESSION state: sessions straddling the
+    restart must come back merged (state-store recovery of variable
+    intervals), under the same restored-watermark lag collapse the
+    tumbling restart lane pinned."""
+    from datastream_processing_demo_spark.streaming.windows import (
+        session_windows,
+    )
+    split = data.draw(st.integers(1, len(batches) - 1), label="split")
+    root = tempfile.mkdtemp(prefix="sw_restart_")
+    src_dir = os.path.join(root, "src")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src_dir)
+
+    eid = 0
+
+    def write_batches(lo, hi):
+        nonlocal eid
+        for i in range(lo, hi):
+            pdf = _events(batches[i])
+            pdf["event_id"] = range(eid, eid + len(batches[i]))
+            eid += len(batches[i])
+            p = os.path.join(src_dir, f"b{i:03d}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                           p, coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+
+    def run_once():
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        q = (session_windows(src, gap=f"{gap_h} hours",
+                             watermark=f"{delay_h} hours")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        q.stop()
+
+    try:
+        write_batches(0, split)
+        run_once()
+        write_batches(split, len(batches))
+        run_once()
+        rows = (spark.read.parquet(out_dir).collect()
+                if os.path.exists(out_dir) else [])
+        got = sorted(
+            (int((r["session_start"] - BASE).total_seconds() // 3600),
+             int((r["session_end"] - BASE).total_seconds() // 3600),
+             r["n_events"], r["first_event_id"])
+            for r in rows)
+        want = _model_sessions(batches, gap_h, delay_h, restart_at=split)
+        assert got == want, (
+            f"session restart divergence: batches={batches!r} "
+            f"gap={gap_h}h delay={delay_h}h split={split}\n"
+            f"  spark emitted {got}\n  model {want}")
     finally:
         shutil.rmtree(root, ignore_errors=True)
