@@ -556,3 +556,77 @@ def test_session_restart_recovers_merged_state(spark, batches, gap_h,
             f"  spark emitted {got}\n  model {want}")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- update output mode: per-batch changed-row emissions ----
+# Append mode emits a window once, on close; UPDATE mode emits the
+# window's refreshed aggregate in EVERY batch that touches it, and
+# eviction by the watermark is silent (no final row). The engine's
+# stateful-totals lanes rely on exactly this contract (max-n_events
+# row per key = final state), so pin it against the same dual-
+# watermark model: per batch, each window receiving admitted rows
+# emits its post-batch count; late rows are filtered under the lagged
+# watermark; an exact-boundary late row can resurrect an evicted
+# window's state at a FRESH count (the append lane proved the row is
+# admitted — here the emission makes the reset count observable).
+
+def _model_update_mode(batches: list[list[int]],
+                       delay_h: int) -> list[tuple[int, int]]:
+    epoch = pd.Timestamp(0)
+    wm_filter = epoch
+    wm_evict = epoch
+    state: dict[int, int] = {}
+    emitted: list[tuple[int, int]] = []
+
+    def wend(ws: int) -> pd.Timestamp:
+        return BASE + pd.Timedelta(hours=ws + WIDTH_H)
+
+    for batch in batches:
+        touched = set()
+        for h in batch:
+            ws = (h // WIDTH_H) * WIDTH_H
+            if wend(ws) <= wm_filter:
+                continue
+            state[ws] = state.get(ws, 0) + 1
+            touched.add(ws)
+        for ws in sorted(touched):
+            emitted.append((ws, state[ws]))
+        for ws in [w for w in state if wend(w) <= wm_evict]:
+            del state[ws]  # silent eviction: no emission
+        wm_filter = wm_evict
+        wm_evict = max(wm_evict,
+                       BASE + pd.Timedelta(hours=max(batch) - delay_h))
+    return sorted(emitted)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_BATCHES, delay_h=st.sampled_from([1, 7]))
+def test_update_mode_emissions_match_model(spark, batches, delay_h):
+    d = tempfile.mkdtemp(prefix="upd_fuzz_")
+    try:
+        for i, batch in enumerate(batches):
+            p = os.path.join(d, f"b{i:03d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(_events(batch), preserve_index=False),
+                p, coerce_timestamps="us", allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+        name = next(_qname)
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (tumbling_counts(src, width=f"{WIDTH_H} hours",
+                             watermark=f"{delay_h} hours")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        got = sorted(
+            (int((r["window_start"] - BASE).total_seconds() // 3600),
+             r["n_events"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect())
+        want = _model_update_mode(batches, delay_h)
+        assert got == want, (
+            f"update-mode divergence: batches={batches!r} delay={delay_h}h\n"
+            f"  spark emitted {got}\n  model emitted {want}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
