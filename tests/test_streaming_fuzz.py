@@ -351,6 +351,11 @@ def test_sliding_window_emission_matches_model(spark, batches, geom, delay_h):
 # next batch's start under its lagged watermark) — a duplicate in the
 # same batch where the key's expiry first falls under the eviction
 # watermark is still dropped; the key re-emits only one batch later.
+# The expiry is FIRST-SEEN ts + delay and duplicates do NOT extend it
+# (the restart lane's shrunk witness [[(3,0),(3,15)],[(3,15)]] pinned
+# this: with extension the @15 re-occurrence would still be
+# suppressed after the restart; Spark re-emits it because the state
+# expired at 01:00 + delay regardless of the @15 duplicate).
 
 _DEDUP_BATCHES = st.lists(
     st.lists(st.tuples(st.integers(1, 3),       # event_id (tiny key space)
@@ -373,10 +378,9 @@ def _model_dedup(batches: list[list[tuple[int, int]]],
             ts = BASE + pd.Timedelta(hours=h)
             if ts <= wm_filter:  # late row: dropped outright
                 continue
-            if key in expiry:    # duplicate: dropped, extends state
-                expiry[key] = max(expiry[key],
-                                  ts + pd.Timedelta(hours=delay_h))
-                continue
+            if key in expiry:    # duplicate: dropped. Does NOT extend
+                continue             # the state lifetime (restart-lane
+                                     # witness below pinned this)
             expiry[key] = ts + pd.Timedelta(hours=delay_h)
             emitted.append((key, h))
         for key in [k for k, e in expiry.items() if e <= wm_evict]:
@@ -630,3 +634,92 @@ def test_update_mode_emissions_match_model(spark, batches, delay_h):
             f"  spark emitted {got}\n  model emitted {want}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=min(MAX_EXAMPLES, 15), deadline=None,
+          derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_DEDUP_BATCHES, delay_h=st.sampled_from([1, 7]),
+       data=st.data())
+def test_dedup_restart_recovers_key_state(spark, batches, delay_h, data):
+    """Kill-and-restart for dropDuplicatesWithinWatermark KEYED state:
+    keys seen before the kill must still suppress duplicates after it
+    (state-store recovery), expiries keep ticking under the restored
+    watermark, and the filter-lag collapse applies to the late-row
+    drop — the keyed-state sibling of the window restart lanes."""
+    from datastream_processing_demo_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+    split = data.draw(st.integers(1, len(batches) - 1), label="split")
+    root = tempfile.mkdtemp(prefix="dd_restart_")
+    src_dir = os.path.join(root, "src")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src_dir)
+
+    def write_batches(lo, hi):
+        for i in range(lo, hi):
+            batch = batches[i]
+            pdf = _events([h for _, h in batch])
+            pdf["event_id"] = [k for k, _ in batch]
+            p = os.path.join(src_dir, f"b{i:03d}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                           p, coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+
+    def run_once():
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        q = (dedup_within_watermark(src, watermark=f"{delay_h} hours")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        q.stop()
+
+    def model() -> list[tuple[int, int]]:
+        epoch = pd.Timestamp(0)
+        wm_filter = epoch
+        wm_evict = epoch
+        expiry: dict[int, pd.Timestamp] = {}
+        emitted: list[tuple[int, int]] = []
+        for i, batch in enumerate(batches):
+            if i == split:
+                for key in [k for k, e in expiry.items() if e <= wm_evict]:
+                    del expiry[key]
+                wm_filter = wm_evict  # restored watermark: lag collapses
+            for key, h in batch:
+                ts = BASE + pd.Timedelta(hours=h)
+                if ts <= wm_filter:
+                    continue
+                if key in expiry:  # dup: dropped, no lifetime extension
+                    continue
+                expiry[key] = ts + pd.Timedelta(hours=delay_h)
+                emitted.append((key, h))
+            for key in [k for k, e in expiry.items() if e <= wm_evict]:
+                del expiry[key]
+            wm_filter = wm_evict
+            wm_evict = max(wm_evict, BASE + pd.Timedelta(
+                hours=max(h for _, h in batch) - delay_h))
+        return sorted(emitted)
+
+    try:
+        write_batches(0, split)
+        run_once()
+        write_batches(split, len(batches))
+        run_once()
+        rows = (spark.read.parquet(out_dir).collect()
+                if os.path.exists(out_dir) else [])
+        got = sorted(
+            (r["event_id"], int((r["ts"] - BASE).total_seconds() // 3600))
+            for r in rows)
+        want = model()
+        assert got == want, (
+            f"dedup restart divergence: batches={batches!r} "
+            f"delay={delay_h}h split={split}\n"
+            f"  spark emitted {got}\n  model {want}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
