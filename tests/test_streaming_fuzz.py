@@ -723,3 +723,127 @@ def test_dedup_restart_recovers_key_state(spark, batches, delay_h, data):
             f"  spark emitted {got}\n  model {want}")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- stream-stream join (view->purchase attribution) ----
+# Two-sided state under TWO watermark nodes: each side's watermark
+# derives from its OWN filtered rows, and the query's global watermark
+# is their MIN (an idle side pins the watermark at epoch and holds
+# everything — modeled, and a classic production surprise). Inner
+# pairs require both rows admitted and mutually buffered; left-outer
+# null rows emit only when the global eviction watermark proves the
+# view's horizon closed. Same lag algebra as the aggregation lanes:
+# rows filter under the LAGGED global watermark, state evicts under
+# the current one, trailing no-data batch included.
+
+_SSJ_HORIZON_H = 6
+_SSJ_BATCHES = st.lists(
+    st.lists(st.tuples(st.booleans(),           # True = purchase
+                       st.integers(0, 18)),     # hour
+             min_size=1, max_size=3),
+    min_size=2, max_size=4)
+
+
+def _model_attribution(batches, delay_h: int, outer: bool):
+    epoch = pd.Timestamp(0)
+    wm_filter = epoch
+    wm_evict = epoch
+    wm_v = epoch   # per-side watermark inputs to the global min
+    wm_p = epoch
+    horizon = pd.Timedelta(hours=_SSJ_HORIZON_H)
+    views: list[list] = []      # [ts, view_id, matched]
+    purchases: list[list] = []  # [ts, purchase_id]
+    emitted: list[tuple[int, int]] = []
+
+    def ts_of(h):
+        return BASE + pd.Timedelta(hours=h)
+
+    eid = 0
+    for batch in batches:
+        new_v, new_p = [], []
+        for is_p, h in batch:
+            ts = ts_of(h)
+            if ts <= wm_filter:      # late under lagged global watermark
+                eid += 1
+                continue
+            if is_p:
+                new_p.append([ts, eid])
+            else:
+                new_v.append([ts, eid, False])
+            eid += 1
+        # join new rows against buffered + new state (order-free within
+        # the batch: micro-batch join sees both sides' batch rows)
+        for v in views + new_v:
+            for p in purchases + new_p:
+                if (v in new_v or p in new_p) and \
+                        v[0] < p[0] <= v[0] + horizon:
+                    emitted.append((v[1], p[1]))
+                    v[2] = True
+        views.extend(new_v)
+        purchases.extend(new_p)
+        # evict under the current global watermark
+        for v in [v for v in views if v[0] + horizon <= wm_evict]:
+            views.remove(v)
+            if outer and not v[2]:
+                emitted.append((v[1], -1))   # null purchase row
+        purchases = [p for p in purchases if not p[0] <= wm_evict]
+        # advance: per-side max, then global min, with the pinned lag
+        if new_v:
+            wm_v = max(wm_v, max(v[0] for v in new_v)
+                       - pd.Timedelta(hours=delay_h))
+        if new_p:
+            wm_p = max(wm_p, max(p[0] for p in new_p)
+                       - pd.Timedelta(hours=delay_h))
+        wm_filter = wm_evict
+        wm_evict = max(wm_evict, min(wm_v, wm_p))
+    # trailing no-data batch
+    for v in [v for v in views if v[0] + horizon <= wm_evict]:
+        views.remove(v)
+        if outer and not v[2]:
+            emitted.append((v[1], -1))
+    return sorted(emitted)
+
+
+@settings(max_examples=min(MAX_EXAMPLES, 15), deadline=None,
+          derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_SSJ_BATCHES, how=st.sampled_from(["inner", "left_outer"]),
+       delay_h=st.sampled_from([1, 7]))
+def test_stream_stream_join_matches_model(spark, batches, how, delay_h):
+    from datastream_processing_demo_spark.streaming.joins import (
+        view_purchase_attribution,
+    )
+    d = tempfile.mkdtemp(prefix="ssj_fuzz_")
+    try:
+        eid = 0
+        for i, batch in enumerate(batches):
+            pdf = _events([h for _, h in batch])
+            pdf["event_id"] = range(eid, eid + len(batch))
+            eid += len(batch)
+            pdf["event_type"] = ["purchase" if is_p else "view"
+                                 for is_p, _ in batch]
+            p = os.path.join(d, f"b{i:03d}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                           p, coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+        name = next(_qname)
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (view_purchase_attribution(
+                src, horizon=f"{_SSJ_HORIZON_H} hours",
+                watermark=f"{delay_h} hours", how=how)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        got = sorted(
+            (r["view_id"],
+             r["purchase_id"] if r["purchase_id"] is not None else -1)
+            for r in spark.sql(f"SELECT * FROM {name}").collect())
+        want = _model_attribution(batches, delay_h, how == "left_outer")
+        assert got == want, (
+            f"stream-join divergence: batches={batches!r} how={how} "
+            f"delay={delay_h}h\n  spark emitted {got}\n  model {want}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
