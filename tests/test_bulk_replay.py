@@ -223,3 +223,104 @@ def test_bulk_post_basic_auth_required(spark, tmp_path):
         assert sorted(state["docs"].values()) == sorted(payloads)
     finally:
         srv.shutdown()
+
+
+def _start_scheduled_server(fail_ordinals: set[int]):
+    """Like _start_bulk_server, but 503s exactly the POSTs whose global
+    arrival ordinal (0-based) is in `fail_ordinals` — a hypothesis-
+    drawn outage schedule instead of a fixed first-N."""
+    state = {"docs": {}, "n_posts": 0, "failed_bodies": [],
+             "ok_bodies": []}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 — http.server API
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8")
+            with lock:
+                ordinal = state["n_posts"]
+                state["n_posts"] += 1
+                if ordinal in fail_ordinals:
+                    state["failed_bodies"].append(body)
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                state["ok_bodies"].append(body)
+                for line in body.splitlines():
+                    if line.strip():
+                        rec = json.loads(line)
+                        state["docs"][rec["_id"]] = rec["doc"]
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, state
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FUZZ_EXAMPLES = min(
+    int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "10")), 15)
+
+
+@settings(max_examples=_FUZZ_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(n_msgs=st.integers(1, 40),
+       batch_size=st.sampled_from([3, 8, 40]),
+       fail_ordinals=st.sets(st.integers(0, 11), max_size=4))
+def test_random_outage_schedule_is_effectively_exactly_once(
+        spark, n_msgs, batch_size, fail_ordinals):
+    """Property form of the two fixed tests above: under ANY outage
+    schedule of <= 4 transient 503s (hitting arbitrary request
+    ordinals — mid-batch, back-to-back on one chunk, or none), the
+    endpoint converges to every payload exactly once. In-task retries
+    (3 attempts) absorb what they can; a chunk that exhausts them
+    fails the query and ONE checkpoint restart must finish the job —
+    <= 4 total failures cannot exhaust retries twice."""
+    import tempfile
+
+    import shutil as _shutil
+    root = tempfile.mkdtemp(prefix="bulk_fuzz_")
+    payloads = [f'{{"k": {i}}}' for i in range(n_msgs)]
+    values = [f"{'session':<16}{'1700000000000':<16}" + " " * 32 + p
+              for p in payloads]
+    src_dir = os.path.join(root, "msgs")
+    _write_messages(values, src_dir)
+    srv, state = _start_scheduled_server(fail_ordinals)
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}/bulk"
+    try:
+        def start():
+            src = spark.readStream.schema("value string").parquet(src_dir)
+            return run_pipeline_stream(
+                src, checkpoint_dir=os.path.join(root, "ckpt"),
+                main_out_dir=os.path.join(root, "main"),
+                bulk_writer=HttpBulkWriter(endpoint, batch_size=batch_size,
+                                           retry_attempts=3,
+                                           backoff_s=0.05),
+                metric_reporter=MetricAvgReporter(
+                    os.path.join(root, "metric")),
+                now_ms=F.lit(1700000001000))
+
+        q = start()
+        try:
+            q.awaitTermination(timeout=180)
+        except Exception:
+            q2 = start()           # WAL replay after retry exhaustion
+            q2.awaitTermination(timeout=180)
+
+        assert sorted(state["docs"].values()) == sorted(payloads), (
+            f"endpoint diverged: schedule={sorted(fail_ordinals)} "
+            f"n={n_msgs} bs={batch_size}")
+        assert len(state["docs"]) == n_msgs
+        for failed in state["failed_bodies"]:
+            assert failed in state["ok_bodies"], (
+                "failed chunk never landed")
+    finally:
+        srv.shutdown()
+        _shutil.rmtree(root, ignore_errors=True)
