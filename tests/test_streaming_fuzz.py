@@ -847,3 +847,112 @@ def test_stream_stream_join_matches_model(spark, batches, how, delay_h):
             f"delay={delay_h}h\n  spark emitted {got}\n  model {want}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- dynamic-gap session windows (per-event gap expression) ----
+# Each event keeps its session alive for a TYPE-dependent horizon:
+# spans [ts, ts+gap(type)) union-merge on touch, so session_end is
+# the MAX member end (not last-event + gap) and a long-gap event can
+# bridge two short-gap clusters that would otherwise split. The late
+# filter keys on the event's OWN prospective end (ts + its gap) — two
+# simultaneous events of different types can land on opposite sides
+# of the lagged watermark. Model = the session model with per-event
+# gaps; same eviction/lag algebra.
+
+_DYN_GAPS_H = {False: 2, True: 4}  # view: 2h, purchase: 4h
+_DYN_BATCHES = st.lists(
+    st.lists(st.tuples(st.booleans(),        # True = purchase
+                       st.integers(0, 36)),  # hour
+             min_size=1, max_size=3),
+    min_size=2, max_size=4)
+
+
+def _model_dynamic_sessions(batches, delay_h: int):
+    epoch = pd.Timestamp(0)
+    wm_filter = epoch
+    wm_evict = epoch
+    live: list[list] = []  # [start, end, n, min_id]
+    emitted: list[tuple[int, int, int, int]] = []
+
+    def hours(t):
+        return int((t - BASE).total_seconds() // 3600)
+
+    eid = 0
+    for batch in batches:
+        for is_p, h in batch:
+            start = BASE + pd.Timedelta(hours=h)
+            end = start + pd.Timedelta(hours=_DYN_GAPS_H[is_p])
+            if end <= wm_filter:
+                eid += 1
+                continue
+            cur = [start, end, 1, eid]
+            eid += 1
+            merged = []
+            for s in live:
+                if s[0] <= cur[1] and cur[0] <= s[1]:
+                    cur = [min(s[0], cur[0]), max(s[1], cur[1]),
+                           s[2] + cur[2], min(s[3], cur[3])]
+                else:
+                    merged.append(s)
+            live = merged + [cur]
+        for s in [s for s in live if s[1] <= wm_evict]:
+            live.remove(s)
+            emitted.append((hours(s[0]), hours(s[1]), s[2], s[3]))
+        wm_filter = wm_evict
+        wm_evict = max(wm_evict, BASE + pd.Timedelta(
+            hours=max(h for _, h in batch) - delay_h))
+    for s in [s for s in live if s[1] <= wm_evict]:
+        live.remove(s)
+        emitted.append((hours(s[0]), hours(s[1]), s[2], s[3]))
+    return sorted(emitted)
+
+
+@settings(max_examples=min(MAX_EXAMPLES, 15), deadline=None,
+          derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=_DYN_BATCHES, delay_h=st.sampled_from([1, 7]))
+def test_dynamic_gap_session_matches_model(spark, batches, delay_h):
+    from pyspark.sql import functions as F
+    d = tempfile.mkdtemp(prefix="dg_fuzz_")
+    try:
+        eid = 0
+        for i, batch in enumerate(batches):
+            pdf = _events([h for _, h in batch])
+            pdf["event_id"] = range(eid, eid + len(batch))
+            eid += len(batch)
+            pdf["event_type"] = ["purchase" if is_p else "view"
+                                 for is_p, _ in batch]
+            p = os.path.join(d, f"b{i:03d}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                           p, coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+        name = next(_qname)
+        src = (spark.readStream.schema(EVENTS)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        gap = F.expr(
+            f"CASE event_type WHEN 'purchase' "
+            f"THEN '{_DYN_GAPS_H[True]} hours' "
+            f"ELSE '{_DYN_GAPS_H[False]} hours' END")
+        sess = (src.withWatermark("ts", f"{delay_h} hours")
+                .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min("event_id").alias("first_event_id"))
+                .select(F.col("w.start").alias("session_start"),
+                        F.col("w.end").alias("session_end"),
+                        "n_events", "first_event_id"))
+        q = (sess.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        got = sorted(
+            (int((r["session_start"] - BASE).total_seconds() // 3600),
+             int((r["session_end"] - BASE).total_seconds() // 3600),
+             r["n_events"], r["first_event_id"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect())
+        want = _model_dynamic_sessions(batches, delay_h)
+        assert got == want, (
+            f"dynamic-gap divergence: batches={batches!r} "
+            f"delay={delay_h}h\n  spark emitted {got}\n  model {want}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
