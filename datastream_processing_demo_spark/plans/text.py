@@ -915,11 +915,12 @@ def text_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids AS (SELECT t.doc_id, t.pos, CAST(COALESCE(v.vid, -1) AS BIGINT)
                    AS tid
             FROM tf t LEFT JOIN v USING (word))
-    SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+    SELECT doc_id,
+           array_to_string(list(tid ORDER BY pos), ',') AS token_ids,
            COUNT(*) AS n_tokens
     FROM ids GROUP BY doc_id
     """,
-    description="tokenize to vocab ids: top-512 vocab broadcast-mapped onto every document, order-preserving id arrays, OOV=-1",
+    description="tokenize to vocab ids: top-512 vocab broadcast-mapped onto every document, order-preserving id arrays, OOV=-1, serialized as a CSV string (driver-canonicalizable scalar)",
 )
 def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
@@ -939,10 +940,18 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = (toks.join(F.broadcast(vocab), "word", "left")
            .select("doc_id", "pos",
                    F.coalesce("vid", F.lit(-1)).cast("long").alias("tid")))
+    # token_ids ships as a comma-joined STRING, not array<long>: the
+    # round-5 driver canonicalizer (pandas sort_values + value hash)
+    # cannot sort/hash array cells — a top-level array output column is
+    # driver-RED even when every value is correct (CORRECTNESS_r05).
+    # tests/test_registry_guard.py pins "no top-level array/map/struct
+    # outputs" for the whole registry.
     return (ids.groupBy("doc_id")
-            .agg(F.transform(
-                     F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                     lambda s: s["tid"]).alias("token_ids"),
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                         lambda s: s["tid"]),
+                     ",").alias("token_ids"),
                  F.count(F.lit(1)).alias("n_tokens")))
 
 

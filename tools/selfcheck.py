@@ -27,7 +27,17 @@ from datastream_processing_demo_spark.plans.registry import all_queries
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Canonicalize: sort columns by name, normalize dtypes, sort rows."""
+    """Canonicalize: sort columns by name, normalize dtypes, sort rows.
+
+    Deliberately replicates the DRIVER's canonicalizer failure mode: the
+    driver runs ``pandas.sort_values`` over raw object columns, so any
+    unhashable cell (list / ndarray / dict — i.e. a top-level
+    array/map/struct output column) raises TypeError and the query goes
+    driver-RED even when every value is correct. The pre-r6 selfcheck
+    masked this by mapping list cells to tuples, which is exactly how
+    text_tokenize_ids shipped red in CORRECTNESS_r05. Local green must
+    imply driver green: fail loudly here instead.
+    """
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
     for c in df.columns:
@@ -39,7 +49,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             s = s.astype("Int64")
         elif s.dtype == object:
-            s = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            bad = s.map(lambda v: isinstance(v, (list, np.ndarray, dict)))
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} holds unhashable cells "
+                    f"(list/ndarray/dict) — the driver canonicalizer "
+                    f"cannot sort/hash these; serialize to a scalar "
+                    f"(e.g. array_join) in BOTH the Spark query and the "
+                    f"oracle")
         out[c] = s
     df = pd.DataFrame(out)
     return df.sort_values(list(df.columns), ignore_index=True) if len(df) else df
