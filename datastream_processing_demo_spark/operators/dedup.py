@@ -386,11 +386,16 @@ def segment_dedup(docs: DataFrame, width: int = 12, id_col: str = "doc_id",
             F.array_join(
                 F.slice(words, i.cast("int") * width - (width - 1),
                         F.lit(width)), " ").alias("seg")))
+    # first-occurrence key = id * 1e6 + idx, computed in BIGINT: with an
+    # int id column the int32 multiply would silently wrap (non-ANSI)
+    # past id ~2147, corrupting the MIN-based keep-first order (ADVICE
+    # r5). Assumes non-negative ids and < 1e6 segments per doc (a doc
+    # would need ~12M words at width 12 to break the latter).
     seg = (docs.select(id_col, F.explode(segs).alias("s"))
            .select(id_col, F.col("s.idx").alias("idx"),
                    F.col("s.seg").alias("seg"),
-                   (F.col(id_col) * 1000000 + F.col("s.idx"))
-                       .alias("encoded")))
+                   (F.col(id_col).cast("long") * F.lit(1_000_000)
+                    + F.col("s.idx")).alias("encoded")))
     own = seg.groupBy("seg").agg(F.min("encoded").alias("own_enc"))
     j = seg.join(own, "seg")
     is_kept = F.col("encoded") == F.col("own_enc")

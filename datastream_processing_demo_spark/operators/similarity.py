@@ -491,10 +491,15 @@ def semdedup_candidates(corpus: DataFrame, threshold: float = 0.35,
         # ranking must be order-independent and engine-portable
         F.round(nearest["l2"] * 1e6, 0).cast("long").alias("dist_r"),
         _as_double(vec_col).alias("v")))
-    a = member.select(F.col("vec_id").alias("id_a"), "cell_id",
-                      F.col("v").alias("va"))
-    b = member.select(F.col("vec_id").alias("id_b"), "cell_id",
-                      F.col("v").alias("vb"))
+    # zero-norm vectors have no defined cosine: exclude them from pair
+    # generation (they survive as singletons). Without the guard the
+    # lanes diverge on zero vectors — Spark's NaN-greatest comparison
+    # keeps the pair, numpy's IEEE >= drops it (ADVICE r5).
+    nonzero = member.filter(dot_col("v", "v") > F.lit(0.0))
+    a = nonzero.select(F.col("vec_id").alias("id_a"), "cell_id",
+                       F.col("v").alias("va"))
+    b = nonzero.select(F.col("vec_id").alias("id_b"), "cell_id",
+                       F.col("v").alias("vb"))
     pairs = (
         a.join(b, "cell_id")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -553,11 +558,78 @@ def semdedup(corpus: DataFrame, threshold: float = 0.35, n_cells: int = 16,
                 (F.col("rn") == 1).alias("is_kept")))
 
 
+def _seq_dot_rows(V, W):
+    """Per-row dot product with the sequential left-to-right fold order,
+    vectorized ACROSS rows: each `acc + V[:,j] * W[:,j]` step is an
+    elementwise correctly-rounded IEEE op, so every row's result is
+    bit-identical to the scalar fold `_dot_py` / `dot_col` / DuckDB's
+    list_dot_product — at numpy speed (dim vector ops, not n*dim scalar
+    ops)."""
+    import numpy as np
+    acc = np.zeros(len(V), dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j] * W[:, j]
+    return acc
+
+
+def _round_half_up_int64(y):
+    """Exact HALF_UP-to-integer of a float64 array — the same decision
+    Spark's BigDecimal F.round(y, 0) and DuckDB's ROUND(y) make. `y -
+    floor(y)` is exact for |y| < 2^52, so the 0.5 comparison has no FP
+    hazard (np.floor(y + 0.5) silently rounds up for y one ULP below a
+    .5 boundary). Half-integer NEGATIVE y would differ (away-from-zero
+    vs this +1 rule) but only arises here from ~1e-10 cancellation noise
+    in nonneg L2 distances, never at a true -.5 grid point."""
+    import numpy as np
+    r = np.floor(y)
+    return (r + (y - r >= 0.5)).astype(np.int64)
+
+
+def _assign_cells_exact(V, cent, band: float = 1e-6):
+    """Nearest-centroid assignment whose DECISIONS and winning DISTANCE
+    are bit-identical to the interpreted fold spelling
+    (`_sorted_cell_structs` / the oracle's `_l2_dot_form` CTE) at BLAS
+    speed. Returns (best_idx 0-based into cent, d_exact float64).
+
+    Scheme: a rows x cells matmul screens (pairwise-summation error
+    <= ~1e-12 on unit-norm-ish vectors); any row whose two nearest
+    cells fall within `band` of each other is re-decided with the exact
+    scalar fold and the (l2, cell_id) tiebreak; the winning distance is
+    then recomputed for EVERY row via `_seq_dot_rows` (a fixed 3*dim
+    vector ops, independent of cell count) in the exact op sequence
+    (dvv - 2.0*dvc) + cc. This removes the last-ULP hash-flip risk that
+    kept the registered sim_semdedup lane on the 28-124 s fold path
+    (VERDICT r5 task #4): decisions are provably identical outside the
+    band and recomputed exactly inside it."""
+    import numpy as np
+    C = np.array([v for _, v in cent], dtype=np.float64)      # cells x dim
+    d = ((V * V).sum(axis=1)[:, None]
+         - 2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :])
+    best = d.argmin(axis=1)                    # first min = min cell_id
+    n = len(V)
+    dbest = d[np.arange(n), best]
+    cc_seq = np.array([_dot_py(v, v) for _, v in cent])
+    if d.shape[1] > 1:
+        d2 = np.partition(d, 1, axis=1)[:, 1]
+        amb = (d2 - dbest) <= band * np.maximum(1.0, np.abs(dbest))
+        for i in np.flatnonzero(amb):
+            vi = V[i]
+            dvv = _dot_py(vi, vi)
+            cand = sorted(
+                ((dvv - 2.0 * _dot_py(vi, cvec)) + cc_seq[k], cid, k)
+                for k, (cid, cvec) in enumerate(cent))
+            best[i] = cand[0][2]
+    Cb = C[best]
+    d_exact = (_seq_dot_rows(V, V) - 2.0 * _seq_dot_rows(V, Cb)) + cc_seq[best]
+    return best, d_exact
+
+
 def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
                   n_cells: int = 16, id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   round_to: int = 6) -> DataFrame:
-    """The VECTORIZED twin of `semdedup` — the plan you run at scale.
+    """The VECTORIZED spelling of `semdedup` — since r6 the registered
+    sim_semdedup lane itself (oracle unchanged, VERDICT r5 task #4).
 
     The exact lane's cell assignment and within-cell cosine both ride
     interpreted higher-order folds (aggregate/zip_with are
@@ -566,39 +638,42 @@ def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
     at sf1 (20k vectors): 28 s at 16 cells and LINEARLY WORSE with more
     cells (124 s at 128), i.e. the paper's cells-proportional-to-corpus
     rule is unreachable on the fold path. This twin computes the same
-    pipeline through Arrow batches: numpy argmin assignment
+    pipeline through Arrow batches: numpy assignment
     (rows x cells matmul), per-cell gram-matrix pair generation
     (exactly the dense TF-IDF lane's block discipline), then the SAME
     blocked union-find components and keep rule.
 
-    Differences from the exact lane are confined to float last-ULP
-    effects (numpy pairwise-summation dot vs the sequential fold;
-    numpy half-even rounding vs HALF_UP at exact grid boundaries) —
-    tests pin end-to-end output equality on the driver fixtures. The
-    exact lane remains the oracle-gated surface; this is the dial you
-    turn when n_cells must scale with the corpus."""
+    Bit-compatibility with the fold lane / ANSI oracle is by
+    construction, not luck: every output-affecting float DECISION is
+    either provably unreachable by the matmul's summation-order error
+    (outside an epsilon band around the decision boundary) or
+    recomputed with the exact sequential fold inside the band —
+    `_assign_cells_exact` for cell choice + dist_r (HALF_UP on the
+    exact fold value), a Decimal comparison against the exact
+    threshold-midpoint for the pair cosine (round(cos, r) >= t over the
+    reals is cos >= t - 10^-r/2). Zero-norm vectors are excluded from
+    pair generation in BOTH lanes (their cosine is undefined; they
+    survive as singletons), so the lanes agree there too (ADVICE r5).
+    Tests pin end-to-end output equality on the driver fixtures and on
+    hostile corpora with exact boundary cosines."""
     import numpy as np
     import pandas as pd
 
     from .components import blocked_components
 
     cent = ivf_centroids_fast(corpus, n_cells, id_col, vec_col)
-    C = np.array([v for _, v in cent], dtype=np.float64)     # cells x dim
-    cc = (C * C).sum(axis=1)
+    cell_ids = np.array([cid for cid, _ in cent], dtype=np.int64)
 
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(pdf["_v"].to_numpy())
-            d = ((V * V).sum(axis=1)[:, None]
-                 - 2.0 * (V @ C.T) + cc[None, :])
-            best = d.argmin(axis=1)                # first min = min cell_id
+            best, d_exact = _assign_cells_exact(V, cent)
             yield pd.DataFrame({
                 "vec_id": pdf["_id"],
-                "cell_id": best + 1,
-                "dist_r": np.floor(d[np.arange(len(V)), best] * 1e6
-                                   + 0.5).astype(np.int64),
+                "cell_id": cell_ids[best],
+                "dist_r": _round_half_up_int64(d_exact * 1e6),
                 "v": list(V),
             })
 
@@ -606,6 +681,15 @@ def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
                                 _as_double(vec_col).alias("_v"))
     member = src.mapInPandas(
         assign, schema="vec_id long, cell_id int, dist_r long, v array<double>")
+
+    from decimal import Decimal
+
+    # round(cos, round_to) >= threshold over the reals is exactly
+    # cos >= cstar with cstar = threshold - 10^-round_to / 2 (HALF_UP);
+    # Decimal(str(...)) keeps cstar an exact decimal, Decimal(float)
+    # below is the exact binary value of the computed cosine.
+    cstar = Decimal(str(threshold)) - Decimal(1).scaleb(-round_to) / 2
+    cb = float(cstar)
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -616,11 +700,20 @@ def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
         order = np.argsort(ids)
         ids = ids[order]
         V = np.stack(pdf["v"].to_numpy())[order]
-        norms = np.sqrt((V * V).sum(axis=1))
-        Vn = V / norms[:, None]
-        cos = np.floor(Vn @ Vn.T * 10.0 ** round_to + 0.5) / 10.0 ** round_to
+        n2 = _seq_dot_rows(V, V)              # exact fold, reused in-band
+        ok = n2 > 0                           # zero-norm: no defined cosine
+        norms = np.sqrt(n2)
+        safe = np.where(ok, norms, 1.0)
+        Vn = V / safe[:, None]
+        cos = Vn @ Vn.T
         iu = np.triu_indices(len(ids), k=1)
-        keep = cos[iu] >= threshold
+        ca = cos[iu]
+        pair_ok = ok[iu[0]] & ok[iu[1]]
+        keep = pair_ok & (ca > cb + 1e-9)
+        for idx in np.flatnonzero(pair_ok & (np.abs(ca - cb) <= 1e-9)):
+            i, j = iu[0][idx], iu[1][idx]
+            cosx = _dot_py(V[i], V[j]) / (norms[i] * norms[j])
+            keep[idx] = Decimal(cosx) >= cstar
         return pd.DataFrame({"cell_id": pdf["cell_id"].iloc[0],
                              "id_a": ids[iu[0][keep]],
                              "id_b": ids[iu[1][keep]]})
@@ -658,17 +751,19 @@ def ivf_centroids_fast(corpus: DataFrame, n_cells: int = 16,
             .select(_as_double(vec_col).alias("v")).collect())
     cent = [(i + 1, list(r["v"])) for i, r in enumerate(rows)]
     for _ in range(lloyd_iters):
-        C = np.array([v for _, v in cent], dtype=np.float64)
-        cc = (C * C).sum(axis=1)
+        cur = list(cent)
+        cell_ids = np.array([cid for cid, _ in cur], dtype=np.int64)
 
-        def assign(batches):
+        def assign(batches, _cur=cur, _ids=cell_ids):
             for pdf in batches:
                 if not len(pdf):
                     continue
                 V = np.stack(pdf["_v"].to_numpy())
-                d = ((V * V).sum(axis=1)[:, None]
-                     - 2.0 * (V @ C.T) + cc[None, :])
-                yield pd.DataFrame({"cell_id": d.argmin(axis=1) + 1,
+                # fold-exact decisions (banded matmul screen) so the
+                # trained means match the exact lane's bit-for-bit even
+                # for vectors near a cell boundary
+                best, _ = _assign_cells_exact(V, _cur)
+                yield pd.DataFrame({"cell_id": _ids[best],
                                     "_v": pdf["_v"]})
 
         assigned = (spread(corpus)

@@ -766,7 +766,10 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = docs.select(
         "doc_id", "source",
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
-        (F.substring("source", 4, 10).cast("int") >= 10).alias("is_new"))
+        # unbounded suffix to match the oracle's substr(source, 4) —
+        # a fixed length-10 slice would silently mis-tag shard names
+        # whose numeric suffix exceeds 10 chars (ADVICE r5)
+        (F.expr("substring(source, 4)").cast("int") >= 10).alias("is_new"))
     existing = (tagged.filter(~F.col("is_new"))
                 .select("content_md5").distinct())
     fresh = (tagged.filter(F.col("is_new"))

@@ -445,7 +445,15 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiebreaks), within-cell cosines are compared on the 1e-6 rounded
     # grid, the duplicate components are a recursive-CTE transitive
     # closure, and the keep rule ranks on the 1e-6 integer distance
-    # grid with vec_id tiebreak.
+    # grid with vec_id tiebreak. Since r6 the registered lane runs the
+    # ARROW path (operators/similarity.semdedup_fast) against this
+    # unchanged oracle: every float decision in the numpy lane is
+    # either provably outside the matmul's summation-order error band
+    # or recomputed with the exact sequential fold, so the fold
+    # spelling's bit-compatibility carries over (VERDICT r5 task #4 —
+    # this drops the sf1 line item from ~22.6 s to ~5 s and frees
+    # n_cells to scale with the corpus). Zero-norm vectors are excluded
+    # from pair generation in lane and oracle alike (ADVICE r5).
     oracle=f"""
     WITH RECURSIVE e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -484,7 +492,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT x.vec_id AS id_a, y.vec_id AS id_b
         FROM member x JOIN member y
           ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
-        WHERE ROUND(list_dot_product(x.v, y.v)
+        WHERE list_dot_product(x.v, x.v) > 0
+          AND list_dot_product(y.v, y.v) > 0
+          AND ROUND(list_dot_product(x.v, y.v)
                     / (sqrt(list_dot_product(x.v, x.v))
                        * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.35),
     edges AS (SELECT id_a AS s, id_b AS d FROM pairs
@@ -508,8 +518,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SemDeDup: k-means-cell semantic dedup, one most-atypical survivor per near-dup component",
 )
 def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semdedup(t(spark, sf_dir, "embeddings"),
-                    threshold=0.35, n_cells=16)
+    from ..operators.similarity import semdedup_fast
+    return semdedup_fast(t(spark, sf_dir, "embeddings"),
+                         threshold=0.35, n_cells=16)
 
 
 @query(

@@ -56,7 +56,13 @@ def _stats_session(spark: SparkSession) -> SparkSession:
         sess = spark.newSession()
         sess.conf.set("spark.sql.sources.useV1SourceList", "")
         sess.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        _STATS_SESSIONS.clear()  # drop sessions of dead contexts
+        # evict only entries whose context is dead — a blanket clear()
+        # would thrash between two live contexts and recreate a session
+        # per call, the exact accumulation the cache exists to prevent
+        # (ADVICE r5)
+        for k, s in list(_STATS_SESSIONS.items()):
+            if s.sparkContext._jsc is None or s.sparkContext._jsc.sc().isStopped():
+                del _STATS_SESSIONS[k]
         _STATS_SESSIONS[key] = sess
     return sess
 

@@ -948,3 +948,64 @@ def test_auto_n_cells_sizing_rule():
     cells = [auto_n_cells(n) for n in sizes]
     assert cells == sorted(cells)
     assert cells[0] == 4 and auto_n_cells(440_000_000, 40_000) == 11000
+
+
+def test_semdedup_lanes_agree_on_hostile_corpus(spark):
+    """Exact and fast SemDeDup lanes on the inputs built to break them:
+    a zero-norm vector (undefined cosine — must survive as a singleton
+    in BOTH lanes, never join a pair; ADVICE r5 found the lanes
+    diverging here) and pair cosines engineered onto / around the
+    round-half-up decision boundary round(cos, 6) >= 0.35, i.e.
+    cos >= 0.3499995 over the reals (the fast lane decides this with a
+    banded screen + exact Decimal comparison — these rows all land
+    inside its recheck band)."""
+    import math
+
+    from datastream_processing_demo_spark.operators.similarity import (
+        semdedup,
+        semdedup_fast,
+    )
+
+    dim = 6
+
+    def pair_in_plane(p, cos):
+        # two unit vectors in plane (2p, 2p+1) with exactly the
+        # requested double cosine; orthogonal to every other plane, so
+        # cross-plane cosines are exactly 0 and pairings stay local
+        s = math.sqrt(1.0 - cos * cos)
+        a, b = [0.0] * dim, [0.0] * dim
+        a[2 * p] = 1.0
+        b[2 * p], b[2 * p + 1] = cos, s
+        return a, b
+
+    rows = []
+    # vec 1-2: cosine exactly the double 0.35 (rounds to 0.350000 -> dup)
+    a, b = pair_in_plane(0, 0.35)
+    rows += [(1, a), (2, b)]
+    # vec 3-4: cosine just below the boundary midpoint (must NOT pair)
+    a, b = pair_in_plane(1, 0.3499994)
+    rows += [(3, a), (4, b)]
+    # vec 5: the zero vector — dot/(0*0) is NaN; must stay a singleton
+    rows += [(5, [0.0] * dim)]
+    # vec 6-7: cosine exactly float(0.3499995) — whichever side of the
+    # real midpoint that double falls on, both lanes must agree
+    a, b = pair_in_plane(2, float(0.3499995))
+    rows += [(6, a), (7, b)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+
+    # one cell: every pair is considered, so the test exercises the
+    # cosine decision itself, not the cell split
+    exact = {tuple(r) for r in semdedup(emb, 0.35, n_cells=1).collect()}
+    fast = {tuple(r) for r in semdedup_fast(emb, 0.35, n_cells=1).collect()}
+    assert exact == fast
+    by_id = {r[0]: r for r in exact}
+    # the zero vector is its own cluster and survives
+    assert by_id[5][2] == 5 and by_id[5][3] is True
+    # 1-2 cluster together (cos rounds up to 0.35); exactly one survives
+    assert by_id[1][2] == by_id[2][2]
+    assert sum(1 for i in (1, 2) if by_id[i][3]) == 1
+    # 3-4 stay apart (0.3499994 rounds down to 0.349999)
+    assert by_id[3][2] != by_id[4][2]
+    assert by_id[3][3] is True and by_id[4][3] is True
