@@ -1163,6 +1163,29 @@ def test_corpus_segment_dedup_agrees(spark, corpus_con, docs):
     assert got == want, f"segment-dedup divergence on corpus {docs!r}"
 
 
+def test_segment_dedup_int_id_no_int32_wrap(spark):
+    """With an IntegerType id column, the first-occurrence key
+    id * 1e6 + idx must be computed in BIGINT: the int32 product wraps
+    negative past id ~2147 (non-ANSI), making the wrapped HIGHER doc
+    win the MIN-based keep-first and corrupting ownership (ADVICE r5).
+    Duplicate text across ids 10 and 3000: doc 10 must own every
+    segment."""
+    from pyspark.sql import types as T
+
+    from datastream_processing_demo_spark.operators.dedup import (
+        segment_dedup,
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+    txt = "a b c d e f"
+    sdf = spark.createDataFrame([(10, txt), (3000, txt)], schema)
+    out = {r["doc_id"]: r for r in segment_dedup(sdf, width=3).collect()}
+    assert out[10]["n_kept"] == 2 and out[10]["kept_text"] == txt
+    assert out[3000]["n_kept"] == 0 and out[3000]["kept_text"] == ""
+
+
 # ---- lane 23: CSV write->read dialect round-trip ----
 # The engine materializes CSV with Spark's writer and must get the
 # SAME bytes back through (a) its own reader and (b) any other
