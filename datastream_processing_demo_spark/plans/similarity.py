@@ -437,30 +437,15 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "sim_semdedup", "similarity",
-    # SemDeDup end-to-end has an EXACT oracle because every stage is
-    # deterministic: the centroid training CTEs are the same as
-    # sim_ivf_topk's (integer-grid means, dot-form L2, cell_id
-    # tiebreaks), within-cell cosines are compared on the 1e-6 rounded
-    # grid, the duplicate components are a recursive-CTE transitive
-    # closure, and the keep rule ranks on the 1e-6 integer distance
-    # grid with vec_id tiebreak. Since r6 the registered lane runs the
-    # ARROW path (operators/similarity.semdedup_fast) against this
-    # unchanged oracle: every float decision in the numpy lane is
-    # either provably outside the matmul's summation-order error band
-    # or recomputed with the exact sequential fold, so the fold
-    # spelling's bit-compatibility carries over (VERDICT r5 task #4 —
-    # this drops the sf1 line item from ~22.6 s to ~5 s and frees
-    # n_cells to scale with the corpus). Zero-norm vectors are excluded
-    # from pair generation in lane and oracle alike (ADVICE r5).
-    oracle=f"""
+def _semdedup_oracle(seeds_sql: str) -> str:
+    """The full SemDeDup ANSI mirror with a caller-supplied seeds CTE —
+    shared by the fixed-16-cell lane and the auto-sized lane (whose
+    seed count derives from COUNT(*) inside the SQL itself)."""
+    return f"""
     WITH RECURSIVE e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
-    seeds AS (
-        SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS sv
-        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+    {seeds_sql},
     assign0 AS (
         SELECT e.vec_id, e.v, s.cell_id,
                row_number() OVER (
@@ -514,7 +499,29 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY dist_r DESC, vec_id) AS rn
         FROM labeled)
     SELECT vec_id, cell_id, cluster_id, rn = 1 AS is_kept FROM ranked
-    """,
+    """
+
+
+@query(
+    "sim_semdedup", "similarity",
+    # SemDeDup end-to-end has an EXACT oracle because every stage is
+    # deterministic: the centroid training CTEs are the same as
+    # sim_ivf_topk's (integer-grid means, dot-form L2, cell_id
+    # tiebreaks), within-cell cosines are compared on the 1e-6 rounded
+    # grid, the duplicate components are a recursive-CTE transitive
+    # closure, and the keep rule ranks on the 1e-6 integer distance
+    # grid with vec_id tiebreak. Since r6 the registered lane runs the
+    # ARROW path (operators/similarity.semdedup_fast) against this
+    # unchanged oracle: every float decision in the numpy lane is
+    # either provably outside the matmul's summation-order error band
+    # or recomputed with the exact sequential fold, so the fold
+    # spelling's bit-compatibility carries over (VERDICT r5 task #4 —
+    # this drops the sf1 line item from ~22.6 s to ~5 s and frees
+    # n_cells to scale with the corpus). Zero-norm vectors are excluded
+    # from pair generation in lane and oracle alike (ADVICE r5).
+    oracle=_semdedup_oracle("""seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS sv
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16))"""),
     description="SemDeDup: k-means-cell semantic dedup, one most-atypical survivor per near-dup component",
 )
 def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,3 +1010,32 @@ def sim_tfidf_auto_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
     if lane == "dense":
         return sim_tfidf_cosine_topk_dense(spark, sf_dir)
     return sim_tfidf_cosine_topk(spark, sf_dir)
+
+
+@query(
+    "sim_semdedup_auto", "similarity",
+    # The cells-proportional-to-corpus rule (SemDeDup paper: 11k cells
+    # for LAION-440M; operators/similarity.auto_n_cells) made
+    # driver-verdictable END-TO-END: the Spark lane sizes n_cells =
+    # max(4, min(65536, ceil(n/256))) from one metadata-scale count and
+    # runs the Arrow path; the oracle derives the SAME seed count from
+    # COUNT(*) inside the SQL itself, so both engines train k(corpus)
+    # centroids and the whole pipeline stays exactly mirrored at ANY sf
+    # (sf0.001 clamps to the 4-cell floor, sf0.01 likewise, sf0.1 hits
+    # ceil(2000/256)=8). This closes the loop on r5's executable sizing
+    # rules: the dispatch is no longer a tested-but-unregistered code
+    # path, it carries its own oracle verdict.
+    oracle=_semdedup_oracle("""seeds AS (
+        SELECT rn AS cell_id, v AS sv
+        FROM (SELECT vec_id, v,
+                     row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        WHERE rn <= (SELECT GREATEST(4, LEAST(65536,
+                         CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)))
+                     FROM e))"""),
+    description="SemDeDup with corpus-sized cell count: auto_n_cells rule executed on both engines, Arrow lane vs recursive-CTE oracle",
+)
+def sim_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import auto_n_cells, semdedup_fast
+    emb = t(spark, sf_dir, "embeddings")
+    return semdedup_fast(emb, threshold=0.35,
+                         n_cells=auto_n_cells(emb.count()))

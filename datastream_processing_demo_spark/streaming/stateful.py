@@ -42,7 +42,17 @@ def _make_accumulator(idle_timeout_ms: Optional[int]):
                                 int(pdf["ts"].max().value // 1_000_000))
         state.update((n, cents, purchases))
         if idle_timeout_ms is not None:
-            state.setTimeoutTimestamp(max_ts_ms + idle_timeout_ms)
+            # clamp to the current watermark: the late-row filter lags
+            # eviction by one batch, so a batch can legally deliver a row
+            # OLDER than the eviction watermark — ts + idle can then land
+            # behind the watermark and setTimeoutTimestamp throws
+            # (INVALID_TIMEOUT_TIMESTAMP; found by the r6 restart fuzz
+            # lane). Clamped == watermark means "evict at the next
+            # watermark advance" — the key is already idle past its
+            # deadline.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts_ms + idle_timeout_ms,
+                                          wm_ms, 1))
         yield pd.DataFrame({
             "user_id": [key[0]],
             "n_events": [n],
