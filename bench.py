@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_incremental_delta",  # anti-join new shard vs corpus hash state
     "text_chunk_overlap",      # map-only context-window chunking
     "sim_semdedup",            # k-means-cell semantic dedup (blocked components)
+    "sim_semdedup_auto",       # same, cells sized from the corpus (Arrow lane)
 ]
 
 RUNS = 3
