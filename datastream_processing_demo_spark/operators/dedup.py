@@ -205,12 +205,15 @@ def minhash_portable_signatures(docs: DataFrame, num_hashes: int = 16,
                       .alias("signature"))
 
 
-def lsh_portable_candidate_pairs(signatures: DataFrame, bands: int = 4,
-                                 id_col: str = "doc_id") -> DataFrame:
-    """Band the signature and bucket-join on the band CONTENT (joined to a
-    CSV string — portable, no band hashing needed; the string is exact)."""
+def minhash_portable_bands(signatures: DataFrame, bands: int = 4,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(id, band, key) rows from a portable signature — the band CONTENT
+    joined to a CSV string (portable, no band hashing; the string is
+    exact). This is the shape an incremental ingest PERSISTS as its
+    near-dup index state: new shards bucket-join against it without
+    re-reading corpus text."""
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
-    banded = signatures.select(
+    return signatures.select(
         id_col,
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -221,6 +224,13 @@ def lsh_portable_candidate_pairs(signatures: DataFrame, bands: int = 4,
                     lambda v: v.cast("string")), ",").alias("key"),
             ))).alias("bb"),
     ).select(id_col, "bb.band", "bb.key")
+
+
+def lsh_portable_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """Band the signature and bucket-join on the band CONTENT (joined to a
+    CSV string — portable, no band hashing needed; the string is exact)."""
+    banded = minhash_portable_bands(signatures, bands, id_col)
     l = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
     r = banded.select(F.col(id_col).alias("doc_b"), "band", "key")
     return (
@@ -229,6 +239,100 @@ def lsh_portable_candidate_pairs(signatures: DataFrame, bands: int = 4,
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def minhash_incremental_delta(corpus: DataFrame, shard: DataFrame,
+                              threshold: float = 0.8, num_hashes: int = 16,
+                              bands: int = 4, n: int = 3,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Incremental NEAR-dup ingest — the MinHash+LSH analogue of the
+    exact-hash shard-vs-corpus dedup (plans/dedup.dedup_incremental_delta):
+    decide for every NEW document whether a near-duplicate already exists
+    in the corpus or earlier in its own shard, without ever comparing the
+    shard against corpus text wholesale.
+
+    Scale shape: the corpus participates ONLY through its banded
+    signature index (`minhash_portable_bands`) — the persisted state
+    between ingests (at 100 TB: built once per corpus epoch, stored as a
+    (band, key, doc_id) table; computed inline here so the oracle can
+    mirror it). Shard bands bucket-join that index on (band, key) — the
+    shuffle is shard-driven — and shard-internal candidates come from the
+    same banding. The exact-Jaccard verify re-tokenizes candidate docs
+    only (semi-join prune, cost O(candidates * doc_len), never O(n^2)).
+
+    Keep rule (deterministic, non-recursive, mirrored exactly in SQL):
+    a shard doc survives iff it has NO verified corpus duplicate and NO
+    verified smaller-id shard duplicate (min-id dominance). Returns one
+    row per shard doc: (id, n_corpus_dups, n_shard_dups, is_kept) —
+    n_shard_dups counts verified shard neighbors on either side, for
+    observability."""
+    sig_c = minhash_portable_signatures(corpus, num_hashes, n,
+                                        id_col, text_col)
+    sig_s = minhash_portable_signatures(shard, num_hashes, n,
+                                        id_col, text_col)
+    bc = minhash_portable_bands(sig_c, bands, id_col)
+    bs = minhash_portable_bands(sig_s, bands, id_col)
+    cross = (bc.select(F.col(id_col).alias("doc_a"), "band", "key")
+             .join(bs.select(F.col(id_col).alias("doc_b"), "band", "key"),
+                   ["band", "key"])
+             .select("doc_a", "doc_b").distinct())
+    sl = bs.select(F.col(id_col).alias("doc_a"), "band", "key")
+    sr = bs.select(F.col(id_col).alias("doc_b"), "band", "key")
+    internal = (sl.join(sr, ["band", "key"])
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b").distinct())
+    # kinds are disjoint by construction (doc_a corpus-side vs shard-side)
+    cands = (cross.withColumn("kind", F.lit("x"))
+             .unionByName(internal.withColumn("kind", F.lit("i")))
+             .localCheckpoint())    # tiny; read by verify + classification
+
+    # exact-Jaccard verify over candidate docs only
+    both = (corpus.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("text"))
+            .unionByName(shard.select(F.col(id_col).alias("doc_id"),
+                                      F.col(text_col).alias("text"))))
+    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
+                .union(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    sets = (doc_shingles(both.join(F.broadcast(cand_ids), "doc_id",
+                                   "left_semi"),
+                         "doc_id", "text", n, hash_keys=False)
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh"))
+            .localCheckpoint())     # candidate-count rows; read twice
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    verified = (cands.join(a, "doc_a").join(b, "doc_b")
+                .filter(common.cast("double") / union.cast("double")
+                        >= threshold)
+                .select("doc_a", "doc_b", "kind"))
+
+    vx = verified.filter(F.col("kind") == "x")
+    vi = verified.filter(F.col("kind") == "i")
+    nc = (vx.groupBy("doc_b")
+          .agg(F.count(F.lit(1)).alias("n_corpus_dups"))
+          .select(F.col("doc_b").alias(id_col), "n_corpus_dups"))
+    ns = (vi.select(F.col("doc_a").alias(id_col))
+          .unionAll(vi.select(F.col("doc_b").alias(id_col)))
+          .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shard_dups")))
+    sm = (vi.groupBy("doc_b")
+          .agg(F.count(F.lit(1)).alias("n_smaller"))
+          .select(F.col("doc_b").alias(id_col), "n_smaller"))
+    return (shard.select(id_col)
+            .join(nc, id_col, "left").join(ns, id_col, "left")
+            .join(sm, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_corpus_dups", F.lit(0)).cast("long")
+                    .alias("n_corpus_dups"),
+                F.coalesce("n_shard_dups", F.lit(0)).cast("long")
+                    .alias("n_shard_dups"),
+                ((F.coalesce("n_corpus_dups", F.lit(0)) == 0)
+                 & (F.coalesce("n_smaller", F.lit(0)) == 0))
+                .alias("is_kept")))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,

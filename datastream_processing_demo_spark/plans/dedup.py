@@ -778,3 +778,115 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fresh.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("doc_id", "source", "content_md5"))
+
+
+def _minhash_incremental_oracle(num_hashes: int = 16, bands: int = 4,
+                                threshold: float = 0.8) -> str:
+    """DuckDB mirror of the incremental NEAR-dup ingest — generated from
+    the SAME permutation coefficients as the Spark operator (no drift),
+    banding INCLUDED (no recall assumption: a true pair the banding
+    misses is missed identically on both sides)."""
+    from ..operators.dedup import MINHASH_P, minhash_perm_coeffs
+    rows = num_hashes // bands
+    min_exprs = ",\n               ".join(
+        f"min((x * {minhash_perm_coeffs(i)[0]} + {minhash_perm_coeffs(i)[1]})"
+        f" % {MINHASH_P}) AS h{i}"
+        for i in range(num_hashes))
+    sig_list = ", ".join(f"h{i}" for i in range(num_hashes))
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, text,
+               CAST(substr(source, 4) AS INT) >= 10 AS is_new
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM d),
+    hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS x
+        FROM sh),
+    sig AS (SELECT doc_id,
+               {min_exprs}
+            FROM hx GROUP BY doc_id),
+    arr AS (SELECT doc_id, [{sig_list}] AS s FROM sig),
+    banded AS (
+        SELECT doc_id, bt.b AS band,
+               array_to_string(
+                   list_slice(s, bt.b * {rows} + 1, (bt.b + 1) * {rows}), ',')
+                   AS key
+        FROM arr CROSS JOIN (SELECT unnest(range({bands})) AS b) bt),
+    bn AS (SELECT banded.*, d.is_new FROM banded JOIN d USING (doc_id)),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CASE WHEN a.is_new THEN 'i' ELSE 'x' END AS kind
+        FROM bn a JOIN bn b ON a.band = b.band AND a.key = b.key
+        WHERE b.is_new AND (NOT a.is_new OR a.doc_id < b.doc_id)
+        GROUP BY 1, 2, 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS sn FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, c.kind, COUNT(*) AS cm
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2, 3),
+    ver AS (
+        SELECT doc_a, doc_b, kind
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(cm AS DOUBLE) / (sa.sn + sb.sn - cm) >= {threshold}),
+    nc AS (SELECT doc_b AS doc_id, COUNT(*) AS n FROM ver
+           WHERE kind = 'x' GROUP BY 1),
+    ns AS (SELECT doc_id, COUNT(*) AS n FROM (
+               SELECT doc_a AS doc_id FROM ver WHERE kind = 'i'
+               UNION ALL
+               SELECT doc_b FROM ver WHERE kind = 'i') GROUP BY 1),
+    sm AS (SELECT doc_b AS doc_id, COUNT(*) AS n FROM ver
+           WHERE kind = 'i' GROUP BY 1)
+    SELECT s.doc_id, s.source,
+           CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_corpus_dups,
+           CAST(COALESCE(ns.n, 0) AS BIGINT) AS n_shard_dups,
+           COALESCE(nc.n, 0) = 0 AND COALESCE(sm.n, 0) = 0 AS is_kept
+    FROM d s
+    LEFT JOIN nc ON s.doc_id = nc.doc_id
+    LEFT JOIN ns ON s.doc_id = ns.doc_id
+    LEFT JOIN sm ON s.doc_id = sm.doc_id
+    WHERE s.is_new
+    """
+
+
+@query(
+    "dedup_minhash_incremental", "dedup",
+    # Incremental NEAR-dup ingest: the MinHash+LSH analogue of
+    # dedup_incremental_delta (exact hashes). The corpus participates
+    # only through its banded signature index — the persisted state
+    # between ingests; shard bands bucket-join it (shard-driven shuffle)
+    # and shard-internal candidates come from the same banding; the
+    # exact-Jaccard verify re-tokenizes candidate docs only. Keep rule:
+    # survive iff no verified corpus dup and no verified smaller-id
+    # shard dup (min-id dominance — deterministic, non-recursive, and
+    # mirrored in the oracle banding-included so there is no recall
+    # assumption). Portable md5 hash family so the whole pipeline sits
+    # under the exact driver gate; the xxhash64 production family swaps
+    # in via the same operators.
+    oracle=_minhash_incremental_oracle(16, 4, 0.8),
+    description="incremental near-dup ingest: shard vs persisted corpus LSH index + shard-internal keep-first, exact-Jaccard verified",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_incremental_delta
+    docs = t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id", "source", "text",
+        (F.expr("substring(source, 4)").cast("int") >= 10).alias("is_new"))
+    res = minhash_incremental_delta(tagged.filter(~F.col("is_new")),
+                                    tagged.filter(F.col("is_new")))
+    return (tagged.filter(F.col("is_new")).select("doc_id", "source")
+            .join(res, "doc_id")
+            .select("doc_id", "source", "n_corpus_dups", "n_shard_dups",
+                    "is_kept"))
