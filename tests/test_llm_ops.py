@@ -1009,3 +1009,41 @@ def test_semdedup_lanes_agree_on_hostile_corpus(spark):
     # 3-4 stay apart (0.3499994 rounds down to 0.349999)
     assert by_id[3][2] != by_id[4][2]
     assert by_id[3][3] is True and by_id[4][3] is True
+
+
+def test_semdedup_lanes_agree_property(spark):
+    """Random-corpus property behind the r6 Arrow-migration claim: on
+    vectors drawn from a coarse grid (the natural generator of EXACT
+    assignment ties — duplicated vectors are equidistant to every cell
+    — and of boundary cosines: identical vectors hit exactly 1.0,
+    orthogonal ones exactly 0.0, zero vectors have no cosine at all),
+    the exact fold lane and the banded-recheck numpy lane must produce
+    identical (vec_id, cell_id, cluster_id, is_kept) rows. This is the
+    randomized counterpart of the crafted hostile-corpus test above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastream_processing_demo_spark.operators.similarity import (
+        semdedup,
+        semdedup_fast,
+    )
+
+    grid = st.sampled_from([-1.0, -0.5, 0.0, 0.25, 0.5, 1.0])
+    corpus = st.lists(st.lists(grid, min_size=4, max_size=4),
+                      min_size=2, max_size=10)
+
+    @settings(max_examples=15, deadline=None)
+    @given(vecs=corpus, n_cells=st.sampled_from([1, 2, 3]))
+    def agree(vecs, n_cells):
+        emb = spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        exact = {tuple(r)
+                 for r in semdedup(emb, 0.35, n_cells=n_cells).collect()}
+        fast = {tuple(r)
+                for r in semdedup_fast(emb, 0.35, n_cells=n_cells).collect()}
+        assert exact == fast, (
+            f"lane divergence on vecs={vecs!r} n_cells={n_cells}\n"
+            f"  exact={sorted(exact)}\n  fast={sorted(fast)}")
+
+    agree()
