@@ -1268,3 +1268,114 @@ def test_csv_embedded_newline_needs_multiline(spark, corpus_con):
         assert [r["txt"] for r in default_read] != ["new\nline"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- lane 24: incremental near-dup ingest (shard vs corpus LSH index) ----
+# The r6 dedup_minhash_incremental operator over hostile corpora: random
+# corpus/shard splits of the duplicate-heavy fuzz corpus, small LSH
+# geometry (8 hashes / 2 bands) and a low verify threshold so every
+# stage fires constantly. The SQL mirror is generated from the SAME
+# permutation coefficients as the operator — banding included, so a
+# pair the banding misses is missed identically on both sides.
+
+def _inc_ingest_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    from datastream_processing_demo_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_perm_coeffs,
+    )
+    rows = num_hashes // bands
+    min_exprs = ", ".join(
+        f"min((x * {minhash_perm_coeffs(i)[0]} + {minhash_perm_coeffs(i)[1]})"
+        f" % {MINHASH_P}) AS h{i}"
+        for i in range(num_hashes))
+    sig_list = ", ".join(f"h{i}" for i in range(num_hashes))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM fuzz_inc_docs),
+    hx AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                      % {MINHASH_P} AS x
+           FROM sh),
+    sig AS (SELECT doc_id, {min_exprs} FROM hx GROUP BY doc_id),
+    arr AS (SELECT doc_id, [{sig_list}] AS s FROM sig),
+    banded AS (
+        SELECT doc_id, bt.b AS band,
+               array_to_string(
+                   list_slice(s, bt.b * {rows} + 1, (bt.b + 1) * {rows}), ',')
+                   AS key
+        FROM arr CROSS JOIN (SELECT unnest(range({bands})) AS b) bt),
+    bn AS (SELECT banded.*, d.is_new
+           FROM banded JOIN fuzz_inc_docs d USING (doc_id)),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CASE WHEN a.is_new THEN 'i' ELSE 'x' END AS kind
+        FROM bn a JOIN bn b ON a.band = b.band AND a.key = b.key
+        WHERE b.is_new AND (NOT a.is_new OR a.doc_id < b.doc_id)
+        GROUP BY 1, 2, 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS sn FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, c.kind, COUNT(*) AS cm
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2, 3),
+    ver AS (
+        SELECT doc_a, doc_b, kind
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(cm AS DOUBLE) / (sa.sn + sb.sn - cm) >= {threshold}),
+    nc AS (SELECT doc_b AS doc_id, COUNT(*) AS n FROM ver
+           WHERE kind = 'x' GROUP BY 1),
+    ns AS (SELECT doc_id, COUNT(*) AS n FROM (
+               SELECT doc_a AS doc_id FROM ver WHERE kind = 'i'
+               UNION ALL
+               SELECT doc_b FROM ver WHERE kind = 'i') GROUP BY 1),
+    sm AS (SELECT doc_b AS doc_id, COUNT(*) AS n FROM ver
+           WHERE kind = 'i' GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_corpus_dups,
+           CAST(COALESCE(ns.n, 0) AS BIGINT) AS n_shard_dups,
+           COALESCE(nc.n, 0) = 0 AND COALESCE(sm.n, 0) = 0 AS is_kept
+    FROM fuzz_inc_docs s
+    LEFT JOIN nc ON s.doc_id = nc.doc_id
+    LEFT JOIN ns ON s.doc_id = ns.doc_id
+    LEFT JOIN sm ON s.doc_id = sm.doc_id
+    WHERE s.is_new
+    """
+
+
+@settings(max_examples=min(MAX_EXAMPLES, 20), deadline=None,
+          derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=_fuzz_corpus(), data=st.data())
+def test_corpus_incremental_ingest_agrees(spark, corpus_con, docs, data):
+    import pandas as pd
+
+    from datastream_processing_demo_spark.operators.dedup import (
+        minhash_incremental_delta,
+    )
+    is_new = [data.draw(st.booleans(), label=f"is_new[{i}]")
+              for i in range(len(docs))]
+    pdf = pd.DataFrame({"doc_id": list(range(len(docs))), "text": docs,
+                        "is_new": is_new})
+    sdf = spark.createDataFrame(pdf)
+    corpus_con.register("fuzz_inc_docs", pdf)
+    out = minhash_incremental_delta(
+        sdf.filter("NOT is_new").select("doc_id", "text"),
+        sdf.filter("is_new").select("doc_id", "text"),
+        threshold=0.5, num_hashes=8, bands=2)
+    got = sorted((r["doc_id"], r["n_corpus_dups"], r["n_shard_dups"],
+                  r["is_kept"]) for r in out.collect())
+    want = sorted(map(tuple, corpus_con.execute(
+        _inc_ingest_sql(8, 2, 0.5)).fetchall()))
+    assert got == want, (
+        f"incremental-ingest divergence on docs={docs!r} "
+        f"is_new={is_new!r}\n  spark {got}\n  oracle {want}")
