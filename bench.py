@@ -75,6 +75,7 @@ HEADLINE = [
     "text_chunk_overlap",      # map-only context-window chunking
     "sim_semdedup",            # k-means-cell semantic dedup (blocked components)
     "sim_semdedup_auto",       # same, cells sized from the corpus (Arrow lane)
+    "dedup_minhash_incremental",  # shard vs persisted corpus LSH index ingest
 ]
 
 RUNS = 3

@@ -245,7 +245,9 @@ def minhash_incremental_delta(corpus: DataFrame, shard: DataFrame,
                               threshold: float = 0.8, num_hashes: int = 16,
                               bands: int = 4, n: int = 3,
                               id_col: str = "doc_id",
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              corpus_bands: DataFrame | None = None
+                              ) -> DataFrame:
     """Incremental NEAR-dup ingest — the MinHash+LSH analogue of the
     exact-hash shard-vs-corpus dedup (plans/dedup.dedup_incremental_delta):
     decide for every NEW document whether a near-duplicate already exists
@@ -266,12 +268,21 @@ def minhash_incremental_delta(corpus: DataFrame, shard: DataFrame,
     verified smaller-id shard duplicate (min-id dominance). Returns one
     row per shard doc: (id, n_corpus_dups, n_shard_dups, is_kept) —
     n_shard_dups counts verified shard neighbors on either side, for
-    observability."""
-    sig_c = minhash_portable_signatures(corpus, num_hashes, n,
-                                        id_col, text_col)
+    observability.
+
+    Pass ``corpus_bands`` (a persisted (id, band, key) table written by
+    `minhash_portable_bands` at the previous ingest) to skip
+    re-signaturing the corpus entirely — the corpus TEXT is then touched
+    only by the verify's candidate-id semi-join. Tests pin that the
+    reloaded-index path and the inline path produce identical verdicts."""
+    if corpus_bands is None:
+        sig_c = minhash_portable_signatures(corpus, num_hashes, n,
+                                            id_col, text_col)
+        bc = minhash_portable_bands(sig_c, bands, id_col)
+    else:
+        bc = corpus_bands.select(id_col, "band", "key")
     sig_s = minhash_portable_signatures(shard, num_hashes, n,
                                         id_col, text_col)
-    bc = minhash_portable_bands(sig_c, bands, id_col)
     bs = minhash_portable_bands(sig_s, bands, id_col)
     cross = (bc.select(F.col(id_col).alias("doc_a"), "band", "key")
              .join(bs.select(F.col(id_col).alias("doc_b"), "band", "key"),

@@ -1047,3 +1047,36 @@ def test_semdedup_lanes_agree_property(spark):
             f"  exact={sorted(exact)}\n  fast={sorted(fast)}")
 
     agree()
+
+
+def test_incremental_ingest_from_persisted_index(spark, sf_dir, tmp_path):
+    """The near-dup index really is persistable STATE: write the
+    corpus's (id, band, key) table to parquet at 'the previous ingest',
+    reload it, and run the shard ingest from the reloaded index — the
+    verdicts must be identical to the inline-computed path, and the
+    reloaded path must never re-signature corpus text (its only corpus
+    access is the verify's candidate-id semi-join)."""
+    from pyspark.sql import functions as F
+
+    from datastream_processing_demo_spark.operators.dedup import (
+        minhash_incremental_delta,
+        minhash_portable_bands,
+        minhash_portable_signatures,
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (F.expr("substring(source, 4)").cast("int") >= 10).alias("is_new"))
+    corpus = docs.filter(~F.col("is_new")).select("doc_id", "text")
+    shard = docs.filter(F.col("is_new")).select("doc_id", "text")
+
+    idx_path = str(tmp_path / "near_dup_index")
+    minhash_portable_bands(
+        minhash_portable_signatures(corpus, 16, 3), 4).write.parquet(idx_path)
+
+    inline = {tuple(r) for r in
+              minhash_incremental_delta(corpus, shard).collect()}
+    reloaded = {tuple(r) for r in minhash_incremental_delta(
+        corpus, shard,
+        corpus_bands=spark.read.parquet(idx_path)).collect()}
+    assert inline == reloaded
+    assert any(not r[3] for r in inline)   # fixture exercises drops
