@@ -274,7 +274,16 @@ def minhash_incremental_delta(corpus: DataFrame, shard: DataFrame,
     `minhash_portable_bands` at the previous ingest) to skip
     re-signaturing the corpus entirely — the corpus TEXT is then touched
     only by the verify's candidate-id semi-join. Tests pin that the
-    reloaded-index path and the inline path produce identical verdicts."""
+    reloaded-index path and the inline path produce identical verdicts.
+
+    Hard precondition on the persisted-index path (ADVICE r6): the
+    supplied ``corpus_bands`` must be consistent with ``corpus`` — every
+    index id must still exist in the corpus table. A stale index whose
+    ids are missing from ``corpus`` silently drops those candidates at
+    the verify join and the shard doc is kept unverified. Corpus/shard
+    id collisions, by contrast, are handled structurally: the verify
+    keeps corpus-side and shard-side shingle sets in separate tables, so
+    a colliding id never merges shingles across sides."""
     if corpus_bands is None:
         sig_c = minhash_portable_signatures(corpus, num_hashes, n,
                                             id_col, text_col)
@@ -298,28 +307,45 @@ def minhash_incremental_delta(corpus: DataFrame, shard: DataFrame,
              .unionByName(internal.withColumn("kind", F.lit("i")))
              .localCheckpoint())    # tiny; read by verify + classification
 
-    # exact-Jaccard verify over candidate docs only
-    both = (corpus.select(F.col(id_col).alias("doc_id"),
-                          F.col(text_col).alias("text"))
-            .unionByName(shard.select(F.col(id_col).alias("doc_id"),
-                                      F.col(text_col).alias("text"))))
-    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
-                .union(cands.select(F.col("doc_b").alias("doc_id")))
-                .distinct())
-    sets = (doc_shingles(both.join(F.broadcast(cand_ids), "doc_id",
-                                   "left_semi"),
-                         "doc_id", "text", n, hash_keys=False)
-            .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sh"))
-            .localCheckpoint())     # candidate-count rows; read twice
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # exact-Jaccard verify over candidate docs only. Corpus-side and
+    # shard-side shingle sets stay in SEPARATE tables (ADVICE r6): a
+    # union keyed on bare doc_id would collect_set-merge shingles across
+    # a corpus/shard id collision and corrupt the verdict. kind 'x'
+    # candidates resolve doc_a against the corpus and doc_b against the
+    # shard; kind 'i' resolves both against the shard.
+    def _cand_sets(side: DataFrame, ids: DataFrame) -> DataFrame:
+        docs = (side.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text"))
+                .join(F.broadcast(ids), "doc_id", "left_semi"))
+        return (doc_shingles(docs, "doc_id", "text", n, hash_keys=False)
+                .groupBy("doc_id")
+                .agg(F.collect_set("shingle").alias("sh")))
+
+    ids_c = (cands.filter(F.col("kind") == "x")
+             .select(F.col("doc_a").alias("doc_id")).distinct())
+    ids_s = (cands.select(F.col("doc_b").alias("doc_id"))
+             .union(cands.filter(F.col("kind") == "i")
+                    .select(F.col("doc_a").alias("doc_id")))
+             .distinct())
+    sets_c = _cand_sets(corpus, ids_c)
+    # candidate-count rows; read twice (both sides of the 'i' verify)
+    sets_s = _cand_sets(shard, ids_s).localCheckpoint()
+
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - common
-    verified = (cands.join(a, "doc_a").join(b, "doc_b")
-                .filter(common.cast("double") / union.cast("double")
-                        >= threshold)
-                .select("doc_a", "doc_b", "kind"))
+    is_dup = common.cast("double") / union.cast("double") >= threshold
+
+    def _verify(pairs: DataFrame, left_sets: DataFrame) -> DataFrame:
+        a = left_sets.select(F.col("doc_id").alias("doc_a"),
+                             F.col("sh").alias("sh_a"))
+        b = sets_s.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh").alias("sh_b"))
+        return (pairs.join(a, "doc_a").join(b, "doc_b")
+                .filter(is_dup).select("doc_a", "doc_b", "kind"))
+
+    verified = (_verify(cands.filter(F.col("kind") == "x"), sets_c)
+                .unionByName(_verify(cands.filter(F.col("kind") == "i"),
+                                     sets_s)))
 
     vx = verified.filter(F.col("kind") == "x")
     vi = verified.filter(F.col("kind") == "i")

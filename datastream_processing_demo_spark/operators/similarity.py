@@ -603,15 +603,23 @@ def _assign_cells_exact(V, cent, band: float = 1e-6):
     band and recomputed exactly inside it."""
     import numpy as np
     C = np.array([v for _, v in cent], dtype=np.float64)      # cells x dim
-    d = ((V * V).sum(axis=1)[:, None]
-         - 2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :])
+    vv = (V * V).sum(axis=1)
+    cc = (C * C).sum(axis=1)
+    d = vv[:, None] - 2.0 * (V @ C.T) + cc[None, :]
     best = d.argmin(axis=1)                    # first min = min cell_id
     n = len(V)
     dbest = d[np.arange(n), best]
     cc_seq = np.array([_dot_py(v, v) for _, v in cent])
     if d.shape[1] > 1:
         d2 = np.partition(d, 1, axis=1)[:, 1]
-        amb = (d2 - dbest) <= band * np.maximum(1.0, np.abs(dbest))
+        # the matmul's cancellation error scales with the TERM
+        # magnitudes (~max(|v|^2, |c|^2) * eps), not with the winning
+        # distance — a large-norm vector sitting near its centroid has
+        # dbest ~ 0 but error ~ |v|^2 * eps, so the band must widen
+        # with the computation magnitude or the screen could certify a
+        # wrong cell as unambiguous (ADVICE r6)
+        mag = np.maximum(1.0, np.maximum(vv, cc.max() if len(cc) else 1.0))
+        amb = (d2 - dbest) <= band * mag
         for i in np.flatnonzero(amb):
             vi = V[i]
             dvv = _dot_py(vi, vi)
@@ -690,6 +698,16 @@ def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
     # below is the exact binary value of the computed cosine.
     cstar = Decimal(str(threshold)) - Decimal(1).scaleb(-round_to) / 2
     cb = float(cstar)
+    # When fl(cstar) >= cstar, the exact-binary in-band compare below
+    # agrees with Spark's repr-based F.round on EVERY double: any y <
+    # fl(cstar) also has repr(y) < cstar (|repr(y) - y| < ulp/2). When
+    # fl(cstar) falls BELOW the real midpoint, the single double
+    # y = fl(cstar) has repr(y) == cstar (Spark keeps) but exact binary
+    # < cstar (binary compare drops) — so for those (threshold,
+    # round_to) args the recheck switches to the exact decimal Spark
+    # actually rounds, Decimal(repr(cos)) (ADVICE r6). Verified
+    # fl(0.3499995) > midpoint for the registered (0.35, 6) config.
+    _binary_mirrors_repr = Decimal(cb) >= cstar
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -713,7 +731,8 @@ def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
         for idx in np.flatnonzero(pair_ok & (np.abs(ca - cb) <= 1e-9)):
             i, j = iu[0][idx], iu[1][idx]
             cosx = _dot_py(V[i], V[j]) / (norms[i] * norms[j])
-            keep[idx] = Decimal(cosx) >= cstar
+            dec = Decimal(cosx) if _binary_mirrors_repr else Decimal(repr(cosx))
+            keep[idx] = dec >= cstar
         return pd.DataFrame({"cell_id": pdf["cell_id"].iloc[0],
                              "id_a": ids[iu[0][keep]],
                              "id_b": ids[iu[1][keep]]})

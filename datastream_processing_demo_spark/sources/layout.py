@@ -61,7 +61,15 @@ def _stats_session(spark: SparkSession) -> SparkSession:
         # per call, the exact accumulation the cache exists to prevent
         # (ADVICE r5)
         for k, s in list(_STATS_SESSIONS.items()):
-            if s.sparkContext._jsc is None or s.sparkContext._jsc.sc().isStopped():
+            # the liveness probe itself goes through py4j — against a
+            # torn-down gateway it raises instead of returning True, so
+            # any failure to answer "am I alive?" counts as dead (ADVICE r6)
+            try:
+                dead = (s.sparkContext._jsc is None
+                        or s.sparkContext._jsc.sc().isStopped())
+            except Exception:
+                dead = True
+            if dead:
                 del _STATS_SESSIONS[k]
         _STATS_SESSIONS[key] = sess
     return sess
