@@ -18,7 +18,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_session(EngineConfig(app_name="tests"))
+    # session.py pins RocksDB as the state-store provider (the at-scale
+    # store, SURVEY §2.1 ST2); set SPARK_GRAFT_STATESTORE to sweep the
+    # streaming suites under another provider (e.g. the default
+    # HDFSBackedStateStoreProvider) and pin provider-parity of results
+    extra = {}
+    provider = os.environ.get("SPARK_GRAFT_STATESTORE")
+    if provider:
+        extra["spark.sql.streaming.stateStore.providerClass"] = provider
+    s = get_session(EngineConfig(app_name="tests", extra_conf=extra))
     yield s
 
 

@@ -464,6 +464,43 @@ def test_rollup_cube_grouping_agrees(fuzz_ctx, expr, cond, form):
     assert got == want, f"divergence for {form} of {sql_txt} by {cond}"
 
 
+# ---- lane 9b: explicit GROUPING SETS (VERDICT r6 task #8) ----
+# ROLLUP/CUBE above walk the two fixed expansions; this lane fuzzes the
+# general form — a random nonempty FAMILY of subsets of the grouping
+# keys, including the empty set and repeated sets (both engines must
+# emit one result row-group PER LISTED SET, duplicates included).
+
+_GS_KEYS = ["l_returnflag", "l_linestatus", "(l_suppkey % 3)"]
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_int_expr(depth=2),
+       sets=st.lists(st.lists(st.integers(0, 2), min_size=0, max_size=3,
+                               unique=True),
+                     min_size=1, max_size=4))
+def test_grouping_sets_agree(fuzz_ctx, expr, sets):
+    from hypothesis import assume
+    spark, con, n_rows = fuzz_ctx
+    sql_txt, bound = expr
+    assume(bound <= (2 ** 62) // max(n_rows, 1))
+    rendered = ", ".join(
+        "(" + ", ".join(_GS_KEYS[i] for i in s) + ")" for s in sets)
+    # only keys that appear in SOME set are grouping columns — selecting
+    # (or GROUPING()-flagging) any other key is an analysis error in
+    # both engines
+    used = sorted({i for s in sets for i in s})
+    head = "".join(f"{_GS_KEYS[i]} AS k{i}, GROUPING({_GS_KEYS[i]}) "
+                   f"AS g{i}, " for i in used)
+    q = (f"SELECT {head}COUNT(*) AS n, SUM({sql_txt}) AS s "
+         f"FROM lineitem GROUP BY GROUPING SETS ({rendered})")
+    got = sorted((tuple(r) for r in spark.sql(q).collect()), key=_none_key)
+    want = sorted((tuple(r) for r in con.execute(q).fetchall()),
+                  key=_none_key)
+    assert got == want, f"divergence for GROUPING SETS ({rendered})"
+
+
 # ---- lane 10: SUBQUERY path (EXISTS / IN and their negations) ----
 # correlated EXISTS and (NOT) IN against orders with fuzzed predicates
 # on both sides — the decorrelation path and the three-valued NOT IN
@@ -1379,3 +1416,74 @@ def test_corpus_incremental_ingest_agrees(spark, corpus_con, docs, data):
     assert got == want, (
         f"incremental-ingest divergence on docs={docs!r} "
         f"is_new={is_new!r}\n  spark {got}\n  oracle {want}")
+
+
+# ---- lane 14: PIVOT / UNPIVOT paired rendering (VERDICT r6 task #8) ----
+# Spark executes the real PIVOT/UNPIVOT clauses; DuckDB executes their
+# SEMANTIC DEFINITION (conditional aggregation / UNION ALL) — the same
+# paired-rendering discipline as the higher-order array lane, because
+# the two engines spell pivot syntactically incompatibly (Spark:
+# `PIVOT (agg FOR col IN (v AS alias, ...))`; DuckDB: a PIVOT
+# *statement* with engine-generated column names). A divergence means
+# Spark's pivot path disagrees with its ANSI ground truth.
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_int_expr(depth=2), cond=_bool_expr(depth=1))
+def test_pivot_agrees(fuzz_ctx, expr, cond):
+    from hypothesis import assume
+    spark, con, n_rows = fuzz_ctx
+    sql_txt, bound = expr
+    assume(bound <= (2 ** 62) // max(n_rows, 1))
+    base = (f"SELECT l_linestatus, l_returnflag, {sql_txt} AS x "
+            f"FROM lineitem WHERE {cond}")
+    spark_q = (f"SELECT * FROM ({base}) "
+               f"PIVOT (SUM(x) FOR l_returnflag "
+               f"IN ('A' AS a, 'N' AS n, 'R' AS r))")
+    duck_q = (f"SELECT l_linestatus, "
+              f"SUM(CASE WHEN l_returnflag = 'A' THEN x END) AS a, "
+              f"SUM(CASE WHEN l_returnflag = 'N' THEN x END) AS n, "
+              f"SUM(CASE WHEN l_returnflag = 'R' THEN x END) AS r "
+              f"FROM ({base}) GROUP BY l_linestatus")
+    got = sorted((tuple(r) for r in spark.sql(spark_q).collect()),
+                 key=_none_key)
+    want = sorted((tuple(r) for r in con.execute(duck_q).fetchall()),
+                  key=_none_key)
+    assert got == want, f"PIVOT divergence for x={sql_txt} where {cond}"
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(e1=_int_expr(depth=2), e2=_int_expr(depth=2), cond=_bool_expr(depth=1),
+       include_nulls=st.booleans())
+def test_unpivot_agrees(fuzz_ctx, e1, e2, cond, include_nulls):
+    from hypothesis import assume
+    spark, con, n_rows = fuzz_ctx
+    s1, b1 = e1
+    s2, b2 = e2
+    assume(max(b1, b2) <= (2 ** 62) // max(n_rows, 1))
+    # pre-aggregate to a small wide frame with genuine NULLs (empty
+    # conditional-agg groups), then unpivot it: NULL handling is the
+    # trap — Spark UNPIVOT drops NULL measure rows unless INCLUDE NULLS
+    base = (f"SELECT l_linestatus, "
+            f"SUM(CASE WHEN ({cond}) THEN {s1} END) AS c1, "
+            f"SUM(CASE WHEN NOT ({cond}) THEN {s2} END) AS c2 "
+            f"FROM lineitem GROUP BY l_linestatus")
+    nulls = "INCLUDE NULLS" if include_nulls else ""
+    spark_q = (f"SELECT * FROM ({base}) "
+               f"UNPIVOT {nulls} (v FOR k IN (c1, c2))")
+    null_filter = "" if include_nulls else "WHERE v IS NOT NULL"
+    duck_q = (f"WITH w AS ({base}) "
+              f"SELECT * FROM ("
+              f"  SELECT l_linestatus, 'c1' AS k, c1 AS v FROM w "
+              f"  UNION ALL "
+              f"  SELECT l_linestatus, 'c2' AS k, c2 AS v FROM w) "
+              f"{null_filter}")
+    got = sorted((tuple(r) for r in spark.sql(spark_q).collect()),
+                 key=_none_key)
+    want = sorted((tuple(r) for r in con.execute(duck_q).fetchall()),
+                  key=_none_key)
+    assert got == want, f"UNPIVOT divergence ({nulls or 'drop nulls'})"

@@ -55,8 +55,82 @@ def _salt_tokens(texts: "np.ndarray", r: int) -> list[str]:
     return [" ".join(tok + tag for tok in t.split(" ")) for t in texts]
 
 
-def replicate(src: str, out: str, copies: int) -> None:
+# --- Zipf skew mode (VERDICT r6 task #2) --------------------------------
+# The uniform replicas are disjoint by construction, so no rehearsal has
+# stressed a HOT key: a hot (band, key) LSH bucket, a corpus-wide
+# repeated document, a dominant SemDeDup cell, a skewed join/agg key.
+# `--skew zipf` redirects a fraction of rows onto Zipf-α-ranked hot
+# values AFTER replication (so the hot keys are global, crossing the
+# replica salting). Fractions are sized so the hottest value is a real
+# stressor (10^4-10^5 rows on one key; 10^2 identical documents in one
+# bucket) without turning any verified-pair stage quadratic-unbounded.
+
+SKEW_KEYS = {
+    # table -> [(column, fraction of rows redirected)]
+    "orders": [("o_custkey", 0.30)],
+    "lineitem": [("l_orderkey", 0.20), ("l_partkey", 0.20),
+                 ("l_suppkey", 0.20)],
+    "events": [("user_id", 0.30)],
+}
+SKEW_DOC_FRAC = 0.05        # documents whose text becomes a hot duplicate
+SKEW_EMB_FRAC = 0.10        # embeddings pulled into one dominant cell
+SKEW_POOL = 1000            # number of distinct hot values (Zipf ranks)
+SKEW_SEED = 20260815
+
+
+def _zipf_pick(rng: "np.random.Generator", candidates: "np.ndarray",
+               size: int, alpha: float) -> "np.ndarray":
+    """Draw `size` values from the first SKEW_POOL candidates with
+    P(rank k) ∝ 1/k^alpha — rank 1 takes ~13% of redirected rows at
+    alpha=1.1/K=1000, giving one genuinely hot key."""
+    pool = candidates[:SKEW_POOL]
+    p = 1.0 / np.arange(1, len(pool) + 1) ** alpha
+    return pool[rng.choice(len(pool), size=size, p=p / p.sum())]
+
+
+def _apply_skew(big, t: str, rng, alpha: float):
+    import pandas as pd
+    n = len(big)
+    for col, frac in SKEW_KEYS.get(t, ()):
+        mask = rng.random(n) < frac
+        cands = np.sort(pd.unique(big[col].to_numpy()))
+        # existing values only — FK integrity across tables is preserved
+        big.loc[mask, col] = _zipf_pick(rng, cands, int(mask.sum()), alpha)
+        print(f"  skew {t}.{col}: {mask.sum()} rows -> {SKEW_POOL} hot keys")
+    if t == "documents":
+        mask = rng.random(n) < SKEW_DOC_FRAC
+        hot_rank = rng.choice(SKEW_POOL, size=int(mask.sum()),
+                              p=(lambda p: p / p.sum())(
+                                  1.0 / np.arange(1, SKEW_POOL + 1) ** alpha))
+        # hot texts = replica-0 (unsalted) texts, so the duplicates CROSS
+        # the replica salting — a corpus-wide repeated document
+        hot_texts = big["text"].to_numpy()[:SKEW_POOL]
+        big.loc[mask, "text"] = hot_texts[hot_rank]
+        big["n_chars"] = big["text"].str.len()
+        print(f"  skew documents.text: {mask.sum()} hot duplicates")
+    if t == "embeddings":
+        mask = rng.random(n) < SKEW_EMB_FRAC
+        idx = np.flatnonzero(mask)
+        hot = np.asarray(big["embedding"].iloc[0], dtype=np.float64)
+        dim = len(hot)
+        # tight deterministic cloud around one vector: every perturbed
+        # row lands in the same k-means cell (dominant cell) and every
+        # within-cloud cosine clears any sane dup threshold — the
+        # union-find and per-cell gram stage see one giant block
+        emb = big["embedding"].to_numpy()
+        for j, i in enumerate(idx):
+            v = hot.copy()
+            v[j % dim] += 1e-3 * (1 + j % 97)
+            emb[i] = v.tolist()
+        big["embedding"] = emb
+        print(f"  skew embeddings: {len(idx)} vectors -> 1 dominant cell")
+    return big
+
+
+def replicate(src: str, out: str, copies: int,
+              skew: str = "none", alpha: float = 1.1) -> None:
     os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(SKEW_SEED)
     for t in COPY_AS_IS:
         pq.write_table(pq.read_table(os.path.join(src, f"{t}.parquet")),
                        os.path.join(out, f"{t}.parquet"))
@@ -86,6 +160,8 @@ def replicate(src: str, out: str, copies: int) -> None:
             chunks.append(c)
         import pandas as pd
         big = pd.concat(chunks, ignore_index=True)
+        if skew == "zipf":
+            big = _apply_skew(big, t, rng, alpha)
         table = pa.Table.from_pandas(big, preserve_index=False,
                                      schema=base.schema)
         pq.write_table(table, os.path.join(out, f"{t}.parquet"))
@@ -97,8 +173,12 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--skew", choices=["none", "zipf"], default="none",
+                    help="zipf: redirect a fraction of keys/texts/vectors "
+                         "onto Zipf-ranked hot values (skew rehearsal)")
+    ap.add_argument("--alpha", type=float, default=1.1)
     args = ap.parse_args()
-    replicate(args.src, args.out, args.copies)
+    replicate(args.src, args.out, args.copies, args.skew, args.alpha)
 
 
 if __name__ == "__main__":
