@@ -193,6 +193,8 @@ def main() -> None:
                 _materialize(spec.spark(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(runs), 4)
+            if os.environ.get("SPARK_GRAFT_BENCH_PROGRESS"):
+                print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)

@@ -667,8 +667,6 @@ def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
     import numpy as np
     import pandas as pd
 
-    from .components import blocked_components
-
     cent = ivf_centroids_fast(corpus, n_cells, id_col, vec_col)
     cell_ids = np.array([cid for cid, _ in cent], dtype=np.int64)
 
@@ -709,39 +707,103 @@ def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
     # fl(0.3499995) > midpoint for the registered (0.35, 6) config.
     _binary_mirrors_repr = Decimal(cb) >= cstar
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_components(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Per-cell dup components, computed INSIDE the cell task.
+
+        The r6 spelling emitted every kept pair and ran union-find in a
+        second shuffle (blocked_components) — fine when dup pairs are
+        sparse, quadratic in rows SHIPPED when a cell is dup-dense: the
+        Zipf skew rehearsal's dominant cell (~2k mutually-dup vectors)
+        pushed ~2M pair rows through Arrow and made the lane 4.9x its
+        uniform time. Components never span cells (pairs are within-cell
+        by construction), so the union-find can run here and emit ONE
+        row per paired node. The cosine decisions are bit-identical to
+        the pair spelling: same blocked matmul, same epsilon band, same
+        exact-fold Decimal recheck. The gram is row-blocked so memory
+        stays ~B*n per task even for a corpus-sized cell."""
+        empty = pd.DataFrame({"cell_id": pd.Series([], dtype="int32"),
+                              "node": pd.Series([], dtype="int64"),
+                              "cluster_id": pd.Series([], dtype="int64")})
         if len(pdf) < 2:
-            return pd.DataFrame({"cell_id": pd.Series([], dtype="int32"),
-                                 "id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
+            return empty
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         V = np.stack(pdf["v"].to_numpy())[order]
+        n = len(ids)
         n2 = _seq_dot_rows(V, V)              # exact fold, reused in-band
         ok = n2 > 0                           # zero-norm: no defined cosine
         norms = np.sqrt(n2)
         safe = np.where(ok, norms, 1.0)
         Vn = V / safe[:, None]
-        cos = Vn @ Vn.T
-        iu = np.triu_indices(len(ids), k=1)
-        ca = cos[iu]
-        pair_ok = ok[iu[0]] & ok[iu[1]]
-        keep = pair_ok & (ca > cb + 1e-9)
-        for idx in np.flatnonzero(pair_ok & (np.abs(ca - cb) <= 1e-9)):
-            i, j = iu[0][idx], iu[1][idx]
-            cosx = _dot_py(V[i], V[j]) / (norms[i] * norms[j])
-            dec = Decimal(cosx) if _binary_mirrors_repr else Decimal(repr(cosx))
-            keep[idx] = dec >= cstar
-        return pd.DataFrame({"cell_id": pdf["cell_id"].iloc[0],
-                             "id_a": ids[iu[0][keep]],
-                             "id_b": ids[iu[1][keep]]})
 
-    pairs = (member.groupBy("cell_id")
-             .applyInPandas(cell_pairs,
-                            schema="cell_id int, id_a long, id_b long"))
-    comp = blocked_components(pairs, block_col="cell_id",
-                              src="id_a", dst="id_b")
+        def _min_prop(lab: "np.ndarray", ea: "np.ndarray",
+                      eb: "np.ndarray") -> "np.ndarray":
+            """Vectorized min-label propagation + pointer jumping over an
+            edge array until fixpoint — O(E) numpy work per round, a
+            handful of rounds (1 for a dup clique, log-ish for chains).
+            No per-pair Python: the Zipf dominant cell's ~2M dup pairs
+            reduce in a few minimum.at passes."""
+            while True:
+                before = lab.copy()
+                m = np.minimum(lab[ea], lab[eb])
+                np.minimum.at(lab, ea, m)
+                np.minimum.at(lab, eb, m)
+                while True:                    # pointer jumping
+                    nxt = lab[lab]
+                    if np.array_equal(nxt, lab):
+                        break
+                    lab = nxt
+                if np.array_equal(lab, before):
+                    return lab
+
+        # per row-block: decide pairs, then REDUCE the block's pair set
+        # to star edges (node -> block-local min label) before leaving
+        # the block, so accumulated edge memory is O(nodes), not
+        # O(pairs), even when a cell is one giant dup clique
+        star_u: list = []
+        star_v: list = []
+        idx = np.arange(n)
+        B = 2048
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            cosb = Vn[i0:i1] @ Vn.T
+            okb = ok[i0:i1, None] & ok[None, :]
+            upper = idx[None, :] > idx[i0:i1, None]
+            keep = okb & upper & (cosb > cb + 1e-9)
+            band = okb & upper & (np.abs(cosb - cb) <= 1e-9)
+            for bi, bj in zip(*np.nonzero(band)):
+                gi = i0 + int(bi)
+                cosx = _dot_py(V[gi], V[bj]) / (norms[gi] * norms[bj])
+                dec = (Decimal(cosx) if _binary_mirrors_repr
+                       else Decimal(repr(cosx)))
+                keep[bi, bj] = dec >= cstar
+            pi, pj = np.nonzero(keep)
+            if not len(pi):
+                continue
+            pu = pi + i0                       # global row index
+            nodes = np.unique(np.concatenate([pu, pj]))
+            lab = _min_prop(np.arange(len(nodes)),
+                            np.searchsorted(nodes, pu),
+                            np.searchsorted(nodes, pj))
+            star_u.append(nodes)
+            star_v.append(nodes[lab])
+        if not star_u:
+            return empty
+        # global pass over the (tiny) star-edge union: components of the
+        # union of per-block sub-components
+        eu = np.concatenate(star_u)
+        ev = np.concatenate(star_v)
+        lab = _min_prop(np.arange(n), eu, ev)
+        tn = np.unique(eu)                     # nodes in >=1 kept pair
+        return pd.DataFrame({"cell_id": pdf["cell_id"].iloc[0],
+                             "node": ids[tn],
+                             "cluster_id": ids[lab[tn]]})
+
+    comp = (member.groupBy("cell_id")
+            .applyInPandas(cell_components,
+                           schema="cell_id int, node long, cluster_id long")
+            .drop("cell_id"))
     labeled = (
         member.join(comp, member.vec_id == comp.node, "left")
         .select(member.vec_id, "cell_id",

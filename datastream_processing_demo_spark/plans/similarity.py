@@ -736,8 +736,10 @@ def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dyadic-free inputs (the multimodal _round_half_away argument);
         # Spark's F.round in the sparse lane uses the BigDecimal
         # shortest-decimal path — all three agree away from the
-        # measure-zero .5-boundary doubles
-        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        # measure-zero .5-boundary doubles. Keep the integer grid
+        # units: they drive the exact vectorized tiebreak below.
+        units = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+        cos = units / 1e6
         # mask pairs sharing NO token: the oracle's posting-list join only
         # emits pairs with >=1 common term, while the gram matrix scores
         # every same-source pair — a no-overlap cosine-0.0 row would rank
@@ -751,18 +753,33 @@ def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .to_numpy(np.float64)[keep])
         shared = (present @ present.T) > 0
         np.fill_diagonal(shared, False)         # exclude self
-        out = []
-        for i, did in enumerate(ids):
-            # top-3 by (cosine DESC, neighbor_id ASC) over candidates that
-            # share a term — full sort of one block row keeps the tiebreak
-            # exact
-            cand = np.flatnonzero(shared[i])
-            order = sorted(cand.tolist(),
-                           key=lambda j: (-cos[i, j], ids[j]))
-            for r, j in enumerate(order[:3], start=1):
-                out.append((did, ids[j], cos[i, j], r))
-        return pd.DataFrame(out, columns=["doc_id", "neighbor_id",
-                                          "cosine", "rank"])
+        # top-3 by (cosine DESC, neighbor_id ASC), fully vectorized: a
+        # per-doc Python sort over the shared-candidate sets went
+        # quadratic under the Zipf skew rehearsal (hot duplicate docs
+        # densify `shared`; the lane ran 2.3x its uniform time). The
+        # composite int64 key units*2^33 - col_index is exact: ids from
+        # the pivot index are ascending, so smaller column == smaller
+        # neighbor_id, and distinct (units, col) never collide.
+        col = np.arange(len(ids), dtype=np.int64)
+        key = np.where(shared, units * (1 << 33) - col[None, :],
+                       np.iinfo(np.int64).min)
+        k = min(3, key.shape[1])
+        part = np.argpartition(key, key.shape[1] - k, axis=1)[:, -k:]
+        sel = np.take_along_axis(key, part, axis=1)
+        # descending via reversed ASCENDING argsort: negating the int64
+        # sentinel overflows (-int64.min == int64.min) and would sort
+        # unshared entries FIRST; keys are distinct so no stability need
+        ord3 = np.argsort(sel, axis=1)[:, ::-1]
+        topj = np.take_along_axis(part, ord3, axis=1)
+        topk = np.take_along_axis(sel, ord3, axis=1)
+        # unshared sentinels sort last, so valid entries are a prefix of
+        # each sorted row and rank = position + 1
+        ri, rr = np.nonzero(topk != np.iinfo(np.int64).min)
+        nb = topj[ri, rr]
+        return pd.DataFrame({"doc_id": ids[ri],
+                             "neighbor_id": ids[nb],
+                             "cosine": cos[ri, nb],
+                             "rank": (rr + 1).astype(np.int32)})
 
     return (wv.groupBy("source").applyInPandas(
         gram, schema="doc_id long, neighbor_id long, cosine double, rank int")
