@@ -132,6 +132,102 @@ def _run_pipeline_regime(spark, msgs, n_msgs: int, prefix: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _run_stateful_regime(spark, df, n_rows: int, prefix: str,
+                         provider: str) -> dict:
+    """One run of the STATE-BOUND streaming regime: watermarked
+    cross-batch dedup over n_rows DISTINCT event ids chained into a
+    6h-window x user aggregate — two stateful operators whose store
+    grows across all 8 micro-batches. noop sink, so the number is the
+    source+state path, not sink I/O. `provider` pins the state-store
+    implementation for this query (set before start, restored after)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datastream_processing_demo_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench-state-")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    oldp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src_dir = os.path.join(work, "src")
+        df.repartition(8).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        spark.conf.set(conf_key, provider)
+        # state tasks are frozen per checkpoint from shuffle.partitions;
+        # 8 keeps per-batch scheduling cost honest for a single host
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        agg = (dedup_within_watermark(src, watermark="40 days")
+               .groupBy(F.window("ts", "6 hours"), "user_id")
+               .agg(F.count(F.lit(1)).alias("n")))
+        t0 = time.perf_counter()
+        q = (agg.writeStream.format("noop")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        finished = q.awaitTermination(timeout=600)
+        wall = time.perf_counter() - t0
+        if not finished:
+            q.stop()
+            return {f"{prefix}_msgs": n_rows,
+                    f"{prefix}_error": "stateful query not finished in 600s"}
+        return {f"{prefix}_msgs": n_rows,
+                f"{prefix}_wall_sec": round(wall, 4),
+                f"{prefix}_msgs_per_sec": round(n_rows / wall, 1)}
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+        spark.conf.set("spark.sql.shuffle.partitions", oldp)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _streaming_state_throughput(spark, sf_dir: str) -> dict:
+    """Stateful-regime throughput (VERDICT r6 task #6): the msgs/s
+    headline regimes are a stateless parse-route-sink pipeline; this
+    measures the regime where the STATE STORE is the bottleneck —
+    >= 1M distinct dedup keys + ~1M distinct (window, user) aggregate
+    keys growing across 8 micro-batches — under BOTH providers
+    (RocksDB = the engine/scale default, HDFSBacked = vanilla)."""
+    from pyspark.sql import functions as F
+
+    from datastream_processing_demo_spark.catalog import load_table
+
+    events = (load_table(spark, sf_dir, "events")
+              .select("event_id", "ts", "user_id", "event_type", "value"))
+    n = events.count()
+    reps = max(1, -(-1_000_000 // max(n, 1)))
+    base = (events
+            .withColumn("_rep", F.explode(
+                F.sequence(F.lit(0), F.lit(reps - 1))))
+            .withColumn("event_id", F.col("event_id").cast("long")
+                        + F.col("_rep").cast("long")
+                        * F.lit(1_000_000_000).cast("long"))
+            .withColumn("user_id", F.col("user_id").cast("long")
+                        + F.col("_rep").cast("long")
+                        * F.lit(1_000_000).cast("long"))
+            .drop("_rep"))
+    out: dict = {}
+    for tag, provider in (
+            ("rocksdb", "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider"),
+            ("hdfs", "org.apache.spark.sql.execution.streaming.state."
+                     "HDFSBackedStateStoreProvider")):
+        out.update(_run_stateful_regime(spark, base, n * reps,
+                                        f"streaming_state_{tag}", provider))
+    out["streaming_state_regime"] = (
+        f"dedup({n * reps} distinct ids) -> 6h-window x user agg "
+        f"({reps}x replicated distinct keys, 8 micro-batches, append, "
+        f"noop sink)")
+    return out
+
+
 def _streaming_throughput(spark, sf_dir: str) -> dict:
     """Two regimes, both reported (VERDICT r4 item 8):
 
@@ -211,6 +307,10 @@ def main() -> None:
         out.update(_streaming_throughput(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001 — never zero the batch numbers
         errors["_streaming"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        out.update(_streaming_state_throughput(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_streaming_state"] = f"{type(exc).__name__}: {exc}"[:500]
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -753,33 +753,38 @@ def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .to_numpy(np.float64)[keep])
         shared = (present @ present.T) > 0
         np.fill_diagonal(shared, False)         # exclude self
-        # top-3 by (cosine DESC, neighbor_id ASC), fully vectorized: a
-        # per-doc Python sort over the shared-candidate sets went
+        # top-3 by (cosine DESC, neighbor_id ASC), numpy per row: a
+        # per-doc PYTHON sort over the shared-candidate sets went
         # quadratic under the Zipf skew rehearsal (hot duplicate docs
-        # densify `shared`; the lane ran 2.3x its uniform time). The
-        # composite int64 key units*2^33 - col_index is exact: ids from
-        # the pivot index are ascending, so smaller column == smaller
-        # neighbor_id, and distinct (units, col) never collide.
-        col = np.arange(len(ids), dtype=np.int64)
-        key = np.where(shared, units * (1 << 33) - col[None, :],
-                       np.iinfo(np.int64).min)
-        k = min(3, key.shape[1])
-        part = np.argpartition(key, key.shape[1] - k, axis=1)[:, -k:]
-        sel = np.take_along_axis(key, part, axis=1)
-        # descending via reversed ASCENDING argsort: negating the int64
-        # sentinel overflows (-int64.min == int64.min) and would sort
-        # unshared entries FIRST; keys are distinct so no stability need
-        ord3 = np.argsort(sel, axis=1)[:, ::-1]
-        topj = np.take_along_axis(part, ord3, axis=1)
-        topk = np.take_along_axis(sel, ord3, axis=1)
-        # unshared sentinels sort last, so valid entries are a prefix of
-        # each sorted row and rank = position + 1
-        ri, rr = np.nonzero(topk != np.iinfo(np.int64).min)
-        nb = topj[ri, rr]
-        return pd.DataFrame({"doc_id": ids[ri],
-                             "neighbor_id": ids[nb],
-                             "cosine": cos[ri, nb],
-                             "rank": (rr + 1).astype(np.int32)})
+        # densify `shared`; the lane ran 2.3x its uniform time), while
+        # a fully-matrixed argpartition allocated extra n^2 int64
+        # buffers and regressed the UNIFORM case — per-row numpy
+        # selection pays neither. The composite int64 key
+        # units*2^33 - col is exact: the pivot index is ascending, so
+        # smaller column == smaller neighbor_id, and distinct
+        # (units, col) pairs never collide.
+        out_doc, out_nb, out_cos, out_rank = [], [], [], []
+        for i in range(len(ids)):
+            cand = np.flatnonzero(shared[i])
+            if not len(cand):
+                continue
+            key = units[i, cand] * (1 << 33) - cand
+            k = min(3, len(cand))
+            sel = np.argpartition(key, len(key) - k)[-k:]
+            top = cand[sel[np.argsort(key[sel])[::-1]]]
+            out_doc.append(np.full(k, ids[i]))
+            out_nb.append(ids[top])
+            out_cos.append(cos[i, top])
+            out_rank.append(np.arange(1, k + 1, dtype=np.int32))
+        if not out_doc:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64"),
+                                 "rank": pd.Series([], dtype="int32")})
+        return pd.DataFrame({"doc_id": np.concatenate(out_doc),
+                             "neighbor_id": np.concatenate(out_nb),
+                             "cosine": np.concatenate(out_cos),
+                             "rank": np.concatenate(out_rank)})
 
     return (wv.groupBy("source").applyInPandas(
         gram, schema="doc_id long, neighbor_id long, cosine double, rank int")
