@@ -531,17 +531,19 @@ def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_file_lineage", "sql_surface",
     oracle="""
-    WITH o AS (
-        SELECT event_id,
-               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
-               COUNT(*) OVER () AS n
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
         FROM events),
-    s AS (SELECT *, CAST(ceil(n / 5.0) AS BIGINT) AS step FROM o)
+    c AS (
+        SELECT event_id, ts,
+               (epoch_us(ts) - mn) * 5 // (mx - mn + 1) AS chunk
+        FROM events, b)
     SELECT event_id,
-           'chunk-' || lpad(CAST((rn // step) * step AS VARCHAR), 8, '0')
+           'chunk-' || lpad(CAST(chunk AS VARCHAR), 8, '0')
                || '.parquet' AS file_name,
-           rn % step AS row_index
-    FROM s
+           row_number() OVER (PARTITION BY chunk ORDER BY ts, event_id)
+               - 1 AS row_index
+    FROM c
     """,
     description="scan-time lineage stamping via _metadata (file_name, row_index)",
 )
@@ -551,8 +553,9 @@ def source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — free at scan time (no shuffle, no UDF), and the provenance
     # column a 100 TB ingest job carries end-to-end for audit/replay.
     # The oracle reconstructs the (file, row) assignment from the
-    # deterministic chunking (ts-ordered slices of ceil(n/5) rows) —
-    # so the lineage itself is exact-checked, not just row-counted.
+    # fixture's closed-form chunking (time-equal slices, each file
+    # (ts, event_id)-sorted — _stream_chunk_dir) — so the lineage
+    # itself is exact-checked, not just row-counted.
     from ..schemas import EVENTS
     from .streaming_live import _stream_chunk_dir
     d = _stream_chunk_dir(spark, sf_dir)

@@ -88,15 +88,38 @@ def _zipf_pick(rng: "np.random.Generator", candidates: "np.ndarray",
     return pool[rng.choice(len(pool), size=size, p=p / p.sum())]
 
 
-def _apply_skew(big, t: str, rng, alpha: float):
+def _skew_state(t: str, pdf) -> dict:
+    """Skew inputs derived from REPLICA 0 only (streaming-safe).
+
+    The old whole-table spelling sorted unique values and took the first
+    SKEW_POOL — replica 0 holds the globally smallest keys, so the hot
+    pool is identical; replica-0 keys/texts exist in the final table, so
+    FK integrity and the cross-replica hot-duplicate property are
+    preserved without ever materializing the concatenated table."""
     import pandas as pd
+    st: dict = {}
+    for col, frac in SKEW_KEYS.get(t, ()):
+        st[col] = np.sort(pd.unique(pdf[col].to_numpy()))
+    if t == "documents":
+        st["hot_texts"] = pdf["text"].to_numpy()[:SKEW_POOL].copy()
+    if t == "embeddings":
+        st["hot_vec"] = np.asarray(pdf["embedding"].iloc[0],
+                                   dtype=np.float64)
+    return st
+
+
+def _apply_skew(big, t: str, rng, alpha: float, st: dict,
+                row0: int) -> "object":
+    """Redirect a fraction of this CHUNK's rows onto the global hot pool.
+    `row0` = the chunk's offset in the concatenated table, so the
+    embedding perturbation pattern matches the old whole-table spelling."""
     n = len(big)
+    stats = []
     for col, frac in SKEW_KEYS.get(t, ()):
         mask = rng.random(n) < frac
-        cands = np.sort(pd.unique(big[col].to_numpy()))
-        # existing values only — FK integrity across tables is preserved
-        big.loc[mask, col] = _zipf_pick(rng, cands, int(mask.sum()), alpha)
-        print(f"  skew {t}.{col}: {mask.sum()} rows -> {SKEW_POOL} hot keys")
+        # replica-0 values only — FK integrity across tables is preserved
+        big.loc[mask, col] = _zipf_pick(rng, st[col], int(mask.sum()), alpha)
+        stats.append(f"{col}:{mask.sum()}")
     if t == "documents":
         mask = rng.random(n) < SKEW_DOC_FRAC
         hot_rank = rng.choice(SKEW_POOL, size=int(mask.sum()),
@@ -104,14 +127,13 @@ def _apply_skew(big, t: str, rng, alpha: float):
                                   1.0 / np.arange(1, SKEW_POOL + 1) ** alpha))
         # hot texts = replica-0 (unsalted) texts, so the duplicates CROSS
         # the replica salting — a corpus-wide repeated document
-        hot_texts = big["text"].to_numpy()[:SKEW_POOL]
-        big.loc[mask, "text"] = hot_texts[hot_rank]
+        big.loc[mask, "text"] = st["hot_texts"][hot_rank]
         big["n_chars"] = big["text"].str.len()
-        print(f"  skew documents.text: {mask.sum()} hot duplicates")
+        stats.append(f"text:{mask.sum()}")
     if t == "embeddings":
         mask = rng.random(n) < SKEW_EMB_FRAC
         idx = np.flatnonzero(mask)
-        hot = np.asarray(big["embedding"].iloc[0], dtype=np.float64)
+        hot = st["hot_vec"]
         dim = len(hot)
         # tight deterministic cloud around one vector: every perturbed
         # row lands in the same k-means cell (dominant cell) and every
@@ -120,10 +142,12 @@ def _apply_skew(big, t: str, rng, alpha: float):
         emb = big["embedding"].to_numpy()
         for j, i in enumerate(idx):
             v = hot.copy()
-            v[j % dim] += 1e-3 * (1 + j % 97)
+            v[(row0 + j) % dim] += 1e-3 * (1 + (row0 + j) % 97)
             emb[i] = v.tolist()
         big["embedding"] = emb
-        print(f"  skew embeddings: {len(idx)} vectors -> 1 dominant cell")
+        stats.append(f"emb:{len(idx)}")
+    if stats:
+        print(f"  skew {t}: {' '.join(stats)}")
     return big
 
 
@@ -138,7 +162,13 @@ def replicate(src: str, out: str, copies: int,
     for t, keys in KEY_COLS.items():
         base = pq.read_table(os.path.join(src, f"{t}.parquet"))
         pdf = base.to_pandas()
-        chunks = []
+        st = _skew_state(t, pdf) if skew == "zipf" else {}
+        # stream one replica per row group: memory stays O(one replica)
+        # regardless of --copies, which is what makes sf10 (100 copies,
+        # 60M-row lineitem) generable on this host
+        writer = pq.ParquetWriter(os.path.join(out, f"{t}.parquet"),
+                                  base.schema)
+        row0 = 0
         for r in range(copies):
             c = pdf.copy()
             for k in keys:
@@ -151,21 +181,23 @@ def replicate(src: str, out: str, copies: int,
                 # suffix edit distance 4 > the fuzzy-match bound (3), so
                 # cross-replica name pairs can't match and the TRUE
                 # fuzzy-join output scales linearly (unsalted names made
-                # it quadratic — every name recurs in all 10 replicas)
-                tag = " " + chr(ord("a") + r) * 4
+                # it quadratic — every name recurs in all 10 replicas).
+                # Repetition code: each base-26 digit of r repeated 4x,
+                # so ANY two replica tags differ in a whole 4-run and
+                # pairwise edit distance stays >= 4 past 26 replicas.
+                tag = " " + "".join(
+                    chr(ord("a") + (r // 26**i) % 26) * 4 for i in range(2))
                 c["p_name"] = c["p_name"] + tag
             if t == "embeddings" and r > 0:
                 c["embedding"] = [np.roll(np.asarray(v), r).tolist()
                                   for v in c["embedding"]]
-            chunks.append(c)
-        import pandas as pd
-        big = pd.concat(chunks, ignore_index=True)
-        if skew == "zipf":
-            big = _apply_skew(big, t, rng, alpha)
-        table = pa.Table.from_pandas(big, preserve_index=False,
-                                     schema=base.schema)
-        pq.write_table(table, os.path.join(out, f"{t}.parquet"))
-        print(f"{t}: {len(pdf)} -> {len(big)} rows")
+            if skew == "zipf":
+                c = _apply_skew(c, t, rng, alpha, st, row0)
+            writer.write_table(pa.Table.from_pandas(
+                c, preserve_index=False, schema=base.schema))
+            row0 += len(c)
+        writer.close()
+        print(f"{t}: {len(pdf)} -> {row0} rows x{copies}")
 
 
 def main() -> None:
