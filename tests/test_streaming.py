@@ -524,3 +524,40 @@ def test_concurrent_queries_share_one_source_dir(spark, stream_dir):
                .sort_values(key, ignore_index=True))
         want = fn(batch_src).toPandas().sort_values(key, ignore_index=True)
         assert got.equals(want), f"{name}: concurrent result != batch"
+
+
+def test_stream_chunk_dir_invariants(spark, sf_dir, tmp_path, monkeypatch):
+    """Pin the contract source_file_lineage's oracle reconstructs:
+    chunk id = (unix_micros(ts)-mn)*n div (mx-mn+1), exactly one
+    top-level chunk-{k:08d}.parquet per non-empty chunk, rows inside
+    each file (ts, event_id)-sorted, and mtimes strictly increasing in
+    k order (FileStreamSource replay order)."""
+    from datastream_processing_demo_spark.plans import streaming_live as sl
+
+    monkeypatch.setattr(sl, "_CACHE_ROOT", str(tmp_path))
+    d = sl._stream_chunk_dir(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(d, "chunk-*.parquet")))
+    assert files, "no chunk files written"
+    # replay order == k order
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    # no leftover partition dirs
+    assert not glob.glob(os.path.join(d, "chunk=*"))
+
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(F.min(F.unix_micros("ts")).alias("mn"),
+                 F.max(F.unix_micros("ts")).alias("mx")).collect()[0]
+    span = rng["mx"] - rng["mn"] + 1
+    total = 0
+    for f in files:
+        k = int(os.path.basename(f)[len("chunk-"):-len(".parquet")])
+        pdf = pq.read_table(f).to_pandas()
+        total += len(pdf)
+        us = (pdf["ts"].astype("datetime64[us]").astype("int64")
+              if pdf["ts"].dtype != "int64" else pdf["ts"])
+        chunk_ids = (us - rng["mn"]) * 5 // span
+        assert (chunk_ids == k).all(), f"row in {f} outside its time slice"
+        # in-file order = (ts, event_id) sorted — what row_index encodes
+        key = list(zip(us.tolist(), pdf["event_id"].tolist()))
+        assert key == sorted(key), f"{f} not (ts, event_id)-sorted"
+    assert total == ev.count()
