@@ -717,64 +717,142 @@ def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gram(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        mat = (pdf.pivot_table(index="doc_id", columns="w", values="wt",
-                               aggfunc="sum", fill_value=0)
-               .astype(np.float64))
-        ids = mat.index.to_numpy()
-        m = mat.to_numpy()
-        g = m @ m.T                       # exact: integer values < 2^53
+        # factorize + scatter, NOT pivot_table: pandas' pivot spent 40 s
+        # on a 25k×3100 group (sf10) where the direct scatter takes
+        # ~0.5 s — (doc_id, w) is unique after the tf aggregation, so
+        # plain assignment builds the exact same dense matrix.
+        di, dvals = pd.factorize(pdf["doc_id"], sort=True)
+        wi, _ = pd.factorize(pdf["w"], sort=True)
+        ids = np.asarray(dvals)
+        m = np.zeros((len(ids), wi.max() + 1), dtype=np.float64)
+        m[di, wi] = pdf["wt"].to_numpy(np.float64)
         # zero-norm docs (all idf-grid weights 0) have no defined
-        # cosine — drop them, matching both lanes' oracle HAVING
-        keep = np.diag(g) > 0
-        ids, m, g = ids[keep], m[keep], g[np.ix_(keep, keep)]
-        if len(ids) == 0:
+        # cosine — drop them, matching both lanes' oracle HAVING.
+        # Row self-dots (exact: wt² ≤ 2.5e11, ≤vocab terms → < 2^53)
+        # replace the full-gram diagonal the untiled spelling used.
+        norm2 = (m * m).sum(axis=1)
+        keep = norm2 > 0
+        ids, m, norm2 = ids[keep], m[keep], norm2[keep]
+        n = len(ids)
+        if n == 0:
             return pd.DataFrame(columns=["doc_id", "neighbor_id",
                                          "cosine", "rank"])
-        norm = np.sqrt(np.diag(g))
-        cos = g / np.outer(norm, norm)
-        # half-away ROUND(,6): reproduces DuckDB's round on these exact
-        # dyadic-free inputs (the multimodal _round_half_away argument);
-        # Spark's F.round in the sparse lane uses the BigDecimal
-        # shortest-decimal path — all three agree away from the
-        # measure-zero .5-boundary doubles. Keep the integer grid
-        # units: they drive the exact vectorized tiebreak below.
-        units = np.floor(cos * 1e6 + 0.5).astype(np.int64)
-        cos = units / 1e6
-        # mask pairs sharing NO token: the oracle's posting-list join only
-        # emits pairs with >=1 common term, while the gram matrix scores
-        # every same-source pair — a no-overlap cosine-0.0 row would rank
-        # here but not there on corpora sparser than this fixture. The
-        # indicator comes from token PRESENCE, not wt != 0: the idf grid
-        # rounds corpus-saturating terms to weight 0, and a pair sharing
-        # only such a term is still a (dot=0, cosine 0.0) oracle row.
-        present = (pdf.assign(_one=1)
-                   .pivot_table(index="doc_id", columns="w", values="_one",
-                                aggfunc="max", fill_value=0)
-                   .to_numpy(np.float64)[keep])
-        shared = (present @ present.T) > 0
-        np.fill_diagonal(shared, False)         # exclude self
-        # top-3 by (cosine DESC, neighbor_id ASC), numpy per row: a
-        # per-doc PYTHON sort over the shared-candidate sets went
-        # quadratic under the Zipf skew rehearsal (hot duplicate docs
-        # densify `shared`; the lane ran 2.3x its uniform time), while
-        # a fully-matrixed argpartition allocated extra n^2 int64
-        # buffers and regressed the UNIFORM case — per-row numpy
-        # selection pays neither. The composite int64 key
-        # units*2^33 - col is exact: the pivot index is ascending, so
-        # smaller column == smaller neighbor_id, and distinct
-        # (units, col) pairs never collide.
+        norm = np.sqrt(norm2)
+        # token-PRESENCE matrix (not wt != 0: the idf grid rounds
+        # corpus-saturating terms to weight 0, and a pair sharing only
+        # such a term is still a (dot=0, cosine 0.0) oracle row).
+        # uint8 storage; tiles cast to float32 for the matmul — shared
+        # counts ≤ vocab < 2^24, exact in float32.
+        present = np.zeros(
+            (len(keep), m.shape[1]), dtype=np.uint8)
+        present[di, wi] = 1
+        present = present[keep]
+
+        # TILED gram: the one-shot n×n spelling allocated O(n²) for the
+        # gram + cosine + shared-mask matrices — at sf10 (25k docs per
+        # source) that is ~5 GB EACH across 20 concurrent workers and
+        # the kernel OOM-killed the JVM. Tiles of T keep peak memory
+        # O(docs×vocab + T²); per-row running top-3 merges tile results.
+        # BLOCK-SPARSE SKIP: rows are clustered by their first present
+        # token column, tiles carry a vocab mask, and a tile pair with
+        # disjoint vocab is skipped — provably output-identical (every
+        # pair in it shares no token, so `shared` masks it to the
+        # sentinel anyway). On a corpus of vocab-disjoint segments
+        # (sf10's salted replicas: 100 segments/source) the work drops
+        # from O(n²·vocab) to the diagonal band; on a genuinely dense
+        # corpus the masks all intersect and the only cost is the
+        # mask test. Composite int64 key: units*2^33 - orig_rank is
+        # exact (units ∈ [0,1e6], rank < 2^33, weights ≥ 0 so
+        # cosine ≥ 0). The tie-break rank must be the doc's position in
+        # the PRE-clustering (doc_id-ascending) order — after the
+        # clustering permutation, matrix position no longer tracks
+        # doc_id, and a rounded-cosine tie between two neighbors from
+        # different clusters would otherwise rank by cluster position
+        # instead of the oracle's neighbor_id ASC.
+        order0 = np.argsort(present.argmax(axis=1), kind="stable")
+        ids, m, norm = ids[order0], m[order0], norm[order0]
+        present = present[order0]
+        # orig_rank[p] = doc_id-ascending rank of the row now at
+        # (reordered) position p
+        orig_rank = order0.astype(np.int64)
+        T = 1024
+        SENT = np.iinfo(np.int64).min
+        best_key = np.full((n, 3), SENT, dtype=np.int64)
+        best_col = np.zeros((n, 3), dtype=np.int64)
+        starts = list(range(0, n, T))
+        tile_mask = [present[t:min(t + T, n)].any(axis=0) for t in starts]
+        for jt, j0 in enumerate(starts):
+            j1 = min(j0 + T, n)
+            for it, i0 in enumerate(starts):
+                # COLUMN PRUNING: only columns active in BOTH tiles can
+                # contribute to a dot product or a shared-token flag
+                # (elsewhere one factor is zero) — slicing to the
+                # intersection keeps the math exact and cuts the flops
+                # to the tile pair's true vocabulary overlap.
+                cols = np.flatnonzero(tile_mask[it] & tile_mask[jt])
+                if not len(cols):
+                    continue
+                i1 = min(i0 + T, n)
+                # ROW PRUNING: a row inactive in the tile pair's shared
+                # vocabulary shares no token with ANY row of the other
+                # tile (its dot and shared flag are identically zero),
+                # so it can produce no candidate — drop it before the
+                # O(rows_i × rows_j) elementwise stages, which otherwise
+                # dominate once the matmul is column-pruned.
+                pi = present[i0:i1][:, cols]
+                pj = present[j0:j1][:, cols]
+                ri = np.flatnonzero(pi.any(axis=1))
+                rj = np.flatnonzero(pj.any(axis=1))
+                if not len(ri) or not len(rj):
+                    continue
+                gi = i0 + ri                 # global row ids, tile i
+                gj = (j0 + rj).astype(np.int64)
+                mi = m[i0:i1][np.ix_(ri, cols)]
+                mj = m[j0:j1][np.ix_(rj, cols)]
+                g = mi @ mj.T               # exact: integer dots < 2^53
+                cosb = g / np.outer(norm[gi], norm[gj])
+                # half-away ROUND(,6): reproduces DuckDB's round on
+                # these exact dyadic-free inputs (the multimodal
+                # _round_half_away argument); Spark's F.round in the
+                # sparse lane uses the BigDecimal shortest-decimal path
+                # — all three agree away from the measure-zero
+                # .5-boundary doubles.
+                units = np.floor(cosb * 1e6 + 0.5).astype(np.int64)
+                shared = (pi[ri].astype(np.float32)
+                          @ pj[rj].T.astype(np.float32)) > 0
+                if i0 == j0:
+                    # same tile, same row subset: the diagonal is the
+                    # self-pair
+                    np.fill_diagonal(shared, False)
+                key = np.where(shared,
+                               units * (1 << 33) - orig_rank[gj], SENT)
+                k = min(3, len(gj))
+                sel = np.argpartition(key, key.shape[1] - k,
+                                      axis=1)[:, -k:]
+                rows = np.arange(len(gi))[:, None]
+                cand_key = key[rows, sel]
+                cand_col = gj[sel]
+                # merge tile top-k into the running top-3 per row.
+                # Ascending argsort reversed — negating the key would
+                # wrap the int64-min sentinel onto itself and rank it
+                # first. Keys are unique per (units, col) (col tiles are
+                # disjoint), so no stability requirement.
+                all_key = np.concatenate([best_key[gi], cand_key], axis=1)
+                all_col = np.concatenate([best_col[gi], cand_col], axis=1)
+                order = np.argsort(all_key, axis=1)[:, ::-1][:, :3]
+                best_key[gi] = all_key[rows, order]
+                best_col[gi] = all_col[rows, order]
         out_doc, out_nb, out_cos, out_rank = [], [], [], []
-        for i in range(len(ids)):
-            cand = np.flatnonzero(shared[i])
-            if not len(cand):
-                continue
-            key = units[i, cand] * (1 << 33) - cand
-            k = min(3, len(cand))
-            sel = np.argpartition(key, len(key) - k)[-k:]
-            top = cand[sel[np.argsort(key[sel])[::-1]]]
+        valid = best_key > SENT
+        n_valid = valid.sum(axis=1)
+        for i in np.flatnonzero(n_valid):
+            k = int(n_valid[i])
+            cols = best_col[i, :k]
+            # units back out of the composite key exactly
+            u = (best_key[i, :k] + orig_rank[cols]) >> 33
             out_doc.append(np.full(k, ids[i]))
-            out_nb.append(ids[top])
-            out_cos.append(cos[i, top])
+            out_nb.append(ids[cols])
+            out_cos.append(u / 1e6)
             out_rank.append(np.arange(1, k + 1, dtype=np.int32))
         if not out_doc:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
