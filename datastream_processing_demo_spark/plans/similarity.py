@@ -710,9 +710,14 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TF-IDF cosine top-3 via per-source dense gram matrix in applyInPandas (block-local numpy matmul, zero posting shuffle)",
 )
 def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     import pandas as pd
 
     wv = _tfidf_weights(spark, sf_dir)
+    # driver-side read, closed over by the UDF: lets tests shrink the
+    # tile to force multi-tile merges on tiny corpora (the fuzz lane)
+    tile = int(os.environ.get("SPARK_GRAFT_GRAM_TILE", "1024"))
 
     def gram(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -775,7 +780,7 @@ def sim_tfidf_cosine_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         # orig_rank[p] = doc_id-ascending rank of the row now at
         # (reordered) position p
         orig_rank = order0.astype(np.int64)
-        T = 1024
+        T = tile
         SENT = np.iinfo(np.int64).min
         best_key = np.full((n, 3), SENT, dtype=np.int64)
         best_col = np.zeros((n, 3), dtype=np.int64)

@@ -1080,3 +1080,72 @@ def test_incremental_ingest_from_persisted_index(spark, sf_dir, tmp_path):
         corpus_bands=spark.read.parquet(idx_path)).collect()}
     assert inline == reloaded
     assert any(not r[3] for r in inline)   # fixture exercises drops
+
+
+def test_tfidf_lanes_agree_property(spark, tmp_path):
+    """Random-corpus property behind the r7 block-sparse gram rewrite:
+    on corpora drawn from a small vocabulary (the natural generator of
+    duplicate docs — rounded-cosine ties at exactly 1.0 — plus
+    vocab-disjoint islands that exercise the tile skip, zero-weight
+    saturating terms, and single-doc sources), the dense tiled lane
+    and the sparse posting-join lane must emit identical
+    (doc_id, neighbor_id, cosine, rank) rows. SPARK_GRAFT_GRAM_TILE=2
+    forces MULTI-TILE merges on these tiny corpora, covering the
+    running-top-3 merge, the row/column pruning, and the
+    pre-clustering-rank tie-break that a matrix-position key would get
+    wrong."""
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastream_processing_demo_spark.plans.similarity import (
+        sim_tfidf_cosine_topk, sim_tfidf_cosine_topk_dense)
+
+    # two vocab islands that never co-occur in one doc + one bridge
+    # token: pairs across islands only exist through the bridge
+    island_a = ["apple", "berry", "cedar"]
+    island_b = ["xenon", "yttrium", "zinc"]
+    doc_a = st.lists(st.sampled_from(island_a), min_size=1, max_size=4)
+    doc_b = st.lists(st.sampled_from(island_b), min_size=1, max_size=4)
+    doc_bridge = st.lists(st.sampled_from(island_a[:1] + island_b[:1]
+                                          + ["bridge"]),
+                          min_size=1, max_size=3)
+    corpus = st.lists(st.one_of(doc_a, doc_b, doc_bridge),
+                      min_size=2, max_size=14)
+
+    @settings(max_examples=12, deadline=None)
+    @given(docs=corpus, n_sources=st.sampled_from([1, 2]),
+           dup_first=st.booleans())
+    def agree(docs, n_sources, dup_first):
+        import pandas as pd
+
+        if dup_first:   # guaranteed cosine-1.0 tie mass
+            docs = docs + [docs[0], docs[0]]
+        pdf = pd.DataFrame({
+            "doc_id": range(1, len(docs) + 1),
+            "source": [f"s{i % n_sources}" for i in range(len(docs))],
+            "text": [" ".join(d) for d in docs],
+        })
+        d = tmp_path / f"c{abs(hash(str(docs))) % 10**9}_{n_sources}{dup_first}"
+        d.mkdir(exist_ok=True)
+        pdf.to_parquet(d / "documents.parquet")
+        sf = str(d)
+        old = os.environ.get("SPARK_GRAFT_GRAM_TILE")
+        os.environ["SPARK_GRAFT_GRAM_TILE"] = "2"
+        try:
+            dense = {tuple(r) for r in
+                     sim_tfidf_cosine_topk_dense(spark, sf).collect()}
+        finally:
+            if old is None:
+                os.environ.pop("SPARK_GRAFT_GRAM_TILE", None)
+            else:
+                os.environ["SPARK_GRAFT_GRAM_TILE"] = old
+        sparse = {tuple(r) for r in
+                  sim_tfidf_cosine_topk(spark, sf).collect()}
+        assert dense == sparse, (
+            f"lane divergence on docs={docs!r} sources={n_sources}\n"
+            f"  dense-only={sorted(dense - sparse)}\n"
+            f"  sparse-only={sorted(sparse - dense)}")
+
+    agree()
