@@ -275,6 +275,15 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (9 blocks x 7 bits) stays available via
     # operators.dedup.simhash_near_pairs defaults, with
     # dedup_simhash_portable + dedup_simhash_recall gating it.
+    # HONEST BOUNDARY (r7, first out-of-gate oracle sweep): the
+    # "output == all-pairs truth" equivalence is RADIUS-CONTINGENT.
+    # At sf1 (uniform AND Zipf-skewed) 3 of 2490 true pairs sit at
+    # hamming 11-14 and escape the radius-10 pigeonhole — recall
+    # 99.88%, the intrinsic SimHash trade every production deployment
+    # prices (the dial: wider hash -> wider radius at the same block
+    # width). The driver gate's SFs measure max true-pair hamming
+    # 5-10, so oracle parity holds there; BASELINE.md r7 records the
+    # sf1 measurement.
     oracle="""
     WITH sh AS (
         SELECT doc_id,
