@@ -1,8 +1,13 @@
 """Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (<= TAIL_BUDGET chars, so the driver's
+2000-char stdout tail always parses):
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+and writes the FULL artifact (regime strings, msg counts, untrimmed
+floats, full error text) to BENCH_LOCAL.json (override with
+$SPARK_GRAFT_BENCH_OUT). Run tools/preflight_bench.py before round end
+to prove the tail-parse contract on the freshest artifact.
 
 Protocol (BASELINE.md): wall-clock sec/query, median of 3 warm runs
 (1 untimed warm-up first), full materialization through the noop sink
@@ -22,6 +27,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datastream_processing_demo_spark.plans.registry import all_queries
 from datastream_processing_demo_spark.session import EngineConfig, get_session
+
+# The driver records only a 2000-char stdout TAIL and parses the last
+# line as JSON. BENCH_r07/r08 were lost (`parsed: null`) because the
+# full JSON line outgrew that tail. Contract now: the FULL artifact is
+# written to BENCH_LOCAL.json (committed per round), and stdout gets a
+# compact line guaranteed <= TAIL_BUDGET chars (see slim_line()).
+TAIL_BUDGET = 1950  # tail is 2000; leave headroom for the trailing newline
+FULL_OUT = os.environ.get(
+    "SPARK_GRAFT_BENCH_OUT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_LOCAL.json"))
+
+
+def slim_line(out: dict, budget: int = TAIL_BUDGET) -> str:
+    """Compact one-line JSON that always fits the driver's stdout tail.
+
+    Keeps the per-query medians (the judge's primary record) and the
+    streaming throughput headlines; sheds redundancy in degrade steps —
+    everything shed is still in BENCH_LOCAL.json:
+      1. regime descriptions + msg counts out; floats trimmed
+      2. non-latency wall_secs out (derivable from msgs/rate in the file)
+      3. error details -> error names
+      4. query medians at 2dp
+      5. (last resort) fastest queries dropped, count noted
+    """
+    def build(qdp: int, err_chars, keep_walls: bool, drop_n: int = 0) -> str:
+        slim: dict = {}
+        for k, v in out.items():
+            if k.endswith("_regime") or k.endswith("_msgs") or k == "unit":
+                continue
+            if k == "queries":
+                items = sorted(v.items(), key=lambda kv: -kv[1])
+                if drop_n:
+                    items = items[:max(1, len(items) - drop_n)]
+                slim[k] = {n: round(t, qdp) for n, t in items}
+                if drop_n:
+                    slim["queries_omitted"] = drop_n
+            elif k == "errors":
+                slim[k] = (sorted(v) if err_chars is None
+                           else {n: m[:err_chars] for n, m in v.items()})
+            elif k.endswith("_wall_sec"):
+                if keep_walls or k == "streaming_wall_sec":
+                    slim[k] = round(v, 2)
+            elif k.endswith("_msgs_per_sec"):
+                slim[k] = int(v)
+            elif isinstance(v, float):
+                slim[k] = round(v, 2)
+            else:
+                slim[k] = v
+        slim["full"] = os.path.basename(FULL_OUT)
+        return json.dumps(slim, separators=(",", ":"))
+
+    for qdp, err_chars, keep_walls in (
+            (3, 120, True), (3, 120, False), (3, None, False),
+            (2, None, False)):
+        s = build(qdp, err_chars, keep_walls)
+        if len(s) <= budget:
+            return s
+    for drop_n in range(1, len(out.get("queries", {})) + 1):
+        s = build(2, None, False, drop_n)
+        if len(s) <= budget:
+            return s
+    return build(2, None, False)[:budget]  # unreachable in practice
+
+
+def emit(out: dict) -> str:
+    """Write the full artifact to FULL_OUT; return the stdout line."""
+    with open(FULL_OUT, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"bench: full artifact -> {FULL_OUT}", file=sys.stderr)
+    return slim_line(out)
+
 
 HEADLINE = [
     "q1_pricing_summary",      # scan + filter + hash agg + sort
@@ -274,12 +351,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(EngineConfig(app_name="bench"))
     specs = all_queries()
+    # Debug/re-median aid: SPARK_GRAFT_BENCH_ONLY="q1,q2" runs just those
+    # queries and skips the streaming regimes (they dominate wall time).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = ([q for q in only.split(",") if q] if only else HEADLINE)
 
     # Fault-isolated: one broken query records an error string and the
     # suite keeps going — a single failure must never zero the round.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         try:
             spec = specs[name]
             _materialize(spec.spark(spark, sf_dir))  # warm-up (scan cache, JIT)
@@ -303,17 +384,18 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    try:
-        out.update(_streaming_throughput(spark, sf_dir))
-    except Exception as exc:  # noqa: BLE001 — never zero the batch numbers
-        errors["_streaming"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        out.update(_streaming_state_throughput(spark, sf_dir))
-    except Exception as exc:  # noqa: BLE001
-        errors["_streaming_state"] = f"{type(exc).__name__}: {exc}"[:500]
+    if not only:
+        try:
+            out.update(_streaming_throughput(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — never zero the batch numbers
+            errors["_streaming"] = f"{type(exc).__name__}: {exc}"[:500]
+        try:
+            out.update(_streaming_state_throughput(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors["_streaming_state"] = f"{type(exc).__name__}: {exc}"[:500]
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    print(emit(out))
 
 
 if __name__ == "__main__":

@@ -992,3 +992,179 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.join(F.broadcast(thresh), "lang")
             .filter(draw < F.col("t_s"))
             .select("doc_id", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# fn_string_distance scale lanes (VERDICT r7 task #3 / r8 task #3)
+#
+# The distinct-name-matrix lane above is quadratic in DISTINCT names —
+# the right trade at <=10k names (SCALE.md), 13x/decade past that. The
+# scale swap is PassJoin segment-pigeonhole candidate generation (Li,
+# Deng, Feng: "PassJoin: A Partition-based Method for Similarity Joins",
+# PVLDB 5(3), public algorithm): split every indexed name into D+1
+# contiguous segments; if edit(a, b) <= D then at least one segment of
+# the SHORTER string survives unedited and appears verbatim in the
+# longer one, shifted by at most D. Candidate generation is therefore an
+# EQUI-join on (segment text, segment index, indexed length) — linear
+# index (D+1 rows/name), bounded probe fan-out ((D+1) lengths x (D+1)
+# segments x (2D+1) positions ~ 112 keys/name at D=3) — instead of the
+# N² name matrix. The bounded-levenshtein verify is shared with the
+# matrix lane, so both lanes emit identical rows by construction and
+# carry the SAME oracle.
+_SD_BOUND = 3                      # the query's edit-distance threshold
+_SD_SEGMENTS = _SD_BOUND + 1       # pigeonhole segment count
+# matrix lane wins while distinct-names² bounded-DP calls stay cheaper
+# than the posting machinery (SCALE.md: 6.4k names = 29 s at sf10; the
+# crossover measured in tests/test_string_distance_lanes.py)
+STRING_DISTANCE_MATRIX_CAP = 10_000
+
+
+def _sd_segment_cols(l_col: str):
+    """Segment geometry for splitting a length-`l_col` string into
+    _SD_SEGMENTS contiguous pieces: first (K - l%K) of length l DIV K,
+    the rest one longer. Returns (seg_len, seg_start) column exprs for a
+    row that already has an `i` segment-index column."""
+    base = F.expr(f"{l_col} DIV {_SD_SEGMENTS}")
+    rem = F.col(l_col) % _SD_SEGMENTS
+    n_short = F.lit(_SD_SEGMENTS) - rem
+    seg_len = base + F.when(F.col("i") >= n_short, 1).otherwise(0)
+    seg_start = (F.col("i") * base
+                 + F.greatest(F.lit(0), F.col("i") - n_short))
+    return seg_len, seg_start
+
+
+def _sd_passjoin_name_pairs(dn: DataFrame) -> DataFrame:
+    """All ordered pairs (name_a, name_b, edit_dist) with
+    edit_dist <= _SD_BOUND over the distinct-name table `dn` (one
+    string column `p_name`) — the PassJoin way.
+
+    Index side: D+1 (segment, index, length) rows per name.
+    Probe side: for each name of length m, every substring that a
+    segment of a MATCHING shorter name (length l in [m-D, m]) could
+    occupy — segment-length substrings at starts within +-D of the
+    segment's home position. Equi-join, dedupe, bounded-DP verify,
+    then symmetrize and add the trivial self-pairs (distance 0), so
+    the output contract is identical to the matrix lane's name_pairs.
+    """
+    seg_idx = F.explode(
+        F.sequence(F.lit(0), F.lit(_SD_SEGMENTS - 1))).alias("i")
+    n = dn.select(F.col("p_name").alias("name"),
+                  F.length("p_name").alias("l"))
+
+    seg_len, seg_start = _sd_segment_cols("l")
+    idx = (n.select("name", "l", seg_idx)
+           .withColumn("seg_len", seg_len)
+           .withColumn("seg_start", seg_start)
+           .select(F.col("name").alias("name_idx"), "l", "i",
+                   F.expr("substring(name, seg_start + 1, seg_len)")
+                   .alias("seg")))
+
+    pr = (n.select(F.col("name").alias("probe"), F.col("l").alias("m"))
+          .withColumn("l", F.explode(F.sequence(
+              F.greatest(F.lit(1), F.col("m") - _SD_BOUND), F.col("m"))))
+          .select("probe", "m", "l", seg_idx))
+    seg_len, seg_start = _sd_segment_cols("l")
+    pr = (pr.withColumn("seg_len", seg_len)
+          .withColumn("seg_start", seg_start)
+          # pigeonhole shift window: an unedited segment moves <= D
+          .withColumn("p", F.explode(F.sequence(
+              F.greatest(F.lit(0), F.col("seg_start") - _SD_BOUND),
+              F.least(F.col("m") - F.col("seg_len"),
+                      F.col("seg_start") + _SD_BOUND))))
+          .select("probe", "m", "l", "i",
+                  F.expr("substring(probe, p + 1, seg_len)").alias("sub")))
+
+    # Both join sides grow linearly with distinct names (index 4/name,
+    # probe ~112/name) — at the >=10^5-name cardinalities this lane is
+    # FOR, neither fits a broadcast (50k names already OOMed the
+    # driver's auto-broadcast). Pin the scalable plan: shuffled hash
+    # join building on the 28x-smaller index side.
+    cand = (idx.hint("shuffle_hash")
+            .join(pr, (idx["seg"] == pr["sub"])
+                     & (idx["l"] == pr["l"]) & (idx["i"] == pr["i"])
+                     # unordered pairs: shorter (or lex-smaller on ties)
+                     # name is always the indexed side
+                     & ((idx["l"] < pr["m"])
+                        | ((idx["l"] == pr["m"])
+                           & (idx["name_idx"] < pr["probe"]))))
+            .select("name_idx", "probe").distinct())
+
+    dist = F.levenshtein(F.col("name_idx"), F.col("probe"), _SD_BOUND)
+    verified = (cand.select("name_idx", "probe", dist.alias("edit_dist"))
+                .filter(F.col("edit_dist") >= 0))
+    return (verified
+            .select(F.col("name_idx").alias("name_a"),
+                    F.col("probe").alias("name_b"), "edit_dist")
+            .unionAll(verified.select(
+                F.col("probe").alias("name_a"),
+                F.col("name_idx").alias("name_b"), "edit_dist"))
+            .unionAll(dn.select(
+                F.col("p_name").alias("name_a"),
+                F.col("p_name").alias("name_b"),
+                F.lit(0).alias("edit_dist"))))
+
+
+def _sd_fanout(p: DataFrame, name_pairs: DataFrame) -> DataFrame:
+    """Shared tail of both lanes: broadcast the surviving name pairs and
+    fan them back out to brand-blocked id pairs — enumerated rows = the
+    OUTPUT, never a block square."""
+    a, b = p.alias("a"), p.alias("b")
+    return (a.join(F.broadcast(name_pairs),
+                   F.col("a.p_name") == F.col("name_a"))
+            .join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                  & (F.col("b.p_name") == F.col("name_b"))
+                  & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+            .select(F.col("a.p_partkey").alias("a_key"),
+                    F.col("b.p_partkey").alias("b_key"),
+                    F.col("a.p_name").alias("a_name"),
+                    F.col("b.p_name").alias("b_name"),
+                    "edit_dist"))
+
+
+def string_distance_lane_decision(
+        spark: SparkSession, sf_dir: str,
+        matrix_cap: int = STRING_DISTANCE_MATRIX_CAP) -> dict:
+    """The pick-by-cardinality rule as EXECUTABLE code (the
+    tfidf_lane_decision pattern): one metadata-scale count decides.
+    matrix work ~ n_distinct² bounded-DP calls; passjoin work ~
+    n_distinct x ~112 probe keys + verified candidates. The quadratic
+    term loses past ~10k distinct names (SCALE.md crossover)."""
+    n = (t(spark, sf_dir, "part").select("p_name").distinct().count())
+    return {"n_distinct_names": n, "matrix_cap": matrix_cap,
+            "lane": "matrix" if n <= matrix_cap else "passjoin"}
+
+
+_SD_ORACLE = """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """
+
+
+@query(
+    "fn_string_distance_passjoin", "relational",
+    oracle=_SD_ORACLE,
+    description="edit-distance fuzzy matching, PassJoin segment-pigeonhole lane: equi-join candidates + bounded-DP verify",
+)
+def fn_string_distance_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    return _sd_fanout(p, _sd_passjoin_name_pairs(p.select("p_name")
+                                                 .distinct()))
+
+
+@query(
+    "fn_string_distance_auto", "relational",
+    # The twins under ONE entry point (the sim_tfidf_auto_lane pattern):
+    # output and oracle identical to both lanes by construction, so the
+    # driver gate also proves the dispatch doesn't perturb results.
+    oracle=_SD_ORACLE,
+    description="edit-distance fuzzy matching with executable lane pick: distinct-name matrix vs PassJoin by name cardinality",
+)
+def fn_string_distance_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lane = string_distance_lane_decision(spark, sf_dir)["lane"]
+    if lane == "matrix":
+        return fn_string_distance(spark, sf_dir)
+    return fn_string_distance_passjoin(spark, sf_dir)

@@ -1,0 +1,122 @@
+"""The driver records a 2000-char stdout TAIL of bench.py and parses the
+last line as JSON. BENCH_r07/r08 were lost (`parsed: null`) because the
+one JSON line outgrew the tail. These tests pin the repaired contract:
+`bench.slim_line()` always emits a line that (a) fits TAIL_BUDGET,
+(b) survives the driver's tail-truncate-then-parse, and (c) still
+carries every per-query median and the streaming headline rates.
+
+No SparkSession needed — pure emission-layer tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+DRIVER_TAIL = 2000
+
+
+def _worst_case_out(n_errors: int = 0) -> dict:
+    """Max-width artifact: every HEADLINE query at a 7-char median, the
+    full streaming/state/zipf key family, long regime strings."""
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": 1234.5678,
+        "unit": "sec",
+        # 12.3456 per query => a 650 s suite at sf0.1: well past any
+        # plausible regression while keeping per-entry width honest
+        "queries": {n: 12.3456 for n in bench.HEADLINE},
+        "sf": 0.1,
+    }
+    for prefix in ("streaming", "streaming_tp",
+                   "streaming_state_rocksdb", "streaming_state_hdfs",
+                   "streaming_state_zipf_rocksdb",
+                   "streaming_state_zipf_hdfs"):
+        out[f"{prefix}_msgs"] = 1_000_000
+        out[f"{prefix}_wall_sec"] = 123.4567
+        out[f"{prefix}_msgs_per_sec"] = 123456.7
+    out["streaming_regime"] = "latency (sf events, 8 micro-batches)"
+    out["streaming_tp_regime"] = ("throughput (10x replicated distinct "
+                                  "ids, 8 micro-batches)")
+    out["streaming_state_regime"] = ("dedup(1000000 distinct ids) -> "
+                                     "6h-window x user agg (10x replicated "
+                                     "distinct keys, 8 micro-batches, "
+                                     "append, noop sink)")
+    for i in range(n_errors):
+        out.setdefault("errors", {})[f"q_broken_{i}"] = (
+            "AnalysisException: " + "x" * 480)
+    return out
+
+
+def _driver_parse(stdout: str):
+    """What the driver does: keep the last 2000 chars, parse the last
+    non-empty line as JSON."""
+    tail = stdout[-DRIVER_TAIL:]
+    last = [ln for ln in tail.splitlines() if ln.strip()][-1]
+    return json.loads(last)
+
+
+def test_slim_line_fits_budget_worst_case():
+    line = bench.slim_line(_worst_case_out())
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["metric"] == "headline_suite_wall_sec"
+    assert parsed["streaming_msgs_per_sec"] == 123456
+    assert parsed["streaming_state_zipf_rocksdb_msgs_per_sec"] == 123456
+
+
+def test_slim_line_fits_budget_with_errors():
+    line = bench.slim_line(_worst_case_out(n_errors=4))
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    # errors degrade (possibly to names-only) but never disappear
+    errs = parsed["errors"]
+    names = set(errs) if isinstance(errs, dict) else set(errs)
+    assert names == {f"q_broken_{i}" for i in range(4)}
+    # and the per-query medians all survive
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
+def test_tail_truncation_roundtrip():
+    """Simulate real driver capture: progress noise before the line,
+    tail-truncate to 2000, parse."""
+    out = _worst_case_out(n_errors=2)
+    stdout = "ivy resolving...\n" * 200 + bench.slim_line(out) + "\n"
+    parsed = _driver_parse(stdout)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["sf"] == 0.1
+
+
+def test_emit_writes_full_artifact(tmp_path, monkeypatch):
+    full = tmp_path / "BENCH_LOCAL.json"
+    monkeypatch.setattr(bench, "FULL_OUT", str(full))
+    out = _worst_case_out(n_errors=1)
+    line = bench.emit(out)
+    assert len(line) <= bench.TAIL_BUDGET
+    on_disk = json.loads(full.read_text())
+    # the FILE is lossless: regimes, msg counts, full error text
+    assert on_disk == out
+    assert "streaming_state_regime" in on_disk
+    assert on_disk["errors"]["q_broken_0"].startswith("AnalysisException")
+
+
+def test_budget_degrade_is_monotonic():
+    """Even an absurdly wide artifact (simulated 200-query registry dump)
+    still emits a parseable line inside budget via the drop-fastest
+    fallback, with the omission counted."""
+    out = _worst_case_out()
+    out["queries"] = {f"category_query_name_{i:03d}": 1.2345
+                      for i in range(200)}
+    line = bench.slim_line(out)
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed.get("queries_omitted", 0) + len(parsed["queries"]) == 200
+    # drop-fastest keeps the expensive queries (all equal here, so just
+    # check non-empty)
+    assert parsed["queries"]
