@@ -265,13 +265,9 @@ def _run_stateful_regime(spark, df, n_rows: int, prefix: str,
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _streaming_state_throughput(spark, sf_dir: str) -> dict:
-    """Stateful-regime throughput (VERDICT r6 task #6): the msgs/s
-    headline regimes are a stateless parse-route-sink pipeline; this
-    measures the regime where the STATE STORE is the bottleneck —
-    >= 1M distinct dedup keys + ~1M distinct (window, user) aggregate
-    keys growing across 8 micro-batches — under BOTH providers
-    (RocksDB = the engine/scale default, HDFSBacked = vanilla)."""
+def _replicated_events(spark, sf_dir: str, target: int = 1_000_000):
+    """The shared state-regime base: sf events replicated to >= `target`
+    rows with per-replica DISTINCT event/user ids."""
     from pyspark.sql import functions as F
 
     from datastream_processing_demo_spark.catalog import load_table
@@ -279,7 +275,7 @@ def _streaming_state_throughput(spark, sf_dir: str) -> dict:
     events = (load_table(spark, sf_dir, "events")
               .select("event_id", "ts", "user_id", "event_type", "value"))
     n = events.count()
-    reps = max(1, -(-1_000_000 // max(n, 1)))
+    reps = max(1, -(-target // max(n, 1)))
     base = (events
             .withColumn("_rep", F.explode(
                 F.sequence(F.lit(0), F.lit(reps - 1))))
@@ -290,18 +286,62 @@ def _streaming_state_throughput(spark, sf_dir: str) -> dict:
                         + F.col("_rep").cast("long")
                         * F.lit(1_000_000).cast("long"))
             .drop("_rep"))
+    return base, n * reps
+
+
+def _streaming_state_zipf_throughput(spark, sf_dir: str) -> dict:
+    """State-bound regime under ZIPF-keyed aggregation (VERDICT r8 task
+    #6): the uniform-key regime spreads state updates evenly; real
+    streams have hot users. Same >=1M-distinct-id dedup stage (event_id
+    stays uniform — the dedup store still grows to 1M keys), but
+    user_id is remapped to a Zipf(~1) rank via inverse-CDF on a
+    content hash: rank = floor(N^u) with u = hash(event_id)/2^20 in
+    [0,1) gives P(rank r) ~ 1/r — the hottest user takes ~6% of all
+    rows (ln 2 / ln N), so one (window, user) agg key concentrates
+    ~60k updates while the tail stays wide. Deterministic (no RNG),
+    both providers measured."""
+    from pyspark.sql import functions as F
+
+    base, n_rows = _replicated_events(spark, sf_dir)
+    n_users = 100_000
+    u = ((F.pmod(F.xxhash64("event_id"), F.lit(1_048_576)).cast("double")
+          + 0.5) / 1_048_576.0)
+    base = base.withColumn(
+        "user_id", F.floor(F.pow(F.lit(float(n_users)), u)).cast("long"))
     out: dict = {}
     for tag, provider in (
             ("rocksdb", "org.apache.spark.sql.execution.streaming.state."
                         "RocksDBStateStoreProvider"),
             ("hdfs", "org.apache.spark.sql.execution.streaming.state."
                      "HDFSBackedStateStoreProvider")):
-        out.update(_run_stateful_regime(spark, base, n * reps,
+        out.update(_run_stateful_regime(
+            spark, base, n_rows, f"streaming_state_zipf_{tag}", provider))
+    out["streaming_state_zipf_regime"] = (
+        f"dedup({n_rows} distinct ids) -> 6h-window x Zipf user agg "
+        f"(rank = floor({n_users}^u), hottest user ~6% of rows, "
+        f"8 micro-batches, append, noop sink)")
+    return out
+
+
+def _streaming_state_throughput(spark, sf_dir: str) -> dict:
+    """Stateful-regime throughput (VERDICT r6 task #6): the msgs/s
+    headline regimes are a stateless parse-route-sink pipeline; this
+    measures the regime where the STATE STORE is the bottleneck —
+    >= 1M distinct dedup keys + ~1M distinct (window, user) aggregate
+    keys growing across 8 micro-batches — under BOTH providers
+    (RocksDB = the engine/scale default, HDFSBacked = vanilla)."""
+    base, n_rows = _replicated_events(spark, sf_dir)
+    out: dict = {}
+    for tag, provider in (
+            ("rocksdb", "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider"),
+            ("hdfs", "org.apache.spark.sql.execution.streaming.state."
+                     "HDFSBackedStateStoreProvider")):
+        out.update(_run_stateful_regime(spark, base, n_rows,
                                         f"streaming_state_{tag}", provider))
     out["streaming_state_regime"] = (
-        f"dedup({n * reps} distinct ids) -> 6h-window x user agg "
-        f"({reps}x replicated distinct keys, 8 micro-batches, append, "
-        f"noop sink)")
+        f"dedup({n_rows} distinct ids) -> 6h-window x user agg "
+        f"(replicated distinct keys, 8 micro-batches, append, noop sink)")
     return out
 
 
@@ -393,6 +433,10 @@ def main() -> None:
             out.update(_streaming_state_throughput(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
             errors["_streaming_state"] = f"{type(exc).__name__}: {exc}"[:500]
+        try:
+            out.update(_streaming_state_zipf_throughput(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors["_streaming_state_zipf"] = f"{type(exc).__name__}: {exc}"[:500]
     if errors:
         out["errors"] = errors
     print(emit(out))

@@ -253,6 +253,32 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_portable_candidate_pairs(sigs, bands=4)
 
 
+# Exact all-pairs Jaccard>=0.9 ground truth over 3-word shingles — the
+# shared oracle of every SimHash candidate lane (the verify stage makes
+# precision exact; the oracle therefore checks RECALL of the blocking).
+_SHINGLE3_JACCARD09_TRUTH = """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.9
+    """
+
+
 @query(
     "dedup_simhash", "dedup", boost=True,
     # r4 promotion (VERDICT r3 item 8): the PRODUCTION xxhash64 SimHash
@@ -284,27 +310,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width). The driver gate's SFs measure max true-pair hamming
     # 5-10, so oracle parity holds there; BASELINE.md r7 records the
     # sf1 measurement.
-    oracle="""
-    WITH sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-                   i -> array_to_string(
-                       list_slice(string_split(text, ' '), i, i + 2), ' '))))
-                   AS shingle
-        FROM documents),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
-    FROM common
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.9
-    """,
+    oracle=_SHINGLE3_JACCARD09_TRUTH,
     description="production 63-bit SimHash (radius-10 pigeonhole) -> exact-Jaccard verify: full near-dup pipeline, exact-oracled",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,3 +951,39 @@ def dedup_minhash_incremental_persisted(spark: SparkSession,
             .join(res, "doc_id")
             .select("doc_id", "source", "n_corpus_dups", "n_shard_dups",
                     "is_kept"))
+
+
+@query(
+    "dedup_simhash_auto", "dedup",
+    # The SimHash WIDTH dial made executable (VERDICT r8 task #4, the
+    # auto_n_cells pattern): hash width in 63-bit words derives from
+    # COUNT(*) (operators.dedup.auto_simhash_words — floor 2 words, one
+    # more per 15 corpus doublings), radius scales with width (10 per
+    # word) so the hamming FRACTION threshold is width-invariant. The
+    # r7 sf1 boundary (3/2490 true pairs at hamming 11-14 escaping the
+    # 63-bit radius-10 pigeonhole, recall 99.88%) is a variance event:
+    # observed hamming fraction concentrates at its expectation as the
+    # hash widens, so the 126-bit radius-20 lane recovers those pairs
+    # (recall-margin test: tests/test_simhash_auto.py; measured
+    # true-pair hamming max 14/18/17 at sf0.001/0.01/0.1 vs the radius
+    # 20). The oracle is the same exact-truth SQL as dedup_simhash —
+    # width only changes CANDIDATE recall and the pigeonhole+verify
+    # make the output exact, so one oracle gates every width.
+    oracle=_SHINGLE3_JACCARD09_TRUTH,
+    description="SimHash with corpus-sized hash width: auto 63-bit-words + proportional radius, pigeonhole blocks across words, exact-Jaccard verify",
+)
+def dedup_simhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        SIMHASH_BASE_RADIUS,
+        auto_simhash_words,
+        simhash_multiword_df,
+        simhash_multiword_near_pairs,
+    )
+    docs = t(spark, sf_dir, "documents")
+    words = auto_simhash_words(docs.count())
+    cands = (simhash_multiword_near_pairs(
+                 simhash_multiword_df(docs, words=words),
+                 radius=SIMHASH_BASE_RADIUS * words, words=words)
+             .select("doc_a", "doc_b")
+             .localCheckpoint())  # tiny; read 3x in the verify
+    return _verified_pairs(docs, cands, threshold=0.9)

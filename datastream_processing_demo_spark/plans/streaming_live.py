@@ -849,11 +849,17 @@ def _plog_fixture_dir(spark: SparkSession, sf_dir: str,
                 shutil.rmtree(stale)
         # cents via floor(value*100): one IEEE multiply + floor, the
         # same bits DuckDB's FLOOR(value*100) computes in the oracle.
-        # The log producer is inherently driver-side (it plays the
-        # external broker the custom source reads), but its memory is
-        # BOUNDED: toLocalIterator over the sorted frame streams one
-        # partition at a time instead of materializing the whole table
-        # (VERDICT r6 #1); the driver holds at most one round's buffer.
+        # EXECUTOR-SIDE producer (VERDICT r8 task #7; was a
+        # toLocalIterator driver-serial loop): rows shuffle to one task
+        # per log partition (repartition on pid + sortWithinPartitions
+        # by event_id = exactly the per-pid event_id order the old
+        # writer produced), and each task appends its own pid's
+        # segments — writes run in parallel across pids, the driver
+        # holds nothing. hwm/boundary sidecars are per-pid files, so
+        # tasks never contend (local-mode fixture: tasks share the
+        # local FS; a multi-node run would point _CACHE_ROOT at a
+        # shared mount — this is the producer HARNESS for the custom
+        # source, not the engine data path).
         rows = (load_table(spark, sf_dir, "events")
                 .select("event_id", "event_type",
                         F.floor(F.col("value") * 100.0).cast("long")
@@ -863,24 +869,50 @@ def _plog_fixture_dir(spark: SparkSession, sf_dir: str,
         counts = {r["pid"]: r["n"]
                   for r in rows.groupBy("pid")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
-        w = PartitionedLogWriter(tmp, n_partitions=n_parts)
-        for pid in range(n_parts):
-            n = counts.get(pid, 0)
-            step = max(1, (n + n_rounds - 1) // n_rounds)
-            buf: list[tuple[str, str]] = []
-            part = (rows.filter(F.col("pid") == pid)
-                    .orderBy("event_id"))
-            for r in part.toLocalIterator(prefetchPartitions=False):
-                buf.append((f"{r['event_id']}",
-                            f"{r['event_type']}|{r['cents']}"))
-                if len(buf) == step:
-                    w.append(pid, buf)
-                    buf = []
-            if buf:
-                w.append(pid, buf)
+        # driver creates every pid's hwm sidecar BEFORE tasks run, so
+        # the task-side writer construction never races another pid's
+        # first append
+        PartitionedLogWriter(tmp, n_partitions=n_parts)
+        write_plog_partitions(rows, tmp, n_parts=n_parts,
+                              n_rounds=n_rounds, counts=counts)
         open(os.path.join(tmp, "_FIXTURE_DONE"), "w").close()
         os.rename(tmp, out)
     return out
+
+
+def write_plog_partitions(rows, log_dir: str, n_parts: int, n_rounds: int,
+                          counts: dict[int, int]) -> None:
+    """foreachPartition plog producer: rows shuffle on pid (hash
+    partitioning may co-locate two pids in one task — handled: the
+    task streams (pid, event_id)-sorted rows and cuts on pid change),
+    each pid's rows append in per-round chunks of
+    ceil(n_pid / n_rounds) records — byte-identical segment layout to
+    the old driver-serial writer (test-pinned)."""
+    from ..sources.plog import PartitionedLogWriter
+
+    def write_one(it) -> None:
+        w = None
+        pid, buf, step = None, [], None
+        def flush():
+            if buf:
+                w.append(pid, buf)
+                buf.clear()
+        for r in it:
+            if w is None:
+                w = PartitionedLogWriter(log_dir, n_partitions=n_parts)
+            if r["pid"] != pid:
+                flush()
+                pid = r["pid"]
+                step = max(1, (counts.get(pid, 0) + n_rounds - 1)
+                           // n_rounds)
+            buf.append((f"{r['event_id']}", f"{r['event_type']}|{r['cents']}"))
+            if len(buf) == step:
+                flush()
+        flush()
+
+    (rows.repartition(n_parts, "pid")
+     .sortWithinPartitions("pid", "event_id")
+     .foreachPartition(write_one))
 
 
 @query(

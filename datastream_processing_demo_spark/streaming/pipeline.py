@@ -69,6 +69,7 @@ def run_pipeline_stream(
     metric_reporter: MetricAvgReporter,
     now_ms: Column | None = None,
     trigger: dict | None = None,
+    name: str = "datastream-pipeline",
 ) -> StreamingQuery:
     """Wire the streaming job: one foreachBatch doing all three writes.
 
@@ -90,7 +91,7 @@ def run_pipeline_stream(
     writer = (
         raw_stream.writeStream.foreachBatch(write_all)
         .option("checkpointLocation", checkpoint_dir)
-        .queryName("datastream-pipeline")
+        .queryName(name)
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()

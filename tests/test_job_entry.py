@@ -114,3 +114,106 @@ def test_stop_and_replace_cancels_then_resubmits(spark, tmp_path):
     q2.stop()
     # 10 from before the deploy + 7 after, nothing duplicated
     assert spark.read.parquet(str(tmp_path / "main")).count() == 17
+
+
+def test_two_incarnation_deploy_under_load(spark, tmp_path):
+    """Two-incarnation concurrency under load (VERDICT r8 task #8,
+    reference run_datastream_job.sh:4-52 semantics composed with the
+    two-live-queries contract): pipelines A and B run CONCURRENTLY over
+    the same source dir with separate names/checkpoints/sinks; A is
+    stop-and-replaced mid-stream while B keeps processing. The deploy
+    must not touch B (same query id, stays active), A's replacement
+    resumes from A's checkpoint (nothing lost, nothing doubled), and
+    BOTH main sinks end oracle-exact."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datastream_processing_demo_spark.job import (
+        find_active_query,
+        stop_and_replace,
+    )
+    from datastream_processing_demo_spark.streaming.pipeline import (
+        run_pipeline_stream,
+    )
+    from datastream_processing_demo_spark.streaming.sinks import (
+        HttpBulkWriter,
+        MetricAvgReporter,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_msgs(fname: str, tag: str, n: int) -> None:
+        msgs = pd.DataFrame({"value": [
+            f"{'session':<16}{'1700000000000':<16}" + " " * 32 + f"{tag}-{i}"
+            for i in range(n)]})
+        pq.write_table(pa.Table.from_pandas(msgs), str(src / fname))
+
+    def start(tag: str):
+        def fn():
+            raw = spark.readStream.schema("value string").parquet(str(src))
+            return run_pipeline_stream(
+                raw, checkpoint_dir=str(tmp_path / f"ckpt-{tag}"),
+                main_out_dir=str(tmp_path / f"main-{tag}"),
+                bulk_writer=HttpBulkWriter(str(tmp_path / f"bulk-{tag}")),
+                metric_reporter=MetricAvgReporter(
+                    str(tmp_path / f"metrics-{tag}")),
+                now_ms=F.lit(1700000005000),
+                trigger={"processingTime": "1 second"},
+                name=f"datastream-pipeline-{tag}")
+        return fn
+
+    def main_count(tag: str) -> int:
+        d = str(tmp_path / f"main-{tag}")
+        if not glob.glob(f"{d}/*.parquet"):
+            return 0
+        return spark.read.parquet(d).count()
+
+    def wait_for(tag: str, n: int, secs: int = 90) -> None:
+        for _ in range(secs):
+            if main_count(tag) >= n:
+                return
+            time.sleep(1)
+        raise AssertionError(
+            f"main-{tag} never reached {n} rows (got {main_count(tag)})")
+
+    write_msgs("a.parquet", "first", 10)
+    qa = start("a")()
+    qb = start("b")()
+    try:
+        assert qa.isActive and qb.isActive
+        wait_for("a", 10)
+        wait_for("b", 10)
+
+        # deploy A's replacement while B is live; feed new load around
+        # the deploy so B is actively processing THROUGH it
+        b_id = qb.id
+        write_msgs("b.parquet", "second", 7)
+        qa2 = stop_and_replace(spark, "datastream-pipeline-a",
+                               start("a"))
+        assert not qa.isActive
+        assert qa2.isActive
+        assert find_active_query(spark, "datastream-pipeline-a").id == qa2.id
+        # B was never disturbed: still the same incarnation, still live
+        assert qb.isActive and qb.id == b_id
+
+        write_msgs("c.parquet", "third", 5)
+        wait_for("a", 22)
+        wait_for("b", 22)
+    finally:
+        for q in spark.streams.active:
+            if q.name in ("datastream-pipeline-a", "datastream-pipeline-b"):
+                q.stop()
+
+    # oracle-exact: every message exactly once in BOTH mains — the
+    # replaced pipeline resumed from its checkpoint, the survivor never
+    # hiccuped
+    want = {f"{t}-{i}" for t, n in (("first", 10), ("second", 7),
+                                    ("third", 5)) for i in range(n)}
+    for tag in ("a", "b"):
+        got = [r["payload"] for r in
+               spark.read.parquet(str(tmp_path / f"main-{tag}"))
+               .select(F.trim(F.substring("value", 65, 100))
+                       .alias("payload")).collect()]
+        assert sorted(got) == sorted(want), f"main-{tag} not exactly-once"
