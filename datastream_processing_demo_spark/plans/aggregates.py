@@ -643,18 +643,27 @@ def agg_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Heavy-hitters sketch (Spark 4 approx_top_k). With maxItemsTracked
-    # (10000) far above the corpus vocabulary (~30) the sketch tracks
-    # every item with exact counts, so the result is checkable against
-    # the exact top-5 — the boundary counts are distinct in this data.
-    # At real-text scale the same call degrades gracefully to
-    # approximate counts; this query pins the API + merge behavior.
+    # (10000) far above the corpus vocabulary the sketch tracks every
+    # item with exact counts, so the result is checkable against the
+    # exact top-5. TIE discipline (r9, caught by the sf1 out-of-gate
+    # sweep): equal counts at the k boundary are selected ARBITRARILY
+    # by the sketch (sf1's replica-salted vocab puts 10 equal-count
+    # variants at the cut), so the lane fetches a 64-item candidate
+    # set from the sketch and re-ranks it EXACTLY (n DESC, token) —
+    # the fetch-plus-slack + exact-rerank idiom; deterministic as long
+    # as the boundary tie group fits the slack (documented boundary
+    # beyond that). At real-text scale the same call degrades
+    # gracefully to approximate counts; this query pins the API +
+    # merge behavior.
     from ..operators.spread import spread
     d = spread(t(spark, sf_dir, "documents"))
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
-    tk = toks.selectExpr("approx_top_k(tok, 5, 10000) AS tk")
+    tk = toks.selectExpr("approx_top_k(tok, 64, 10000) AS tk")
     row = tk.select(F.explode("tk").alias("e"))
-    return row.select(F.col("e.item").alias("token"),
-                      F.col("e.count").alias("n_occurrences"))
+    return (row.select(F.col("e.item").alias("token"),
+                       F.col("e.count").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "token")
+            .limit(5))
 
 
 @query(
