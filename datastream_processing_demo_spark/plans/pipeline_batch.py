@@ -81,18 +81,27 @@ def pipeline_route_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="P6+A2: derived latency with frozen now + windowed avg",
 )
 def pipeline_delay_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE plan, one scan (r9; was a driver-side scalar collect + a
+    # second scan — the collect alone cost ~0.2 s of the query's
+    # ~0.75 s at sf0.1): the frozen `now` rides a single-row broadcast
+    # cross-join (the sample_temperature_mixture pattern), and
+    # delay_ms = _now_ms - send_ts_ms is computed per row pre-agg, so
+    # the SUM/MAX integer arithmetic is bit-identical to the oracle's
+    # SUM(now_ms - send_ts_ms).
     e = t(spark, sf_dir, "events")
-    now_ms_value = e.agg((F.max(F.unix_millis("ts")) + 60000).alias("v")) \
-        .collect()[0]["v"]  # scalar config, not a data-path collect
+    now_df = e.agg((F.max(F.unix_millis("ts")) + 60000).alias("_now_ms"))
     msgs = messages_from_events(e)
-    delays = split_branches(msgs, now_ms=F.lit(now_ms_value)).delays
+    sends = (split_branches(msgs, now_ms=F.lit(0)).delays
+             .select("send_ts_ms")
+             .crossJoin(F.broadcast(now_df)))
+    delay = F.col("_now_ms") - F.col("send_ts_ms")
     return (
-        delays.groupBy(F.date_trunc("day", F.timestamp_millis("send_ts_ms"))
-                       .alias("day"))
+        sends.groupBy(F.date_trunc("day", F.timestamp_millis("send_ts_ms"))
+                      .alias("day"))
         .agg(F.count(F.lit(1)).alias("n_msgs"),
-             (F.sum("delay_ms").cast("double") / F.count(F.lit(1)))
+             (F.sum(delay).cast("double") / F.count(F.lit(1)))
                  .alias("avg_delay_ms"),
-             F.max("delay_ms").alias("max_delay_ms"))
+             F.max(delay).alias("max_delay_ms"))
     )
 
 
