@@ -153,6 +153,8 @@ HEADLINE = [
     "sim_semdedup",            # k-means-cell semantic dedup (blocked components)
     "sim_semdedup_auto",       # same, cells sized from the corpus (Arrow lane)
     "dedup_minhash_incremental",  # shard vs persisted corpus LSH index ingest
+    "fn_string_distance_auto",  # cardinality-dispatched fuzzy match (r9)
+    "dedup_simhash_auto",      # corpus-sized-width SimHash pipeline (r9)
 ]
 
 RUNS = 3

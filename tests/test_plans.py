@@ -738,3 +738,21 @@ def test_hybrid_rrf_no_allpairs_lexical(spark, sf_dir):
     # all-pairs doc x doc product would dwarf it at corpus scale
     plan = _plan(spark, sf_dir, "sim_hybrid_rrf")
     assert "CartesianProduct" not in plan
+
+
+def test_string_distance_passjoin_no_cartesian_shuffled_hash(spark, sf_dir):
+    """The PassJoin lane's reason to exist is replacing the name-matrix
+    cross product with an equi-join: no cartesian/nested-loop anywhere,
+    and the candidate join is a SHUFFLED hash join (neither side is
+    broadcast-safe past ~50k names — auto-broadcast OOMed the driver)."""
+    plan = _plan(spark, sf_dir, "fn_string_distance_passjoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_simhash_auto_no_cartesian(spark, sf_dir):
+    """Multi-word pigeonhole blocking must stay a bucket equi-join at
+    any width — never an all-pairs product."""
+    plan = _plan(spark, sf_dir, "dedup_simhash_auto")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
