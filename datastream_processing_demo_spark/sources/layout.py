@@ -39,6 +39,35 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def compact_files(spark: SparkSession, src: str, dst: str,
+                  target_rows_per_file: int) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    files of at most `target_rows_per_file` rows each; returns the output
+    file count.
+
+    The third layout lever at 100 TB: streaming sinks and per-task writes
+    fragment tables into thousands of KB-sized files, and every later scan
+    pays a task + footer + open per file. The rewrite uses the AQE
+    REBALANCE hint rather than either naive spelling:
+    - `coalesce(n)` is shuffle-free but inherits input skew — one giant
+      input partition becomes one giant output file and a straggler task;
+    - `repartition(n)` needs n chosen by hand, which is exactly what a
+      100 TB pipeline can't do per-table per-day.
+    REBALANCE lets AQE pick the partitioning from observed shuffle sizes
+    (splitting skewed blocks, merging tiny ones); `maxRecordsPerFile`
+    then hard-caps rows per output file regardless of partition shape.
+    """
+    df = spark.read.parquet(src)
+    (df.hint("rebalance")
+       .write.mode("overwrite")
+       .option("maxRecordsPerFile", target_rows_per_file)
+       .parquet(dst))
+    import glob
+    import os
+    return len([f for f in glob.glob(os.path.join(dst, "*.parquet"))
+                if os.path.getsize(f)])
+
+
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -195,3 +195,37 @@ def test_footer_stats_pushes_aggregates(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", before)
         spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+
+
+def test_compact_fragmented_table(spark, sf_dir, tmp_path):
+    """Small-file compaction: a 64-fragment table rewrites into a handful
+    of row-capped files with identical content (the streaming-sink
+    cleanup every 100 TB pipeline runs between ingest and training)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datastream_processing_demo_spark.sources.layout import compact_files
+
+    events = load_table(spark, sf_dir, "events")
+    n_rows = events.count()
+    frag = str(tmp_path / "fragmented")
+    events.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    assert n_frag >= 60, f"fixture should be fragmented, got {n_frag} files"
+
+    target = (n_rows // 4) + 1
+    dst = str(tmp_path / "compacted")
+    n_out = compact_files(spark, frag, dst, target_rows_per_file=target)
+    out_files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert n_out == len(out_files)
+    assert n_out < n_frag // 4, f"compaction barely helped: {n_out} files"
+    # the row cap holds per file (maxRecordsPerFile is a hard bound)
+    for f in out_files:
+        assert pq.ParquetFile(f).metadata.num_rows <= target
+
+    # content identical: same rows, nothing dropped or duplicated
+    back = spark.read.parquet(dst)
+    assert back.count() == n_rows
+    assert back.exceptAll(events).count() == 0
+    assert events.exceptAll(back).count() == 0
