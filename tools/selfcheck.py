@@ -164,27 +164,27 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures[name] = f"SPARK ERROR: {type(e).__name__}: {e}"
-            print(f"FAIL {name}: spark error {e}")
+            print(f"FAIL {name}: spark error {e}", flush=True)
             continue
         if spec.oracle is None:
             n_noracle += 1
-            print(f"ROWS {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]", flush=True)
             continue
         try:
             opdf = con.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures[name] = f"ORACLE ERROR: {type(e).__name__}: {e}"
-            print(f"FAIL {name}: oracle error {e}")
+            print(f"FAIL {name}: oracle error {e}", flush=True)
             continue
         problems = compare(spdf, opdf)
         if problems:
             n_fail += 1
             failures[name] = "; ".join(problems)
-            print(f"FAIL {name}: {failures[name]}")
+            print(f"FAIL {name}: {failures[name]}", flush=True)
         else:
             n_pass += 1
-            print(f"PASS {name} ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
+            print(f"PASS {name} ({len(spdf)} rows) [{time.time()-t0:.1f}s]", flush=True)
 
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only, "
           f"{len(specs)} total at {args.sf}")
