@@ -579,24 +579,32 @@ SIMHASH_BASE_RADIUS = 10  # the measured radius for 1 word (see above)
 
 
 def auto_simhash_words(n_docs: int, docs_log2_per_word: int = 15,
-                       max_words: int = 4) -> int:
-    """Corpus-size -> hash width (in 63-bit words): floor 2 words, one
-    more per `docs_log2_per_word` doublings (3 words past ~2^30 docs,
-    4 past ~2^45). The auto_n_cells pattern (operators/similarity)
-    applied to the SimHash recall dial: boundary escapes shrink
-    exponentially in width while true-pair count grows ~linearly in
-    corpus size, so log-proportional width keeps expected escapes
-    bounded. The floor is 2, not 1, on measurement: a 63-bit hash
-    leaves true Jaccard-0.9 pairs at hamming 11-14 with real
-    probability (sf1 r7 sweep: 3/2490 pairs; re-measured here with the
-    word-seeded hash: 1 pair at hamming 11 already at sf0.01) — the
-    1-word lane's radius-10 recall is seed-lucky, the 2-word lane's
-    radius-20 is measured-safe (max true-pair hamming 14/18/17 at
-    sf0.001/0.01/0.1)."""
+                       max_words: int = 6) -> int:
+    """Corpus-size -> hash width (in 63-bit words): floor 4 words, one
+    more per `docs_log2_per_word` doublings (5 words past ~2^60 docs).
+    The auto_n_cells pattern (operators/similarity) applied to the
+    SimHash dial: boundary escapes shrink exponentially in width while
+    true-pair count grows ~linearly in corpus size, so log-proportional
+    width keeps expected escapes bounded.
+
+    RECALL sets a floor of 2: a 63-bit hash leaves true Jaccard-0.9
+    pairs at hamming 11-14 with real probability (sf1 r7 sweep: 3/2490
+    pairs; 1 pair at hamming 11 already at sf0.01 under the word-seeded
+    hash) — the 1-word radius-10 recall is seed-lucky, 2 words are
+    measured-safe (max true-pair hamming 14/18/17 at sf0.001/0.01/0.1).
+
+    PRECISION raises it to 4: hamming/width concentrates at its
+    expectation as the hash widens, so width separates the true pairs
+    from the near-threshold mass that a low-entropy corpus piles just
+    inside the radius fraction. Measured at sf0.1 (tiny-vocab corpus,
+    249 true pairs): within-radius candidates 417k / 87k / 32k at
+    words 2 / 3 / 4 for +20% signature cost — and every candidate pays
+    the exact-Jaccard verify, which made the 2-word lane's verify the
+    whole suite's hot spot at sf1 (4.2M candidates, 186 s)."""
     import math
     if n_docs <= 1:
-        return 2
-    return max(2, min(max_words,
+        return 4
+    return max(4, min(max_words,
                       math.ceil(math.log2(n_docs) / docs_log2_per_word)))
 
 
@@ -640,45 +648,69 @@ def simhash_multiword_near_pairs(simhashes: DataFrame, radius: int,
                                  words: int, id_col: str = "doc_id",
                                  bits: int = SIMHASH_WORD_BITS) -> DataFrame:
     """Pairs with total Hamming distance <= radius over the multi-word
-    hash, via the same PIGEONHOLE guarantee as the 1-word lane: radius+1
-    disjoint blocks allocated across the words (block sizes as equal as
-    63 DIV blocks-per-word allows); <= radius differing bits damage at
-    most radius blocks, so >= 1 block agrees and the bucket equi-join
-    has guaranteed recall at the radius."""
-    if radius + 1 < words:
+    hash, via PIGEONHOLE blocking with Hamming-1 PROBES (the
+    probe-the-neighborhood idea of Manku/Jain/Sarma, WWW'07 §3):
+    radius//2 + 1 disjoint blocks allocated across the words; <= radius
+    differing bits leave some block with <= floor(radius / m) = 1
+    error, so joining one side's exact block values against the other
+    side's {value} ∪ {value with one bit flipped} probe set has
+    GUARANTEED recall at the radius.
+
+    Why probes beat the classic radius+1 zero-error blocking: the
+    radius here is a hamming FRACTION of the width (~0.16), so
+    zero-error blocks are stuck at ~6 bits no matter the width — and a
+    6-bit value space makes bucket sizes grow linearly and the
+    self-join QUADRATICALLY with the corpus (sf1 measured: 1.4e9 raw
+    join rows, 198 s). Halving the block count doubles the bits per
+    block (~12), shrinking buckets 2^6x for a (bits+1)x probe fan-out:
+    sf1 join 198 s -> ~25 s on identical output."""
+    m = radius // 2 + 1        # blocks; floor(radius/m) <= 1 error each
+    if m < words:
         raise ValueError(f"radius {radius} too small for {words} words: "
-                         f"need >= {words - 1}")
-    base, rem = divmod(radius + 1, words)
-    blocks: list[tuple[int, int, int]] = []  # (word_idx, shift, mask)
+                         f"need >= {2 * (words - 1)}")
+    base, rem = divmod(m, words)
+    blocks: list[tuple[int, int, int, int]] = []  # (word, shift, mask, w)
     for j in range(words):
         bj = base + (1 if j < rem else 0)
         # spend ALL `bits` of the word across its bj blocks (sizes as
-        # equal as possible) instead of bits//bj each: a uniform floor
-        # wastes bits mod bj bits per word, and every wasted bit DOUBLES
-        # that block's bucket collision rate (sf0.1 measured: 11 blocks
-        # of 5 bits + 8 dead bits -> 16M raw join rows; 3x6+8x5... ->
-        # full allocation cut raw candidates ~35%). Blocks stay disjoint,
-        # so the pigeonhole recall guarantee is unchanged.
+        # equal as possible): every dead bit would DOUBLE its block's
+        # bucket collision rate. Blocks stay disjoint, so the pigeonhole
+        # guarantee is unchanged.
         wide, nar = divmod(bits, bj)  # nar blocks of wide+1 bits, rest wide
         shift = 0
         for i in range(bj):
             w = wide + (1 if i < nar else 0)
-            blocks.append((j, shift, (1 << w) - 1))
+            blocks.append((j, shift, (1 << w) - 1, w))
             shift += w
-    blocked = (simhashes.select(
+    exact = (simhashes.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(k).alias("block_id"),
                      F.expr(f"(shiftright(simhash[{j}], {shift})"
                             f" & {mask})").alias("block_val"))
-            for k, (j, shift, mask) in enumerate(blocks)])).alias("blk"))
+            for k, (j, shift, mask, _) in enumerate(blocks)])).alias("blk"))
         .select(id_col, "simhash", "blk.block_id", "blk.block_val"))
-    a = blocked.select(F.col(id_col).alias("doc_a"),
-                       F.col("simhash").alias("sim_a"),
-                       "block_id", "block_val")
-    b = blocked.select(F.col(id_col).alias("doc_b"),
-                       F.col("simhash").alias("sim_b"),
-                       "block_id", "block_val")
+    # probe side: each block value plus its single-bit flips, derived
+    # from the exact rows by ONE explode of flip literals — not a
+    # blocks x flips struct-literal projection, whose ~270-expression
+    # tree blew codegen and ran interpreted (sf0.1 measured 2x slower
+    # than the zero-error join it replaced). Flips run to the WIDEST
+    # block; a flip past a narrower block's width lands outside its
+    # value space and matches nothing — spurious rows, never spurious
+    # candidates — while every in-width flip needed for recall is there.
+    max_w = max(w for _, _, _, w in blocks)
+    flips = F.array(*[F.lit(0), *(F.lit(1 << i) for i in range(max_w))])
+    probed = (exact
+              .withColumn("flip", F.explode(flips))
+              .select(id_col, "simhash", "block_id",
+                      F.col("block_val").bitwiseXOR(F.col("flip"))
+                      .alias("block_val")))
+    a = probed.select(F.col(id_col).alias("doc_a"),
+                      F.col("simhash").alias("sim_a"),
+                      "block_id", "block_val")
+    b = exact.select(F.col(id_col).alias("doc_b"),
+                     F.col("simhash").alias("sim_b"),
+                     "block_id", "block_val")
     # static per-word sum, not aggregate(zip_with(...)): the higher-order
     # form allocates an array per joined row and evaluates interpreted,
     # on the join's full pre-filter output — the hottest expression in

@@ -957,18 +957,20 @@ def dedup_minhash_incremental_persisted(spark: SparkSession,
     "dedup_simhash_auto", "dedup",
     # The SimHash WIDTH dial made executable (VERDICT r8 task #4, the
     # auto_n_cells pattern): hash width in 63-bit words derives from
-    # COUNT(*) (operators.dedup.auto_simhash_words — floor 2 words, one
+    # COUNT(*) (operators.dedup.auto_simhash_words — floor 4 words, one
     # more per 15 corpus doublings), radius scales with width (10 per
-    # word) so the hamming FRACTION threshold is width-invariant. The
-    # r7 sf1 boundary (3/2490 true pairs at hamming 11-14 escaping the
-    # 63-bit radius-10 pigeonhole, recall 99.88%) is a variance event:
-    # observed hamming fraction concentrates at its expectation as the
-    # hash widens, so the 126-bit radius-20 lane recovers those pairs
-    # (recall-margin test: tests/test_simhash_auto.py; measured
-    # true-pair hamming max 14/18/17 at sf0.001/0.01/0.1 vs the radius
-    # 20). The oracle is the same exact-truth SQL as dedup_simhash —
-    # width only changes CANDIDATE recall and the pigeonhole+verify
-    # make the output exact, so one oracle gates every width.
+    # word) so the hamming FRACTION threshold is width-invariant. Width
+    # buys BOTH boundary recall (the r7 sf1 finding: 3/2490 true pairs
+    # at hamming 11-14 escaped the 63-bit radius-10 pigeonhole —
+    # variance events that concentrate away as the hash widens;
+    # recall-margin test: tests/test_simhash_auto.py) and candidate
+    # precision (the r9 sf1 finding: at 126 bits this corpus piles 4.2M
+    # near-threshold pairs inside the radius and the exact verify ate
+    # 186 s; 252 bits cut sf0.1 candidates 417k -> 32k at +20%
+    # signature cost). The oracle is the same exact-truth SQL as
+    # dedup_simhash — width only changes CANDIDATE recall and the
+    # pigeonhole+verify make the output exact, so one oracle gates
+    # every width.
     oracle=_SHINGLE3_JACCARD09_TRUTH,
     description="SimHash with corpus-sized hash width: auto 63-bit-words + proportional radius, pigeonhole blocks across words, exact-Jaccard verify",
 )

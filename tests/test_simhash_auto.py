@@ -32,16 +32,17 @@ from datastream_processing_demo_spark.plans.dedup import (
 
 
 def test_auto_words_rule():
-    # floor 2 (the 1-word lane is measured seed-lucky), +1 word per 15
-    # doublings, capped at 4
-    assert auto_simhash_words(0) == 2
-    assert auto_simhash_words(500) == 2
-    assert auto_simhash_words(50_000) == 2
-    assert auto_simhash_words(2**30) == 2
-    assert auto_simhash_words(2**31) == 3
-    assert auto_simhash_words(2**45) == 3
-    assert auto_simhash_words(2**46) == 4
-    assert auto_simhash_words(2**200) == 4  # cap
+    # floor 4 (2 for recall — the 1-word lane is measured seed-lucky —
+    # raised to 4 for candidate precision on low-entropy corpora),
+    # +1 word per 15 doublings, capped at 6
+    assert auto_simhash_words(0) == 4
+    assert auto_simhash_words(500) == 4
+    assert auto_simhash_words(50_000) == 4
+    assert auto_simhash_words(2**60) == 4
+    assert auto_simhash_words(2**61) == 5
+    assert auto_simhash_words(2**75) == 5
+    assert auto_simhash_words(2**76) == 6
+    assert auto_simhash_words(2**200) == 6  # cap
 
 
 def _brute_pairs(rows, radius, words):
