@@ -717,7 +717,14 @@ def simhash_multiword_near_pairs(simhashes: DataFrame, radius: int,
     # the lane. words is a plan-time constant, so unroll it.
     hamming = F.expr(" + ".join(
         f"bit_count(sim_a[{j}] ^ sim_b[{j}])" for j in range(words)))
-    return (a.join(b, ["block_id", "block_val"])
+    # shuffle_hash, never broadcast: both sides are blocks-x-corpus
+    # explosions of the SAME table — Catalyst sizes them from the tiny
+    # checkpointed signature frame and happily broadcasts a side that is
+    # actually ~GBs at sf10 (driver OOM, found in the r9 sf10 probe; the
+    # PassJoin lane hit the identical failure at 50k names). Neither
+    # side is ever legitimately broadcastable, and sort-merge would pay
+    # a pointless sort on hash-random keys.
+    return (a.join(b.hint("shuffle_hash"), ["block_id", "block_val"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= radius)
