@@ -62,10 +62,11 @@ def compact_files(spark: SparkSession, src: str, dst: str,
        .write.mode("overwrite")
        .option("maxRecordsPerFile", target_rows_per_file)
        .parquet(dst))
-    import glob
-    import os
-    return len([f for f in glob.glob(os.path.join(dst, "*.parquet"))
-                if os.path.getsize(f)])
+    # count output files filesystem-agnostically (ADVICE r9: a local
+    # glob returns 0 on HDFS/S3 paths and misses partitioned subdirs);
+    # inputFiles() walks the committed file listing on whatever
+    # Hadoop filesystem `dst` resolves to, at metadata cost only
+    return len(set(spark.read.parquet(dst).inputFiles()))
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
