@@ -72,6 +72,11 @@ def slim_line(out: dict, budget: int = TAIL_BUDGET) -> str:
                     slim[k] = round(v, 2)
             elif k.endswith("_msgs_per_sec"):
                 slim[k] = int(v)
+            elif k == "host_load":
+                # keep the contamination signal in the tail: 1-min load
+                # at start/end (full context stays in BENCH_LOCAL.json)
+                slim[k] = [v.get("start", {}).get("load1"),
+                           v.get("end", {}).get("load1")]
             elif isinstance(v, float):
                 slim[k] = round(v, 2)
             else:
@@ -388,9 +393,34 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
     return out
 
 
+def _load_context() -> dict:
+    """Host-load snapshot recorded in the artifact so a contaminated run
+    is self-identifying (VERDICT r9: the official BENCH_r09 was ~1.5x
+    slower across the board than same-code idle-box runs — including
+    untouched trivial queries — with no way to tell from the artifact).
+    `load1` >> 32 at start, or end >> start, means the medians were
+    taken under host contention and a re-median is owed before reading
+    them as regressions."""
+    ctx: dict = {"cpus_online": os.cpu_count()}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        ctx.update({"load1": round(la1, 2), "load5": round(la5, 2),
+                    "load15": round(la15, 2)})
+    except OSError:
+        pass
+    try:  # rough concurrent-work hint: runnable/total from /proc
+        with open("/proc/loadavg") as f:
+            ctx["procs_running"] = int(
+                f.read().split()[3].split("/")[0]) - 1  # minus this reader
+    except (OSError, ValueError, IndexError):
+        pass
+    return ctx
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = _load_context()
     spark = get_session(EngineConfig(app_name="bench"))
     specs = all_queries()
     # Debug/re-median aid: SPARK_GRAFT_BENCH_ONLY="q1,q2" runs just those
@@ -441,6 +471,7 @@ def main() -> None:
             errors["_streaming_state_zipf"] = f"{type(exc).__name__}: {exc}"[:500]
     if errors:
         out["errors"] = errors
+    out["host_load"] = {"start": load_start, "end": _load_context()}
     print(emit(out))
 
 

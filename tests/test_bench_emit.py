@@ -47,6 +47,11 @@ def _worst_case_out(n_errors: int = 0) -> dict:
                                      "6h-window x user agg (10x replicated "
                                      "distinct keys, 8 micro-batches, "
                                      "append, noop sink)")
+    out["host_load"] = {
+        "start": {"cpus_online": 32, "load1": 31.97, "load5": 28.4,
+                  "load15": 20.11, "procs_running": 40},
+        "end": {"cpus_online": 32, "load1": 35.5, "load5": 30.0,
+                "load15": 22.0, "procs_running": 38}}
     for i in range(n_errors):
         out.setdefault("errors", {})[f"q_broken_{i}"] = (
             "AnalysisException: " + "x" * 480)
@@ -69,6 +74,10 @@ def test_slim_line_fits_budget_worst_case():
     assert parsed["metric"] == "headline_suite_wall_sec"
     assert parsed["streaming_msgs_per_sec"] == 123456
     assert parsed["streaming_state_zipf_rocksdb_msgs_per_sec"] == 123456
+    # the contamination signal survives into the tail as [start, end]
+    # 1-min loadavg (VERDICT r9: official bench run was environment-
+    # inflated with no way to tell from the artifact)
+    assert parsed["host_load"] == [31.97, 35.5]
 
 
 def test_slim_line_fits_budget_with_errors():
