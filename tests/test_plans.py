@@ -756,3 +756,38 @@ def test_simhash_auto_no_cartesian(spark, sf_dir):
     any width — never an all-pairs product."""
     plan = _plan(spark, sf_dir, "dedup_simhash_auto")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_argmax_single_hash_aggregate_no_window(spark, sf_dir):
+    """max_by/min_by must plan as ONE partial+final hash aggregate over
+    a pruned scan — not the window-row_number alternative (full sort
+    shuffle) and not a self-join-back. One exchange keyed on the group
+    column is the whole query (VERDICT r10 task #7 plan pin)."""
+    plan = _plan(spark, sf_dir, "agg_argmax")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, "expect partial+final agg"
+    # node-detail headers "(N) Exchange" count each node exactly once
+    # (the tree outline repeats node names)
+    assert plan.count(") Exchange") == 1, "one group-key shuffle only"
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "o_totalprice" in read_schema and "o_comment" not in read_schema, \
+        f"scan must prune to the 3 referenced columns: {read_schema}"
+
+
+def test_data_profile_single_scan_bounded_shuffles(spark, sf_dir):
+    """The N-column profile must cost ONE scan of the table (stack()
+    unpivots map-side in a Generate), never one job per column; both
+    exchanges are keyed on bounded-cardinality profile keys
+    ((col_name, val) for the distinct pre-merge, then col_name), and
+    there is no join anywhere (VERDICT r10 task #7 plan pin)."""
+    plan = _plan(spark, sf_dir, "agg_data_profile")
+    assert plan.count(") Scan parquet") == 1, "profile must be one table scan"
+    assert "Generate" in plan and "stack" in plan, "map-side unpivot"
+    assert "Join" not in plan
+    assert plan.count(") Exchange") == 2, \
+        "distinct-count pre-merge + final profile key — no more"
+    for frag in plan.split("hashpartitioning(")[1:]:
+        key = frag.split(")")[0]
+        assert "col_name" in key, f"shuffle keyed off profile key: {key}"
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "o_comment" not in read_schema and "o_totalprice" not in read_schema
