@@ -139,8 +139,8 @@ HEADLINE = [
     "json_variant",            # Variant parse + typed extraction
     "text_pii_redact",         # map-only regex PII scrub
     "fn_string_distance",      # blocked fuzzy self-join (bounded levenshtein)
-    "text_pipeline_full",      # composed redact->quality->dedup->split pipeline
-    "text_pipeline_full_lsh",  # same pipeline, near-dup via MinHash+LSH (scale mode)
+    "text_pipeline_full_auto",  # composed pipeline, near-dup lane scale-dispatched (r10)
+    "text_pipeline_full_lsh",  # same pipeline, near-dup pinned to MinHash+LSH
     "mm_audio_wav_real",       # REAL WAV codec lane (wrap + container parse)
     "mm_image_ppm_real",       # REAL netpbm codec lane (wrap + container parse)
     "mm_image_png_real",       # REAL compressed PNG codec lane

@@ -281,46 +281,48 @@ _SHINGLE3_JACCARD09_TRUTH = """
 
 @query(
     "dedup_simhash", "dedup", boost=True,
-    # r4 promotion (VERDICT r3 item 8): the PRODUCTION xxhash64 SimHash
-    # path under an exact driver verdict, as the full pipeline —
-    # 63-bit xxhash64 SimHash -> pigeonhole block join at radius 10 ->
-    # exact-Jaccard VERIFY at 0.9. Radius 10 because the fixture's true
-    # pairs (3-gram Jaccard >= 0.9) sit at xxhash-SimHash hamming
-    # <= 10 across sf0.001/0.01/0.1 (measured: 7/5/10), and the
-    # pigeonhole guarantee holds for ANY radius: 11 disjoint blocks,
-    # <= 10 differing bits touch <= 10 of them, >= 1 block matches —
-    # bits NOT covered by a block only help. The verify stage makes
-    # precision exact; recall within the radius is guaranteed, so
-    # output == all-pairs truth.
-    # SCALE: radius/bits is the honest SimHash dial — 11 blocks of a
-    # 63-bit hash are 5-bit block values (32 buckets/block; 447k
-    # candidate pairs at sf0.1 on this hash-clustered tiny-vocab corpus
-    # vs 117k at the radius-8 default, all verified in one bounded
-    # equi-join pass). A 100 TB corpus at radius 10 wants a 128-bit
-    # hash to keep blocks ~11 bits. The hamming<=8 candidates lane
-    # (9 blocks x 7 bits) stays available via
-    # operators.dedup.simhash_near_pairs defaults, with
-    # dedup_simhash_portable + dedup_simhash_recall gating it.
-    # HONEST BOUNDARY (r7, first out-of-gate oracle sweep): the
-    # "output == all-pairs truth" equivalence is RADIUS-CONTINGENT.
-    # At sf1 (uniform AND Zipf-skewed) 3 of 2490 true pairs sit at
-    # hamming 11-14 and escape the radius-10 pigeonhole — recall
-    # 99.88%, the intrinsic SimHash trade every production deployment
-    # prices (the dial: wider hash -> wider radius at the same block
-    # width). The driver gate's SFs measure max true-pair hamming
-    # 5-10, so oracle parity holds there; BASELINE.md r7 records the
-    # sf1 measurement.
+    # The PRODUCTION fixed-width SimHash pipeline: 4 x 63-bit xxhash64
+    # words -> pigeonhole-with-probes block join at radius 40 ->
+    # exact-Jaccard VERIFY at 0.9. The verify makes precision exact and
+    # the pigeonhole guarantees recall within the radius, so
+    # output == all-pairs truth whenever every true pair sits inside
+    # the radius.
+    # WIDTH HISTORY (VERDICT r9 task #6): this lane shipped r4-r9 as
+    # 1 x 63 bits at radius 10 — the registry's only sf1 oracle miss,
+    # twice (3/2490 true pairs at hamming 11-14 escaped; recall
+    # 99.88%). Hamming FRACTION concentrates as the hash widens
+    # (variance ~ 1/width), so the fix is width at the same fraction
+    # threshold. 252 bits/radius 40 is the width the FULL-registry sf1
+    # sweeps (uniform + Zipf) certified bit-exact via dedup_simhash_auto
+    # — NOT the minimal safe 126 bits, because width also buys candidate
+    # precision: at 126 bits this tiny-vocab corpus piles 4.2M
+    # near-threshold pairs inside the radius and the exact verify ate
+    # 186 s at sf1 (BASELINE.md r9). The 1 x 63 boundary stays pinned in
+    # tests/test_simhash_auto.py::test_width_recovers_radius_boundary_pair
+    # and the hamming<=8 candidates lane stays exact-gated via
+    # dedup_simhash_portable + dedup_simhash_recall.
+    # Difference from dedup_simhash_auto: the width here is a FIXED
+    # deployment constant — no corpus COUNT(*) job before planning —
+    # which is what a production pipeline with a known corpus envelope
+    # runs; auto derives the same 4 words below 2^60 docs.
     oracle=_SHINGLE3_JACCARD09_TRUTH,
-    description="production 63-bit SimHash (radius-10 pigeonhole) -> exact-Jaccard verify: full near-dup pipeline, exact-oracled",
+    description="production fixed-width SimHash (4x63-bit words, radius-40 pigeonhole+probes) -> exact-Jaccard verify: full near-dup pipeline, exact-oracled",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import simhash_col_df, simhash_near_pairs
+    from ..operators.dedup import (
+        SIMHASH_BASE_RADIUS,
+        simhash_multiword_df,
+        simhash_multiword_near_pairs,
+    )
+    words = 4  # fixed production width; see WIDTH HISTORY above
     docs = t(spark, sf_dir, "documents")
     # the simhash itself reads word tokens, not shingles, so there is
     # no shared stream to materialize — the win is the shared verify's
     # candidate prune (_candidate_shingle_sets): only candidate docs
     # are shingled and collect_set-shuffled.
-    cands = (simhash_near_pairs(simhash_col_df(docs), max_hamming=10)
+    cands = (simhash_multiword_near_pairs(
+                 simhash_multiword_df(docs, words=words),
+                 radius=SIMHASH_BASE_RADIUS * words, words=words)
              .select("doc_a", "doc_b")
              .localCheckpoint())  # tiny; read 3x in the verify
     return _verified_pairs(docs, cands, threshold=0.9)

@@ -521,6 +521,24 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
 
 
+def _pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline's shared front half — inject -> redact ->
+    quality gate -> exact content dedup — used by both near-dup twins
+    and by the lane decision, so the three build byte-identical
+    survivor streams."""
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                   F.lit("@"), F.col("source"), F.lit(".example.com"))
+    clean = F.regexp_replace(raw, r"[a-z0-9]+@[a-z0-9.]+\.com", "<EMAIL>")
+    redacted = d.select("doc_id", "lang", clean.alias("clean"))
+    quality = (redacted
+               .withColumn("n_words", F.size(F.split("clean", " ")))
+               .filter(F.col("n_words") >= 20))
+    keeper = (quality.groupBy(F.md5(F.col("clean").cast("binary")))
+              .agg(F.min("doc_id").alias("doc_id")))
+    return quality.join(keeper, "doc_id", "left_semi")
+
+
 @query(
     "text_pipeline_full", "text",
     oracle=r"""
@@ -588,17 +606,7 @@ def text_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side md5 bucket. Inject->redact mirrors text_pii_redact so
     # the scrub provably fires.
     from ..operators.dedup import ngram_jaccard_pairs
-    d = t(spark, sf_dir, "documents")
-    raw = F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
-                   F.lit("@"), F.col("source"), F.lit(".example.com"))
-    clean = F.regexp_replace(raw, r"[a-z0-9]+@[a-z0-9.]+\.com", "<EMAIL>")
-    redacted = d.select("doc_id", "lang", clean.alias("clean"))
-    quality = (redacted
-               .withColumn("n_words", F.size(F.split("clean", " ")))
-               .filter(F.col("n_words") >= 20))
-    keeper = (quality.groupBy(F.md5(F.col("clean").cast("binary")))
-              .agg(F.min("doc_id").alias("doc_id")))
-    survivors = quality.join(keeper, "doc_id", "left_semi")
+    survivors = _pipeline_survivors(spark, sf_dir)
     pairs = ngram_jaccard_pairs(survivors, threshold=0.5, n=3,
                                 text_col="clean")
     dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -708,17 +716,7 @@ def text_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_portable_candidate_pairs,
         minhash_portable_signatures,
     )
-    d = t(spark, sf_dir, "documents")
-    raw = F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
-                   F.lit("@"), F.col("source"), F.lit(".example.com"))
-    clean = F.regexp_replace(raw, r"[a-z0-9]+@[a-z0-9.]+\.com", "<EMAIL>")
-    redacted = d.select("doc_id", "lang", clean.alias("clean"))
-    quality = (redacted
-               .withColumn("n_words", F.size(F.split("clean", " ")))
-               .filter(F.col("n_words") >= 20))
-    keeper = (quality.groupBy(F.md5(F.col("clean").cast("binary")))
-              .agg(F.min("doc_id").alias("doc_id")))
-    survivors = quality.join(keeper, "doc_id", "left_semi")
+    survivors = _pipeline_survivors(spark, sf_dir)
     sigs = minhash_portable_signatures(survivors, num_hashes=16, n=3,
                                        text_col="clean")
     pairs = lsh_portable_candidate_pairs(sigs, bands=4)
@@ -1170,3 +1168,151 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_text"),
         (F.least(F.col("s") + window - 1, F.col("n")) - F.col("s") + 1)
             .cast("long").alias("n_tokens"))
+
+
+# --- composed-pipeline scale dispatch (VERDICT r9 task #4) ----------------
+
+# The exact-Jaccard near-dup stage materializes sum(df^2) posting-join
+# rows over the survivors' distinct 3-gram shingles — the pipeline's one
+# super-linear term. The cap bounds that term's ABSOLUTE work before the
+# dispatch flips to MinHash+LSH banding (linear): measured at sf0.1 this
+# corpus sits at 3.39M rows and the exact pipeline costs ~2x its LSH
+# twin (4.6 s vs 2.4 s), while the driver-gate corpora sit at ~61k rows
+# where exact is both cheap and the stronger (verified-Jaccard) result.
+EXACT_NEARDUP_POSTING_CAP = 1_000_000
+
+
+def text_pipeline_lane_decision(
+        spark: SparkSession, sf_dir: str,
+        cap: int = EXACT_NEARDUP_POSTING_CAP) -> dict:
+    """The exact-vs-LSH pick as EXECUTABLE code (the
+    string_distance_lane_decision pattern): ONE metadata-scale aggregate
+    over the survivors' shingle inverted index decides. String shingle
+    keys, not xxhash64 — the oracle recomputes the identical integer, so
+    the two engines can never disagree at the cap boundary."""
+    from ..operators.dedup import doc_shingles
+    survivors = _pipeline_survivors(spark, sf_dir)
+    sh = doc_shingles(survivors, text_col="clean", hash_keys=False)
+    sum_df2 = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
+               .collect()[0]["s"]) or 0
+    return {"sum_df2": int(sum_df2), "cap": cap,
+            "lane": "exact" if sum_df2 <= cap else "lsh"}
+
+
+def _pipeline_auto_oracle(num_hashes: int = 16, bands: int = 4,
+                          cap: int = EXACT_NEARDUP_POSTING_CAP) -> str:
+    """Oracle that DISPATCHES exactly like the Spark lane: shared
+    inject->redact->quality->exact-dedup CTEs, the same sum(df^2)
+    metric over the survivors' distinct shingles, then the exact-Jaccard
+    OR the MinHash+LSH near-dup branch chosen by the same cap — so the
+    oracle stays bit-exact at ANY sf, on either side of the crossover."""
+    from ..operators.dedup import MINHASH_P, minhash_perm_coeffs
+    rows = num_hashes // bands
+    min_exprs = ",\n               ".join(
+        f"min((x * {minhash_perm_coeffs(i)[0]} + {minhash_perm_coeffs(i)[1]})"
+        f" % {MINHASH_P}) AS h{i}"
+        for i in range(num_hashes))
+    sig_list = ", ".join(f"h{i}" for i in range(num_hashes))
+    return rf"""
+    WITH injected AS (
+        SELECT doc_id, lang,
+               text || ' contact user' || doc_id || '@' || source ||
+               '.example.com' AS raw
+        FROM documents),
+    redacted AS (
+        SELECT doc_id, lang,
+               regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+\.com',
+                              '<EMAIL>', 'g') AS clean
+        FROM injected),
+    quality AS (
+        SELECT doc_id, lang, clean,
+               len(string_split(clean, ' ')) AS n_words
+        FROM redacted
+        WHERE len(string_split(clean, ' ')) >= 20),
+    exact_kept AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(clean)),
+    survivors AS (
+        SELECT q.* FROM quality q JOIN exact_kept k USING (doc_id)),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(clean, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(clean, ' '), i, i + 2), ' '))))
+                   AS shingle
+        FROM survivors),
+    metric AS (
+        SELECT COALESCE(SUM(df * df), 0) AS sum_df2
+        FROM (SELECT COUNT(*) AS df FROM sh GROUP BY shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    exact_neardup_b AS (
+        SELECT DISTINCT doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+    hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS x
+        FROM sh),
+    sig AS (
+        SELECT doc_id,
+               {min_exprs}
+        FROM hx GROUP BY doc_id),
+    arr AS (SELECT doc_id, [{sig_list}] AS s FROM sig),
+    banded AS (
+        SELECT doc_id, bt.b AS band,
+               array_to_string(
+                   list_slice(s, bt.b * {rows} + 1, (bt.b + 1) * {rows}), ',')
+                   AS key
+        FROM arr CROSS JOIN (SELECT unnest(range({bands})) AS b) bt),
+    lsh_neardup_b AS (
+        SELECT DISTINCT c.doc_id AS doc_b
+        FROM banded a
+        JOIN banded c ON a.band = c.band AND a.key = c.key
+                     AND a.doc_id < c.doc_id),
+    neardup_b AS (
+        SELECT doc_b FROM exact_neardup_b
+        WHERE (SELECT sum_df2 FROM metric) <= {cap}
+        UNION ALL
+        SELECT doc_b FROM lsh_neardup_b
+        WHERE (SELECT sum_df2 FROM metric) > {cap}),
+    final AS (
+        SELECT s.*,
+               CASE WHEN substr(md5(clean), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(clean), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_b FROM neardup_b))
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM final
+    GROUP BY split, lang
+    """
+
+
+@query(
+    "text_pipeline_full_auto", "text",
+    # The twins under ONE entry point (VERDICT r9 task #4, the
+    # fn_string_distance_auto pattern): the sum(df^2) decision aggregate
+    # picks the verified-exact near-dup stage while its posting join is
+    # bounded, the MinHash+LSH stage past the cap — and the ORACLE
+    # computes the identical metric and branches on the identical cap,
+    # so the driver gate proves the dispatch itself, not just one lane,
+    # at every sf on either side of the crossover (sf0.001/0.01 -> exact
+    # at ~61k-63k rows; sf0.1+ -> LSH at 3.39M+).
+    oracle=_pipeline_auto_oracle(),
+    description="composed training pipeline with executable scale dispatch: exact-Jaccard vs MinHash+LSH near-dup stage picked by the posting-join bound, dispatch mirrored in the oracle",
+)
+def text_pipeline_full_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lane = text_pipeline_lane_decision(spark, sf_dir)["lane"]
+    if lane == "exact":
+        return text_pipeline_full(spark, sf_dir)
+    return text_pipeline_full_lsh(spark, sf_dir)
