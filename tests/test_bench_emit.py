@@ -36,7 +36,8 @@ def _worst_case_out(n_errors: int = 0) -> dict:
     for prefix in ("streaming", "streaming_tp",
                    "streaming_state_rocksdb", "streaming_state_hdfs",
                    "streaming_state_zipf_rocksdb",
-                   "streaming_state_zipf_hdfs"):
+                   "streaming_state_zipf_hdfs",
+                   "streaming_state_zipf_rocksdb_tuned"):
         out[f"{prefix}_msgs"] = 1_000_000
         out[f"{prefix}_wall_sec"] = 123.4567
         out[f"{prefix}_msgs_per_sec"] = 123456.7
@@ -88,8 +89,15 @@ def test_slim_line_fits_budget_with_errors():
     errs = parsed["errors"]
     names = set(errs) if isinstance(errs, dict) else set(errs)
     assert names == {f"q_broken_{i}" for i in range(4)}
-    # and the per-query medians all survive
-    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    # medians survive up to a counted fastest-queries omission (errors
+    # outrank the cheapest medians; the file keeps everything)
+    kept = set(parsed["queries"])
+    assert kept <= set(bench.HEADLINE)
+    assert len(kept) + parsed.get("queries_omitted", 0) == len(bench.HEADLINE)
+    assert len(kept) >= len(bench.HEADLINE) - 3
+    # the dropped ones are the FASTEST (all equal in this fixture, so
+    # just require the expensive half intact)
+    assert "text_pipeline_full_auto" in kept
 
 
 def test_tail_truncation_roundtrip():
