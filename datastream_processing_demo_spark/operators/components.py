@@ -17,9 +17,11 @@ the label table plus a min-aggregate — all shuffles on the node id, no
 driver-side data. `localCheckpoint` truncates the growing lineage each
 round (the standard Spark iterative-algorithm idiom; on a cluster use
 `checkpoint()` to HDFS for fault tolerance). The convergence probe
-collects a single count per round. For planet-scale graphs swap the
-round body for the large-star/small-star steps (Kiveris et al. 2014,
-"Connected Components in MapReduce and Beyond") — same loop shape.
+collects a single count per round. For planet-scale / long-diameter
+graphs the swap is `alternating_components` below — the
+large-star/small-star rounds of Kiveris et al. 2014 ("Connected
+Components in MapReduce and Beyond"), O(log n) rounds on a shrinking
+edge list regardless of diameter.
 """
 
 from __future__ import annotations
@@ -62,6 +64,17 @@ def min_label_components(edges: DataFrame, src: str = "src",
         labels = new.drop("_chg")
         if not changed:
             break
+    else:
+        # Unconverged labels are silently WRONG (a label only travels one
+        # hop per round, so any node farther than max_iter from its
+        # component's min keeps a stale label — found by the r10
+        # differential fuzz vs union-find on a 200-node sparse graph).
+        # Fail loud; for long-path graphs use alternating_components,
+        # whose round count is O(log n) regardless of diameter.
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds the round budget); raise max_iter "
+            f"or use alternating_components")
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -111,3 +124,81 @@ def blocked_components(edges: DataFrame, block_col: str,
                          F.col(src).alias("_s"), F.col(dst).alias("_d"))
             .groupBy("_b")
             .applyInPandas(uf, schema=f"node {dt}, cluster_id {dt}"))
+
+
+def alternating_components(edges: DataFrame, src: str = "src",
+                           dst: str = "dst", max_iter: int = 50) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond" §3) — the planet-scale swap the min-label docstring above
+    names, made executable.
+
+    Why it exists next to `min_label_components`: min-label runs one
+    join per round over the FULL edge list for diameter-many rounds —
+    fine for near-dup clusters (diameter ~2-3), quadratic-ish pain on a
+    chained graph (a length-d path costs d rounds x all edges). The
+    alternating rounds contract the graph toward per-component stars in
+    O(log n) rounds regardless of diameter, and each round's edge list
+    only shrinks (never above the symmetrized input), so the join
+    volume FALLS as it converges.
+
+    Round shapes (all hash shuffles on a node id, no driver data):
+    - large-star: group the symmetrized edges by u, m = min(N(u) ∪ u);
+      re-link every neighbor v > u to m.
+    - small-star: direct each edge big->small, group by the big end,
+      m = min(N<=(u) ∪ u); re-link u and its smaller neighbors to m.
+    Fixpoint: every component is a star rooted at its minimum node;
+    small-star's output IS the (node -> root) mapping then.
+
+    Convergence probe is one aggregate per round over the NEW edge set
+    ((count, bit_xor(hash), sum) unchanged between rounds); a 2^-64
+    xor-collision false stop is the same order as the hash-key
+    collisions the dedup lanes already price. Returns (node,
+    cluster_id = min node in component), one row per node appearing in
+    any edge — the min_label_components contract.
+    """
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    cur = (fwd.union(fwd.select("d", "s"))
+           .filter(F.col("s") != F.col("d"))
+           .distinct().localCheckpoint())
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(s, d))"),
+        ).collect()[0]
+        return (row[0], row[1])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        m = (sym.groupBy("s")
+             .agg(F.least(F.min("d"), F.first("s")).alias("m")))
+        return (sym.join(m, "s")
+                .filter(F.col("d") > F.col("s"))
+                .select(F.col("d").alias("s"), F.col("m").alias("d"))
+                .filter(F.col("s") != F.col("d"))
+                .distinct())
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(F.greatest("s", "d").alias("s"),
+                            F.least("s", "d").alias("d"))
+        m = (directed.groupBy("s")
+             .agg(F.least(F.min("d"), F.first("s")).alias("m")))
+        relinked = (directed.join(m, "s")
+                    .select(F.col("d").alias("s"), F.col("m").alias("d"))
+                    .union(m.select(F.col("s"), F.col("m").alias("d"))))
+        return (relinked.filter(F.col("s") != F.col("d")).distinct())
+
+    sig = _sig(cur)
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        new_sig = _sig(cur)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint edges are (child -> root) stars; roots label themselves
+    return (cur.select(F.col("s").alias("node"),
+                       F.col("d").alias("cluster_id"))
+            .union(cur.select(F.col("d").alias("node"),
+                              F.col("d").alias("cluster_id")))
+            .distinct())

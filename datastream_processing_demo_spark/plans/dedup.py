@@ -404,9 +404,10 @@ def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_cluster_canonical", "dedup",
-    oracle="""
+# Shared by dedup_cluster_canonical (min-label lane) and its r10
+# large-star/small-star twin: the same transitive-closure fixpoint via a
+# recursive CTE.
+_CLUSTER_CC_ORACLE = """
     WITH RECURSIVE sh AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
@@ -435,7 +436,12 @@ def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, MIN(lab) AS cluster_id,
            node = MIN(lab) AS is_canonical
     FROM reach GROUP BY node
-    """,
+    """
+
+
+@query(
+    "dedup_cluster_canonical", "dedup",
+    oracle=_CLUSTER_CC_ORACLE,
     description="near-dup cluster assignment: connected components over Jaccard pairs",
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,3 +997,30 @@ def dedup_simhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_a", "doc_b")
              .localCheckpoint())  # tiny; read 3x in the verify
     return _verified_pairs(docs, cands, threshold=0.9)
+
+
+@query(
+    "dedup_cluster_lsss", "dedup",
+    # The min-label lane's documented planet-scale swap made EXECUTABLE
+    # and driver-verdictable (r10): alternating large-star/small-star
+    # rounds (Kiveris et al. 2014) converge in O(log n) rounds on a
+    # shrinking edge list regardless of graph diameter, where min-label
+    # pays one full-edge-list join per diameter hop (and, pre-r10,
+    # silently returned stale labels past its round budget — the bug the
+    # differential fuzz against this lane exposed). Same pairs, same
+    # recursive-CTE fixpoint oracle, same output contract as
+    # dedup_cluster_canonical — the driver gate proves the two
+    # algorithms agree on the real corpus.
+    oracle=_CLUSTER_CC_ORACLE,
+    description="near-dup cluster assignment via alternating large-star/small-star components (O(log n) rounds, diameter-independent)",
+)
+def dedup_cluster_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import alternating_components
+    from ..operators.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"),
+                                threshold=0.5, n=3)
+    comp = alternating_components(pairs.select("doc_a", "doc_b"),
+                                  src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"))

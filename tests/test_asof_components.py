@@ -206,3 +206,68 @@ def test_frames_col_empty_payload(spark):
     rows = (spark.createDataFrame([("",), ("ab",)], "text string")
             .select(F.size(frames_col("text")).alias("n")).collect())
     assert [r["n"] for r in rows] == [0, 1]
+
+
+def _uf_truth(edges):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_alternating_components_match_union_find(spark):
+    """Differential fuzz (r10): large-star/small-star vs a driver-side
+    union-find on sparse random graphs — the case class where min-label
+    at its default round budget went silently stale (the bug this fuzz
+    found; min_label now raises instead)."""
+    import random
+
+    from datastream_processing_demo_spark.operators.components import (
+        alternating_components,
+    )
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 200
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["cluster_id"]
+               for r in alternating_components(df).collect()}
+        assert got == _uf_truth(edges), f"trial {trial}"
+
+
+def test_alternating_components_diameter_independent_rounds(spark):
+    """A 128-node path needs 127 min-label rounds; the alternating
+    rounds must finish it inside a LOG-scale budget — the property that
+    makes the lane the planet-scale swap."""
+    from datastream_processing_demo_spark.operators.components import (
+        alternating_components,
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(127)], "src long, dst long")
+    out = alternating_components(edges, max_iter=12)
+    labels = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == 128
+
+
+def test_min_label_raises_loudly_past_round_budget(spark):
+    """Pre-r10, min-label returned silently-wrong labels when the graph
+    diameter exceeded max_iter. It must refuse instead."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(edges, src="src", dst="dst", max_iter=5)
