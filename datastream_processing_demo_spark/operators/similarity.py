@@ -878,3 +878,98 @@ def auto_n_cells(n_rows: int, target_cell_size: int = 256,
     binding constraint — measured at sf1: exact lane 28 s at 16 cells,
     124 s at 128; fast lane ~5 s at both)."""
     return max(min_cells, min(max_cells, -(-n_rows // target_cell_size)))
+
+
+# --- Product quantization (Jégou/Douze/Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search") -----------------------------
+#
+# The memory-compression half of the FAISS-style 100 TB ANN stack (IVF
+# above is the pruning half): each dim-D vector is split into m_sub
+# subvectors, each quantized to one of k_codes per-subspace centroids —
+# a D x 4-byte float vector becomes m_sub 1-byte codes (64x smaller at
+# 64-dim/4-sub), so a corpus whose raw embeddings need a cluster's
+# aggregate RAM scans as codes from a fraction of one node. Serving is
+# ADC (asymmetric distance): the query stays full-precision, each
+# corpus item costs m_sub table lookups + adds instead of D multiplies.
+#
+# Everything is deterministic and engine-portable by the same
+# discipline as the IVF quantizer: seeds = lowest-id vectors, Lloyd
+# means on the exact 1e-6 integer grid, dot-form L2 with code-id
+# tiebreaks, scores rounded to the 1e-6 grid before ranking.
+
+
+def pq_codebooks(corpus: DataFrame, m_sub: int = 4, k_codes: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 lloyd_iters: int = 1, dim: int = 64) -> list:
+    """Per-subspace codebooks: [(sub_id, [(code_id, [float])])].
+    Training reuses the IVF quantizer per sliced subvector frame — at
+    100 TB codebooks train once on a sample (metadata scale: m_sub x
+    k_codes x dim/m_sub floats) and persist next to the code table."""
+    sub_len = dim // m_sub
+    books = []
+    for s in range(m_sub):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
+            .alias("_sv"))
+        books.append((s, ivf_centroids(sub, n_cells=k_codes, id_col=id_col,
+                                       vec_col="_sv",
+                                       lloyd_iters=lloyd_iters)))
+    return books
+
+
+def pq_codes(corpus: DataFrame, books: list, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Encode: (id, c0..c{m-1}) byte codes via nearest-codeword per
+    subspace — a shuffle-free projection against literal codebooks,
+    exactly like the IVF cell assignment. Two selects so the sliced
+    subvectors are computed once below the assignment expressions
+    (the ivf_centroids projection-above-Generate lesson)."""
+    sub_len = len(books[0][1][0][1])
+    sliced = corpus.select(
+        F.col(id_col),
+        *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
+          .alias(f"_sv{s}") for s, _ in books])
+    return sliced.select(
+        F.col(id_col),
+        *[F.element_at(
+            _nearest_cells_expr(F.col(f"_sv{s}"), cent, 1), 1)
+          .alias(f"c{s}") for s, cent in books])
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, books: list, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            round_to: int = 6) -> DataFrame:
+    """ADC approximate inner-product top-k over PQ codes.
+
+    Per-query LUTs (m_sub arrays of k_codes dots against the literal
+    codebooks) are computed ONCE on the tiny query side and broadcast;
+    the corpus side is a linear scan of codes paying m_sub element_at
+    lookups + adds per row — the PQ serving contract. The score is the
+    left-to-right sum of per-subspace lookups on the 1e-6 grid, so an
+    ANSI oracle spelling the same l0+l1+l2+l3 chain reproduces every
+    bit. Compose with the IVF cell filter for the full IVF-PQ stack."""
+    sub_len = len(books[0][1][0][1])
+    codes = pq_codes(corpus, books, id_col, vec_col)
+    q_sliced = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
+          .alias(f"_qs{s}") for s, _ in books])
+    luts = q_sliced.select(
+        "query_id",
+        *[F.array(*[dot_col(F.col(f"_qs{s}"),
+                            F.array(*[F.lit(float(x)) for x in vec]))
+                    for _, vec in cent]).alias(f"lut{s}")
+          for s, cent in books])
+    score = F.col("lut0")[F.col("c0") - 1]
+    for s, _ in books[1:]:
+        score = score + F.col(f"lut{s}")[F.col(f"c{s}") - 1]
+    scored = (codes.withColumnRenamed(id_col, "neighbor_id")
+              .join(F.broadcast(luts),
+                    F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score", F.round(score, round_to)))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))

@@ -1,0 +1,82 @@
+"""Product-quantization ANN (operators/similarity.py pq_*).
+
+The oracle gate proves bit-exactness of training/encoding/serving; these
+pin the operator-level contracts: codebook geometry, code range, and the
+ADC approximation's recall against the exact inner-product ranking on
+the fixture corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datastream_processing_demo_spark.catalog import load_table
+from datastream_processing_demo_spark.operators.similarity import (
+    dot_col,
+    pq_codebooks,
+    pq_codes,
+    pq_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_codebook_geometry_and_code_range(spark):
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_codebooks(emb)
+    assert [s for s, _ in books] == [0, 1, 2, 3]
+    for _, cent in books:
+        assert len(cent) == 16
+        assert all(len(vec) == 16 for _, vec in cent)
+        assert [cid for cid, _ in cent] == sorted(cid for cid, _ in cent)
+    codes = pq_codes(emb, books)
+    stats = codes.agg(
+        *[F.min(f"c{s}").alias(f"lo{s}") for s in range(4)],
+        *[F.max(f"c{s}").alias(f"hi{s}") for s in range(4)],
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    assert stats["n"] == emb.count()
+    for s in range(4):
+        assert 1 <= stats[f"lo{s}"] and stats[f"hi{s}"] <= 16
+
+
+def test_adc_recall_against_exact_inner_product(spark):
+    """PQ is lossy by design, and the synthetic fixture is its worst
+    case: i.i.d.-random 64-dim vectors have no low-dimensional
+    structure for the 16-dim subquantizers to exploit, so quantization
+    error is data-bound, not codebook-bound (measured: recall@5 0.30 at
+    16 codes, 0.26 at 64 — more codes don't help; top5-in-exact-top20
+    0.58/0.64). Real embedding corpora cluster on low-dimensional
+    manifolds where PQ recall is far higher; the standard mitigations
+    (OPQ rotation, IVF-PQ residual encoding) address exactly this.
+    Contract: floors below the deterministic measured values, so only a
+    real regression in training/encoding/serving trips them."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = pq_topk(emb, queries, pq_codebooks(emb), k=5)
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("c_vec"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id")
+    exact = (c.join(F.broadcast(q),
+                    F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("score", F.round(dot_col("q_vec", "c_vec"), 6))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= 5))
+    exact20 = (c.join(F.broadcast(q),
+                      F.col("query_id") != F.col("neighbor_id"))
+               .withColumn("score", F.round(dot_col("q_vec", "c_vec"), 6))
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= 20))
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    e20 = {(r.query_id, r.neighbor_id) for r in exact20.collect()}
+    assert len(a & e) / len(e) >= 0.2, "ADC recall@5 collapsed"
+    assert len(a & e20) / len(a) >= 0.4, "ADC top5 left the exact top20"
