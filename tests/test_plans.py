@@ -791,3 +791,15 @@ def test_data_profile_single_scan_bounded_shuffles(spark, sf_dir):
         assert "col_name" in key, f"shuffle keyed off profile key: {key}"
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "o_comment" not in read_schema and "o_totalprice" not in read_schema
+
+
+def test_pq_serving_is_broadcast_code_scan(spark, sf_dir):
+    """PQ serving must be the linear code scan it promises: the tiny
+    query-LUT side broadcasts into a single pass over the corpus codes
+    (a non-equi broadcast join is the intended shape, like the
+    brute-force lane), with the only exchange being the per-query
+    ranking window."""
+    plan = _plan(spark, sf_dir, "sim_ann_pq")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
