@@ -955,15 +955,25 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, books: list, k: int = 5,
         F.col(id_col).alias("query_id"),
         *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
           .alias(f"_qs{s}") for s, _ in books])
+    # LUTs keyed by CODE ID, not array position: a Lloyd round can empty
+    # a seed cell (e.g. duplicate-heavy Zipf corpora put two identical
+    # seeds in one subspace — every member tiebreaks to the lower id and
+    # the upper codeword vanishes), leaving the codebook with gaps in
+    # its id space. Positional lut[c-1] indexing threw
+    # INVALID_ARRAY_INDEX exactly there (found by the r10 sf1-zipf
+    # oracle sweep); element_at on a literal-keyed map is gap-safe and
+    # produces the same doubles.
     luts = q_sliced.select(
         "query_id",
-        *[F.array(*[dot_col(F.col(f"_qs{s}"),
-                            F.array(*[F.lit(float(x)) for x in vec]))
-                    for _, vec in cent]).alias(f"lut{s}")
+        *[F.map_from_arrays(
+            F.array(*[F.lit(int(cid)) for cid, _ in cent]),
+            F.array(*[dot_col(F.col(f"_qs{s}"),
+                              F.array(*[F.lit(float(x)) for x in vec]))
+                      for _, vec in cent])).alias(f"lut{s}")
           for s, cent in books])
-    score = F.col("lut0")[F.col("c0") - 1]
+    score = F.element_at(F.col("lut0"), F.col("c0"))
     for s, _ in books[1:]:
-        score = score + F.col(f"lut{s}")[F.col(f"c{s}") - 1]
+        score = score + F.element_at(F.col(f"lut{s}"), F.col(f"c{s}"))
     scored = (codes.withColumnRenamed(id_col, "neighbor_id")
               .join(F.broadcast(luts),
                     F.col("query_id") != F.col("neighbor_id"))

@@ -80,3 +80,25 @@ def test_adc_recall_against_exact_inner_product(spark):
     e20 = {(r.query_id, r.neighbor_id) for r in exact20.collect()}
     assert len(a & e) / len(e) >= 0.2, "ADC recall@5 collapsed"
     assert len(a & e20) / len(a) >= 0.4, "ADC top5 left the exact top20"
+
+
+def test_pq_survives_emptied_seed_cell(spark):
+    """Regression (r10 sf1-zipf sweep find): two identical vectors among
+    the k lowest ids give one subspace two identical seeds; every member
+    tiebreaks to the lower code id, the upper codeword gets no members
+    and vanishes from the refined codebook — the LUT lookup must handle
+    the id gap, not index positionally."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for vid in range(40):
+        vec = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((vid, vec))
+    rows[1] = (1, list(rows[0][1]))  # vec 1 duplicates vec 0: seeds collide
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(emb)
+    assert any(len(cent) < 16 for _, cent in books), \
+        "fixture no longer empties a seed cell — rebuild it"
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 3), books, k=5).collect()
+    assert len(out) == 15  # 3 queries x top-5, no INVALID_ARRAY_INDEX
