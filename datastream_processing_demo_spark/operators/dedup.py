@@ -740,3 +740,24 @@ def simhash_multiword_near_pairs(simhashes: DataFrame, radius: int,
             .filter(F.col("hamming") <= radius)
             .select("doc_a", "doc_b", "hamming")
             .distinct())
+
+
+def auto_minhash_bands(n_docs: int, rows: int = 4, min_bands: int = 16,
+                       max_bands: int = 64) -> int:
+    """Corpus-size -> LSH band count at fixed rows-per-band (the
+    auto_simhash_words pattern applied to the OTHER near-dup dial,
+    VERDICT-r10 sf10 find): a j-similar pair escapes b bands of r rows
+    with probability (1 - j^r)^b, so misses shrink geometrically in b
+    while the true-pair count grows ~linearly with the corpus — holding
+    EXPECTED ESCAPES bounded needs b ∝ log(corpus). At the r=4, j=0.8
+    contract the per-band hit rate is 0.41, one extra band per ~1.3
+    corpus doublings; bands = ceil(4/3 * log2(n)) gives that slope with
+    floor 16 (the production dedup_minhash_lsh geometry, measured
+    full-recall through sf10) — at sf10's 500k docs it yields 26 bands,
+    expected escapes ~0.03 where the fixed 8-band contract lane
+    measured its first 2 boundary escapes (25.6k true pairs)."""
+    import math
+    if n_docs <= 1:
+        return min_bands
+    return max(min_bands, min(max_bands,
+                              math.ceil(math.log2(n_docs) * 4 / 3)))

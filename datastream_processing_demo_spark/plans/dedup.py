@@ -495,6 +495,14 @@ _TRUE_PAIRS_09_SQL = """
     # asserted by tests/test_llm_ops.py since round 1) is full recall.
     # A banding bug, signature truncation, or bucket-join regression
     # flips a found flag and hash-fails.
+    # HONEST BOUNDARY (r10, first sf10 oracle sweep): this 32/8
+    # geometry's full-recall outcome is CORPUS-SIZE-CONTINGENT — at
+    # sf10 (25,600 true pairs) 2 threshold pairs escaped the 8 bands,
+    # exactly where banding theory puts the first expected escapes.
+    # The driver gate's SFs stay full-recall; dedup_minhash_recall_auto
+    # (below) is the corpus-sized-bands twin that keeps the exact
+    # contract at any rehearsed scale, and the PRODUCTION 64/16
+    # pipeline (dedup_minhash_lsh) measured full recall at sf10.
     oracle=f"""
     SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS found
     FROM ({_TRUE_PAIRS_09_SQL})
@@ -1024,3 +1032,43 @@ def dedup_cluster_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"))
+
+
+@query(
+    "dedup_minhash_recall_auto", "dedup",
+    # The banding dial made executable (r10; the auto_simhash_words
+    # pattern): the fixed 32-hash/8-band recall lane above hit its
+    # statistical boundary at the sf10 oracle sweep — 2 of 25,600 true
+    # pairs at the j~0.8 threshold escaped (banding theory expects
+    # escapes once true-pair count x (1-j^r)^b reaches O(1); the
+    # PRODUCTION 64/16 pipeline measured full recall at the same sf10).
+    # This twin sizes bands from COUNT(*) (operators.dedup.
+    # auto_minhash_bands: b = ceil(4/3 log2 n), floor 16), keeping
+    # expected escapes well below one as the corpus scales, so the
+    # every-true-pair-found oracle stays exact at ANY rehearsed sf.
+    oracle=f"""
+    SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS found
+    FROM ({_TRUE_PAIRS_09_SQL})
+    """,
+    description="MinHash+LSH recall contract with corpus-sized band count: every exact Jaccard>=0.8 pair is a candidate at the auto width",
+)
+def dedup_minhash_recall_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        auto_minhash_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    docs = t(spark, sf_dir, "documents")
+    bands = auto_minhash_bands(docs.count())
+    true_pairs = (ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+                  .select("doc_a", "doc_b"))
+    cands = (lsh_candidate_pairs(
+                 minhash_signatures(docs, num_hashes=4 * bands, n=3),
+                 bands=bands)
+             .select("doc_a", "doc_b").distinct()
+             .withColumn("_hit", F.lit(1)))
+    return (true_pairs.join(cands, ["doc_a", "doc_b"], "left")
+            .select("doc_a", "doc_b",
+                    F.coalesce(F.col("_hit"), F.lit(0)).cast("long")
+                    .alias("found")))

@@ -133,3 +133,16 @@ def test_width_recovers_radius_boundary_pair(spark):
             for r in dedup_simhash_auto(spark, sf_dir).collect()}
     assert escaped <= auto
     assert auto == truth
+
+
+def test_auto_minhash_bands_rule():
+    # floor 16 (the production dedup_minhash_lsh geometry), 4/3 * log2(n)
+    # past ~2^12 docs, capped at 64 — the banding twin of the width rule
+    from datastream_processing_demo_spark.operators.dedup import (
+        auto_minhash_bands,
+    )
+    assert auto_minhash_bands(0) == 16
+    assert auto_minhash_bands(500) == 16
+    assert auto_minhash_bands(5_000) == 17
+    assert auto_minhash_bands(500_000) == 26   # the sf10 corpus
+    assert auto_minhash_bands(2**60) == 64     # cap
