@@ -243,10 +243,13 @@ def _run_stateful_regime(spark, df, n_rows: int, prefix: str,
     old = spark.conf.get(conf_key, None)
     oldp = spark.conf.get("spark.sql.shuffle.partitions")
     extra_olds = {}
-    for k, v in (extra_conf or {}).items():
-        extra_olds[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
     try:
+        # apply extra_conf INSIDE the try: if a conf.set raises mid-loop
+        # the finally restores the keys already applied instead of
+        # leaking them into subsequent regimes' measurements (ADVICE r10)
+        for k, v in (extra_conf or {}).items():
+            extra_olds[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
         src_dir = os.path.join(work, "src")
         df.repartition(8).write.mode("overwrite").parquet(src_dir)
         schema = spark.read.parquet(src_dir).schema

@@ -151,16 +151,23 @@ def alternating_components(edges: DataFrame, src: str = "src",
     small-star's output IS the (node -> root) mapping then.
 
     Convergence probe is one aggregate per round over the NEW edge set
-    ((count, bit_xor(hash), sum) unchanged between rounds); a 2^-64
+    (a (count, bit_xor(hash)) pair unchanged between rounds); a 2^-64
     xor-collision false stop is the same order as the hash-key
     collisions the dedup lanes already price. Returns (node,
     cluster_id = min node in component), one row per node appearing in
-    any edge — the min_label_components contract.
+    any edge — the min_label_components contract, INCLUDING nodes that
+    appear only in self-loop edges (they come back as their own
+    singleton cluster, exactly as min-label labels them).
     """
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    cur = (fwd.union(fwd.select("d", "s"))
-           .filter(F.col("s") != F.col("d"))
-           .distinct().localCheckpoint())
+    # one checkpoint materializes the edge lineage ONCE and serves both
+    # the star rounds (s != d) and the self-loop singleton contract
+    # (s == d) — re-deriving self-loops from `edges` at the end would
+    # re-run the whole upstream pair computation.
+    pairs = fwd.union(fwd.select("d", "s")).distinct().localCheckpoint()
+    self_nodes = (pairs.filter(F.col("s") == F.col("d"))
+                  .select(F.col("s").alias("node")))
+    cur = pairs.filter(F.col("s") != F.col("d"))
 
     def _sig(e: DataFrame) -> tuple:
         row = e.agg(
@@ -196,9 +203,23 @@ def alternating_components(edges: DataFrame, src: str = "src",
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # An unstabilized edge set means some component is not yet a
+        # star, so reading (s -> d) as (child -> root) below would emit
+        # multiple cluster_ids for one node — the same silent-wrong mode
+        # min_label_components fails loud on. Practically unreachable at
+        # max_iter=50 (rounds are O(log n)), but never return it.
+        raise RuntimeError(
+            f"alternating_components did not converge in {max_iter} "
+            f"large-star/small-star rounds; raise max_iter")
     # fixpoint edges are (child -> root) stars; roots label themselves
-    return (cur.select(F.col("s").alias("node"),
-                       F.col("d").alias("cluster_id"))
-            .union(cur.select(F.col("d").alias("node"),
-                              F.col("d").alias("cluster_id")))
-            .distinct())
+    out = (cur.select(F.col("s").alias("node"),
+                      F.col("d").alias("cluster_id"))
+           .union(cur.select(F.col("d").alias("node"),
+                             F.col("d").alias("cluster_id")))
+           .distinct())
+    # nodes seen ONLY in self-loops: singleton clusters (min-label
+    # returns (node, node) for them; the star rounds filtered them out)
+    singles = (self_nodes.join(out.select("node"), "node", "left_anti")
+               .select("node", F.col("node").alias("cluster_id")))
+    return out.union(singles)

@@ -595,7 +595,8 @@ def _pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="composed training pipeline: redact -> quality -> dedup -> near-dup -> split",
 )
-def text_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_pipeline_full(spark: SparkSession, sf_dir: str,
+                       survivors: DataFrame | None = None) -> DataFrame:
     # The whole training-data prep chain as ONE declarative plan —
     # Catalyst sees every stage, so column pruning and predicate
     # pushdown cross stage boundaries (no materialization walls
@@ -606,7 +607,8 @@ def text_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side md5 bucket. Inject->redact mirrors text_pii_redact so
     # the scrub provably fires.
     from ..operators.dedup import ngram_jaccard_pairs
-    survivors = _pipeline_survivors(spark, sf_dir)
+    if survivors is None:
+        survivors = _pipeline_survivors(spark, sf_dir)
     pairs = ngram_jaccard_pairs(survivors, threshold=0.5, n=3,
                                 text_col="clean")
     dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -705,7 +707,8 @@ def _pipeline_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     oracle=_pipeline_lsh_oracle(),
     description="composed training pipeline, near-dup stage swapped to MinHash+LSH (the 100 TB mode), exact-oracled end-to-end",
 )
-def text_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_pipeline_full_lsh(spark: SparkSession, sf_dir: str,
+                           survivors: DataFrame | None = None) -> DataFrame:
     # text_pipeline_full with the documented scale swap APPLIED: the
     # exact-Jaccard near-dup stage replaced by portable MinHash+LSH
     # banding — signatures are one aggregate pass, candidates one bucket
@@ -716,7 +719,8 @@ def text_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_portable_candidate_pairs,
         minhash_portable_signatures,
     )
-    survivors = _pipeline_survivors(spark, sf_dir)
+    if survivors is None:
+        survivors = _pipeline_survivors(spark, sf_dir)
     sigs = minhash_portable_signatures(survivors, num_hashes=16, n=3,
                                        text_col="clean")
     pairs = lsh_portable_candidate_pairs(sigs, bands=4)
@@ -1189,15 +1193,22 @@ def text_pipeline_lane_decision(
     string_distance_lane_decision pattern): ONE metadata-scale aggregate
     over the survivors' shingle inverted index decides. String shingle
     keys, not xxhash64 — the oracle recomputes the identical integer, so
-    the two engines can never disagree at the cap boundary."""
+    the two engines can never disagree at the cap boundary.
+
+    The survivors frame is localCheckpointed here and returned in the
+    dict so the chosen lane reuses the materialized front half instead
+    of rebuilding redact -> quality -> exact-dedup a second time
+    (ADVICE r10: the rebuild roughly doubled the shared work per
+    headline run)."""
     from ..operators.dedup import doc_shingles
-    survivors = _pipeline_survivors(spark, sf_dir)
+    survivors = _pipeline_survivors(spark, sf_dir).localCheckpoint()
     sh = doc_shingles(survivors, text_col="clean", hash_keys=False)
     sum_df2 = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
                .collect()[0]["s"]) or 0
     return {"sum_df2": int(sum_df2), "cap": cap,
-            "lane": "exact" if sum_df2 <= cap else "lsh"}
+            "lane": "exact" if sum_df2 <= cap else "lsh",
+            "survivors": survivors}
 
 
 def _pipeline_auto_oracle(num_hashes: int = 16, bands: int = 4,
@@ -1312,7 +1323,11 @@ def _pipeline_auto_oracle(num_hashes: int = 16, bands: int = 4,
     description="composed training pipeline with executable scale dispatch: exact-Jaccard vs MinHash+LSH near-dup stage picked by the posting-join bound, dispatch mirrored in the oracle",
 )
 def text_pipeline_full_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lane = text_pipeline_lane_decision(spark, sf_dir)["lane"]
-    if lane == "exact":
-        return text_pipeline_full(spark, sf_dir)
-    return text_pipeline_full_lsh(spark, sf_dir)
+    decision = text_pipeline_lane_decision(spark, sf_dir)
+    # reuse the decision's checkpointed survivors — the shared front
+    # half (redact -> quality -> exact-dedup) runs once, not twice
+    if decision["lane"] == "exact":
+        return text_pipeline_full(spark, sf_dir,
+                                  survivors=decision["survivors"])
+    return text_pipeline_full_lsh(spark, sf_dir,
+                                  survivors=decision["survivors"])

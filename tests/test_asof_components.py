@@ -271,3 +271,41 @@ def test_min_label_raises_loudly_past_round_budget(spark):
         [(i, i + 1) for i in range(30)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(edges, src="src", dst="dst", max_iter=5)
+
+
+def test_alternating_components_self_loop_singletons(spark):
+    """ADVICE r10: nodes appearing ONLY in self-loop edges must come
+    back as their own singleton cluster (the min-label contract: one
+    row per node appearing in any edge), and self-loops on nodes that
+    also have real edges must not add a second row."""
+    from datastream_processing_demo_spark.operators.components import (
+        alternating_components,
+        min_label_components,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 2), (7, 7), (9, 9)], "src long, dst long")
+    got = {r["node"]: r["cluster_id"]
+           for r in alternating_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+    rows = alternating_components(edges).collect()
+    assert len(rows) == 4, "exactly one row per node appearing in any edge"
+    # min-label agrees on the same input (self-loops symmetrize to
+    # (n, n), so the node enters the label table and keeps itself)
+    ml = {r["node"]: r["cluster_id"]
+          for r in min_label_components(edges, src="src", dst="dst").collect()}
+    assert ml == got
+
+
+def test_alternating_components_raises_past_round_budget(spark):
+    """ADVICE r10: an unstabilized edge set must refuse, not return a
+    node with multiple cluster_ids (same fail-loud contract min-label
+    got in r10)."""
+    import pytest
+
+    from datastream_processing_demo_spark.operators.components import (
+        alternating_components,
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(127)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        alternating_components(edges, max_iter=1)
