@@ -488,26 +488,27 @@ _TRUE_PAIRS_09_SQL = """
     # The xxhash64 MinHash+LSH candidate SET is engine-internal, but its
     # RECALL CONTRACT against the exactly-SQL-computable truth is not:
     # every true pair (3-gram Jaccard >= 0.8) must appear among the LSH
-    # candidates. Banding theory puts a j=0.8 pair's miss probability at
-    # (1-0.8^4)^8 ~ 1e-2 per RANDOM hash family — but xxhash64 is a
-    # fixed function, so for a given corpus the outcome is deterministic
-    # and this data's outcome (verified at sf0.001 and sf0.01, and
-    # asserted by tests/test_llm_ops.py since round 1) is full recall.
-    # A banding bug, signature truncation, or bucket-join regression
-    # flips a found flag and hash-fails.
-    # HONEST BOUNDARY (r10, first sf10 oracle sweep): this 32/8
-    # geometry's full-recall outcome is CORPUS-SIZE-CONTINGENT — at
-    # sf10 (25,600 true pairs) 2 threshold pairs escaped the 8 bands,
-    # exactly where banding theory puts the first expected escapes.
-    # The driver gate's SFs stay full-recall; dedup_minhash_recall_auto
-    # (below) is the corpus-sized-bands twin that keeps the exact
-    # contract at any rehearsed scale, and the PRODUCTION 64/16
-    # pipeline (dedup_minhash_lsh) measured full recall at sf10.
+    # candidates. xxhash64 is a fixed function, so for a given corpus
+    # the outcome is deterministic; a banding bug, signature truncation,
+    # or bucket-join regression flips a found flag and hash-fails.
+    # GEOMETRY (re-specced r11, the dedup_simhash playbook): this lane
+    # shipped r1-r10 at 32 hashes / 8 bands, whose full-recall outcome
+    # proved CORPUS-SIZE-CONTINGENT — the r10 sf10 oracle sweep lost
+    # 2 of 25,600 true pairs at j~0.8, exactly where banding theory puts
+    # the first expected escapes ((1-0.8^4)^8 ~ 1e-2 per pair x 25.6k
+    # pairs >> 1). The contract lane now ships at the PRODUCTION 64/16
+    # geometry (per-pair miss ~2.2e-4, ~70x headroom), which measured
+    # full recall at the same sf10 sweep — the certified width, exactly
+    # how dedup_simhash moved to 4x63 in r10. The 32/8 boundary stays
+    # regression-pinned in tests/test_llm_ops.py (test_minhash_lsh_recall
+    # + test_minhash_64hash_margin's superset assertion), and
+    # dedup_minhash_recall_auto (below) remains the corpus-sized-bands
+    # twin that keeps the contract exact at ANY rehearsed scale.
     oracle=f"""
     SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS found
     FROM ({_TRUE_PAIRS_09_SQL})
     """,
-    description="MinHash+LSH recall contract: every exact Jaccard>=0.8 pair is a candidate",
+    description="MinHash+LSH recall contract at the production 64/16 geometry: every exact Jaccard>=0.8 pair is a candidate",
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
@@ -518,8 +519,8 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     true_pairs = (ngram_jaccard_pairs(docs, threshold=0.8, n=3)
                   .select("doc_a", "doc_b"))
-    cands = (lsh_candidate_pairs(minhash_signatures(docs, num_hashes=32, n=3),
-                                 bands=8)
+    cands = (lsh_candidate_pairs(minhash_signatures(docs, num_hashes=64, n=3),
+                                 bands=16)
              .select("doc_a", "doc_b").distinct()
              .withColumn("_hit", F.lit(1)))
     return (true_pairs.join(cands, ["doc_a", "doc_b"], "left")
