@@ -948,7 +948,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, books: list, k: int = 5,
     lookups + adds per row — the PQ serving contract. The score is the
     left-to-right sum of per-subspace lookups on the 1e-6 grid, so an
     ANSI oracle spelling the same l0+l1+l2+l3 chain reproduces every
-    bit. Compose with the IVF cell filter for the full IVF-PQ stack."""
+    bit. `ivf_pq_topk` below composes this with the IVF cell filter for
+    the full pruning x compression stack."""
     sub_len = len(books[0][1][0][1])
     codes = pq_codes(corpus, books, id_col, vec_col)
     q_sliced = queries.select(
@@ -977,6 +978,78 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, books: list, k: int = 5,
     scored = (codes.withColumnRenamed(id_col, "neighbor_id")
               .join(F.broadcast(luts),
                     F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score", F.round(score, round_to)))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                n_cells: int = 16, n_probe: int = 4,
+                m_sub: int = 4, k_codes: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int = 6, cent: list | None = None,
+                books: list | None = None) -> DataFrame:
+    """Composed IVF-PQ serving — the full FAISS IndexIVFPQ shape
+    (Jégou et al. 2011 §V): the coarse quantizer PRUNES (each query
+    scores only its n_probe nearest cells' members, O(corpus x
+    n_probe / n_cells) candidates) and product quantization COMPRESSES
+    (each candidate costs m_sub LUT lookups + adds over 1-byte codes,
+    not D float multiplies). This is the 100 TB stack: raw vectors are
+    never touched at serving time — the code table is 64x smaller than
+    the corpus and the cell filter prunes before the code scan.
+
+    Corpus side is one shuffle-free pass (cell assignment + PQ encoding
+    against literal centroid/codebook metadata, computed in a second
+    select so the sliced subvectors evaluate once below the assignment
+    expressions); query side broadcasts (query, probed cell, LUT maps)
+    rows. Every stage inherits the deterministic discipline of its
+    parts (lowest-id seeds, integer-grid Lloyd means, dot-form L2,
+    gap-safe map-keyed LUTs, 1e-6 score grid, id tiebreaks), so the
+    composition has an exact ANSI mirror too."""
+    if cent is None:
+        cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(corpus, m_sub=m_sub, k_codes=k_codes,
+                             id_col=id_col, vec_col=vec_col)
+    sub_len = len(books[0][1][0][1])
+    sliced = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("_v"),
+        *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
+          .alias(f"_sv{s}") for s, _ in books])
+    coded = sliced.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(_nearest_cells_expr(F.col("_v"), cent, 1), 1)
+        .alias("cell_id"),
+        *[F.element_at(
+            _nearest_cells_expr(F.col(f"_sv{s}"), cb, 1), 1)
+          .alias(f"c{s}") for s, cb in books])
+    q_sliced = queries.select(
+        F.col(id_col).alias("query_id"),
+        _nearest_cells_expr(_as_double(vec_col), cent, n_probe)
+        .alias("_cells"),
+        *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
+          .alias(f"_qs{s}") for s, _ in books])
+    luts = q_sliced.select(
+        "query_id", "_cells",
+        *[F.map_from_arrays(
+            F.array(*[F.lit(int(cid)) for cid, _ in cb]),
+            F.array(*[dot_col(F.col(f"_qs{s}"),
+                              F.array(*[F.lit(float(x)) for x in vec]))
+                      for _, vec in cb])).alias(f"lut{s}")
+          for s, cb in books])
+    # LUTs are built once per query, THEN the probe list explodes — the
+    # map_from_arrays expressions never re-evaluate per probed cell
+    probes = luts.select(
+        "query_id", F.explode("_cells").alias("cell_id"),
+        *[f"lut{s}" for s, _ in books])
+    score = F.element_at(F.col("lut0"), F.col("c0"))
+    for s, _ in books[1:]:
+        score = score + F.element_at(F.col(f"lut{s}"), F.col(f"c{s}"))
+    scored = (coded.join(F.broadcast(probes), "cell_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("score", F.round(score, round_to)))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
                                           "neighbor_id")

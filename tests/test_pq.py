@@ -102,3 +102,58 @@ def test_pq_survives_emptied_seed_cell(spark):
         "fixture no longer empties a seed cell — rebuild it"
     out = pq_topk(emb, emb.filter(F.col("vec_id") < 3), books, k=5).collect()
     assert len(out) == 15  # 3 queries x top-5, no INVALID_ARRAY_INDEX
+
+
+def test_ivf_pq_is_pq_restricted_to_probed_cells(spark):
+    """The composition contract (r11): ivf_pq_topk must equal pq_topk
+    re-ranked over ONLY the candidates whose cell survives the query's
+    n_probe filter — i.e. the cell filter composes with ADC scoring
+    without perturbing either half."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        _nearest_cells_expr,
+        ivf_centroids,
+        ivf_pq_topk,
+    )
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cent = ivf_centroids(emb)
+    books = pq_codebooks(emb)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+           for r in ivf_pq_topk(emb, queries, k=5, cent=cent,
+                                books=books).collect()}
+
+    # reference: full ADC scores joined with cell membership, pruned to
+    # the probe set per query, re-ranked driver-side
+    cells = {r["vec_id"]: r["cell"] for r in emb.select(
+        "vec_id", F.element_at(
+            _nearest_cells_expr("embedding", cent, 1), 1).alias("cell"))
+        .collect()}
+    probes = {r["vec_id"]: list(r["cells"]) for r in queries.select(
+        "vec_id", _nearest_cells_expr("embedding", cent, 4).alias("cells"))
+        .collect()}
+    full = pq_topk(emb, queries, books, k=10**9).collect()
+    by_q: dict = {}
+    for r in full:
+        if cells[r["neighbor_id"]] in probes[r["query_id"]]:
+            by_q.setdefault(r["query_id"], []).append(
+                (-r["score"], r["neighbor_id"]))
+    want = {}
+    for q, cands in by_q.items():
+        for rank, (neg, nid) in enumerate(sorted(cands)[:5], start=1):
+            want[(q, rank)] = (nid, -neg)
+    assert got == want
+
+
+def test_ivf_pq_prunes_candidates(spark):
+    """The point of the composition: the scored candidate set must be a
+    strict subset of the full PQ scan's (n_probe=4 of 16 cells)."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    # with k unbounded, the output size IS the candidate-set size
+    pruned = ivf_pq_topk(emb, queries, k=10**9).count()
+    assert pruned < 10 * (n - 1) * 0.5, \
+        "cell filter pruned less than half the corpus across 10 queries"
