@@ -450,9 +450,51 @@ def _load_context() -> dict:
     return ctx
 
 
+def _wait_for_idle(threshold: float, timeout: float,
+                   poll: float = 5.0) -> dict:
+    """Spin-wait until load1 <= threshold (or timeout), so the official
+    artifact is idle-by-construction instead of merely self-identifying
+    (VERDICT r10: the official r10 run started at load1 = 4.02 and
+    showed ~2x scatter on untouched lanes). Returns a stamp for the
+    artifact: what we waited for, how long, and whether we got it."""
+    t0 = time.monotonic()
+    try:
+        first = os.getloadavg()[0]
+    except OSError:  # platform without getloadavg: nothing to wait on
+        return {"threshold": threshold, "satisfied": True,
+                "waited_sec": 0.0, "note": "no loadavg on this platform"}
+    la1 = first
+    while la1 > threshold and time.monotonic() - t0 < timeout:
+        time.sleep(poll)
+        la1 = os.getloadavg()[0]
+    return {"threshold": threshold, "start_load1": round(first, 2),
+            "final_load1": round(la1, 2),
+            "waited_sec": round(time.monotonic() - t0, 1),
+            "satisfied": la1 <= threshold}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Idle-by-construction (VERDICT r10 task #5): wait out residual host
+    # load before measuring. Default = bounded spin-wait (the driver
+    # runs bench right after the correctness sweep, when load1 is still
+    # draining); --require-idle REFUSES instead of proceeding when the
+    # box never quiets; SPARK_GRAFT_BENCH_NO_IDLE_WAIT=1 skips entirely.
+    idle_wait = None
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_IDLE_WAIT"):
+        idle_wait = _wait_for_idle(
+            threshold=float(os.environ.get(
+                "SPARK_GRAFT_BENCH_IDLE_LOAD1", "1.0")),
+            timeout=float(os.environ.get(
+                "SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "300")))
+        if idle_wait.get("waited_sec", 0) > 0 and \
+                os.environ.get("SPARK_GRAFT_BENCH_PROGRESS"):
+            print(f"bench: idle wait {idle_wait}", file=sys.stderr)
+        if "--require-idle" in sys.argv and not idle_wait["satisfied"]:
+            print(f"bench: REFUSING to measure under load: {idle_wait}",
+                  file=sys.stderr)
+            sys.exit(3)
     load_start = _load_context()
     spark = get_session(EngineConfig(app_name="bench"))
     specs = all_queries()
@@ -505,6 +547,8 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     out["host_load"] = {"start": load_start, "end": _load_context()}
+    if idle_wait is not None:
+        out["host_load"]["idle_wait"] = idle_wait
     print(emit(out))
 
 

@@ -137,3 +137,35 @@ def test_budget_degrade_is_monotonic():
     # drop-fastest keeps the expensive queries (all equal here, so just
     # check non-empty)
     assert parsed["queries"]
+
+
+def test_wait_for_idle_stamps_and_returns_fast_when_idle():
+    """r11 (--require-idle): when load1 is already under threshold the
+    wait returns immediately with a satisfied stamp; an impossible
+    threshold times out quickly and says so — the artifact records
+    which case occurred instead of leaving contamination ambiguous."""
+    import bench
+
+    ok = bench._wait_for_idle(threshold=10**6, timeout=1.0, poll=0.1)
+    assert ok["satisfied"] is True
+    assert ok["waited_sec"] < 1.0
+    bad = bench._wait_for_idle(threshold=-1.0, timeout=0.3, poll=0.1)
+    assert bad["satisfied"] is False
+    assert bad["waited_sec"] >= 0.3
+
+
+def test_slim_line_survives_idle_wait_stamp():
+    """host_load.idle_wait rides the full artifact; the slim tail keeps
+    only the load1 pair regardless."""
+    import json
+
+    import bench
+
+    out = {"metric": "headline_suite_wall_sec", "value": 1.0,
+           "queries": {"q1": 1.0},
+           "host_load": {"start": {"load1": 0.5}, "end": {"load1": 0.7},
+                         "idle_wait": {"threshold": 1.0, "satisfied": True,
+                                       "waited_sec": 12.3}}}
+    line = bench.slim_line(out)
+    assert len(line) <= bench.TAIL_BUDGET
+    assert json.loads(line)["host_load"] == [0.5, 0.7]
