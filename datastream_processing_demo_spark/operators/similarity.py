@@ -1056,3 +1056,78 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def ivf_pq_write_index(corpus: DataFrame, path: str, n_cells: int = 16,
+                       m_sub: int = 4, k_codes: int = 16,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> tuple:
+    """Persist an IVF-PQ index: the CODE table (id + m_sub byte codes —
+    the raw vectors are gone) written partitionBy(cell_id); centroids +
+    codebooks returned as metadata (persist them next to the index in a
+    real deployment — n_cells x dim + m_sub x k_codes x dim/m_sub
+    floats). This is the 100 TB at-rest shape: storage is corpus/64,
+    and serving scans only the probed cell DIRECTORIES
+    (PartitionFilters), paying m_sub LUT adds per code."""
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    books = pq_codebooks(corpus, m_sub=m_sub, k_codes=k_codes,
+                         id_col=id_col, vec_col=vec_col)
+    sub_len = len(books[0][1][0][1])
+    sliced = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("_v"),
+        *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
+          .alias(f"_sv{s}") for s, _ in books])
+    coded = sliced.select(
+        F.col(id_col),
+        F.element_at(_nearest_cells_expr(F.col("_v"), cent, 1), 1)
+        .alias("cell_id"),
+        *[F.element_at(_nearest_cells_expr(F.col(f"_sv{s}"), cb, 1), 1)
+          .alias(f"c{s}") for s, cb in books])
+    coded.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    return cent, books
+
+
+def ivf_pq_topk_persisted(spark, path: str, cent: list, books: list,
+                          queries: DataFrame, k: int = 5, n_probe: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          round_to: int = 6) -> DataFrame:
+    """ADC top-k over a persisted IVF-PQ index: the query batch's probed
+    cell set lands as a partition-column filter (only those directories
+    are scanned — the raw corpus is never touched), then the same
+    broadcast-LUT x code-scan serving as the in-memory `ivf_pq_topk`,
+    producing identical results (asserted in tests/test_pq.py)."""
+    sub_len = len(books[0][1][0][1])
+    q_sliced = queries.select(
+        F.col(id_col).alias("query_id"),
+        _nearest_cells_expr(_as_double(vec_col), cent, n_probe)
+        .alias("_cells"),
+        *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
+          .alias(f"_qs{s}") for s, _ in books])
+    luts = q_sliced.select(
+        "query_id", "_cells",
+        *[F.map_from_arrays(
+            F.array(*[F.lit(int(cid)) for cid, _ in cb]),
+            F.array(*[dot_col(F.col(f"_qs{s}"),
+                              F.array(*[F.lit(float(x)) for x in vec]))
+                      for _, vec in cb])).alias(f"lut{s}")
+          for s, cb in books])
+    probes = luts.select(
+        "query_id", F.explode("_cells").alias("cell_id"),
+        *[f"lut{s}" for s, _ in books])
+    probe_cells = sorted({r["cell_id"] for r in
+                          probes.select("cell_id").distinct().collect()})
+    codes = (spark.read.parquet(path)
+             .filter(F.col("cell_id").isin(probe_cells))
+             .withColumnRenamed(id_col, "neighbor_id"))
+    score = F.element_at(F.col("lut0"), F.col("c0"))
+    for s, _ in books[1:]:
+        score = score + F.element_at(F.col(f"lut{s}"), F.col(f"c{s}"))
+    scored = (codes.join(F.broadcast(probes), "cell_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score", F.round(score, round_to)))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
