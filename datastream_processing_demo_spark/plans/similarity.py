@@ -1387,3 +1387,59 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     bf.unpersist()
     return out
+
+
+@query(
+    "sim_embedding_near_dup_auto", "similarity",
+    # The fixed 4-plane near-dup lane's blocking made corpus-sized and
+    # EXECUTABLE (r11; the dedup_minhash_recall_auto / auto_simhash
+    # playbook). Motivation is a measurement, not theory: at the sf10
+    # oracle sweep (200k vectors) the fixed lane's 16 buckets hold
+    # ~12.5k members each — ~78M candidate pairs per bucket and only 16
+    # join keys, so a 32-core box runs ~12 tasks for tens of minutes on
+    # BOTH engines. auto_n_planes (operators/similarity.py) sizes
+    # B = ceil(log2(n/1024)) from one COUNT(*) so per-bucket quadratic
+    # work stays ~1024^2 at any corpus; the ORACLE derives the same B
+    # from the same COUNT(*) and builds the same integer hyperplanes
+    # from the same ((p*31+j*17)%13)-6 formula (mirror equality of the
+    # B formula, the plane lists, and the resulting buckets is pinned by
+    # tests), so the two engines cannot disagree at any rehearsed scale.
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nb AS (SELECT CASE WHEN COUNT(*) <= 1024 THEN 4
+                  ELSE GREATEST(4, LEAST(48,
+                      CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE) / 1024.0))
+                           AS INT))) END AS b
+           FROM e),
+    pl AS (SELECT p,
+                  list_transform(range(64),
+                      j -> CAST(((p * 31 + j * 17) % 13) - 6 AS DOUBLE))
+                      AS plane
+           FROM (SELECT unnest(range(CAST((SELECT b FROM nb) AS BIGINT)))
+                 AS p)),
+    bk AS (SELECT e.vec_id,
+                  SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                           THEN (CAST(1 AS BIGINT) << pl.p)
+                           ELSE CAST(0 AS BIGINT) END) AS bucket
+           FROM e CROSS JOIN pl GROUP BY e.vec_id),
+    b2 AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))
+    SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+           ROUND(list_dot_product(a.v, c.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM b2 a JOIN b2 c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND(list_dot_product(a.v, c.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35
+    """,
+    description="embedding-cosine near-dup pairs with corpus-sized sign-LSH blocking (B from COUNT(*), mirrored in the oracle)",
+)
+def sim_embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_planes=None -> auto_n_planes(count): B=4 at the driver-gate SFs
+    # (n <= 1024, where this lane provably equals the fixed one), B=8 at
+    # sf10's 200k vectors (256 buckets, ~780 members each — the bucketed
+    # join parallelizes across keys instead of melting 12 tasks).
+    return embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"),
+                                    threshold=0.35)

@@ -1149,3 +1149,29 @@ def test_tfidf_lanes_agree_property(spark, tmp_path):
             f"  sparse-only={sorted(sparse - dense)}")
 
     agree()
+
+
+def test_near_dup_auto_oracle_mirrors_engine_blocking(oracle_con):
+    """r11 (sim_embedding_near_dup_auto): the oracle derives B from
+    COUNT(*) and builds hyperplanes from the coefficient FORMULA instead
+    of literals — pin that (1) the SQL B expression equals auto_n_planes
+    for sizes spanning every clamp branch and the power-of-two boundary,
+    and (2) the formula-built planes equal _hyperplane up to the clamp
+    ceiling, so the dynamic blocking can never drift from the engine's."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        _hyperplane,
+        auto_n_planes,
+    )
+    for n in (1, 1000, 1024, 1025, 2048, 200_000, 1_048_576, 10**9, 10**12):
+        sql_b = oracle_con.execute(f"""
+            SELECT CASE WHEN {n} <= 1024 THEN 4
+                   ELSE GREATEST(4, LEAST(48,
+                       CAST(CEIL(LOG2(CAST({n} AS DOUBLE) / 1024.0))
+                            AS INT))) END""").fetchone()[0]
+        assert sql_b == auto_n_planes(n), n
+    planes = oracle_con.execute("""
+        SELECT p, list_transform(range(64),
+                   j -> CAST(((p * 31 + j * 17) % 13) - 6 AS DOUBLE))
+        FROM (SELECT unnest(range(48)) AS p) ORDER BY p""").fetchall()
+    for p, plane in planes:
+        assert plane == _hyperplane(p), p
