@@ -1184,16 +1184,27 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin (4.6 s vs 2.4 s), while the driver-gate corpora sit at ~61k rows
 # where exact is both cheap and the stronger (verified-Jaccard) result.
 EXACT_NEARDUP_POSTING_CAP = 1_000_000
+# The decision metric is estimated on the deterministic doc_id % k == 0
+# subsample (the "known next dial" of the r10 SCALE note, shipped after
+# the r11 sf1 A/B measured the full-metric pass at 2.02 s on top of a
+# 6.1 s pinned lane): the estimate k^2 * sum(df_sub^2) is computed from
+# the SAME integer arithmetic in the oracle, so the engines still agree
+# at the cap boundary at every sf — the dispatch stays exact even
+# though the metric is now an estimator of the posting-join bound.
+PIPELINE_DECISION_SUBSAMPLE = 8
 
 
 def text_pipeline_lane_decision(
         spark: SparkSession, sf_dir: str,
-        cap: int = EXACT_NEARDUP_POSTING_CAP) -> dict:
+        cap: int = EXACT_NEARDUP_POSTING_CAP,
+        subsample: int = PIPELINE_DECISION_SUBSAMPLE) -> dict:
     """The exact-vs-LSH pick as EXECUTABLE code (the
     string_distance_lane_decision pattern): ONE metadata-scale aggregate
-    over the survivors' shingle inverted index decides. String shingle
-    keys, not xxhash64 — the oracle recomputes the identical integer, so
-    the two engines can never disagree at the cap boundary.
+    over a deterministic 1/k subsample of the survivors' shingle
+    inverted index decides. String shingle keys, not xxhash64, and a
+    doc_id % k subsample rather than any sampling primitive — the
+    oracle recomputes the identical integer, so the two engines can
+    never disagree at the cap boundary.
 
     The survivors frame is localCheckpointed here and returned in the
     dict so the chosen lane reuses the materialized front half instead
@@ -1202,22 +1213,26 @@ def text_pipeline_lane_decision(
     headline run)."""
     from ..operators.dedup import doc_shingles
     survivors = _pipeline_survivors(spark, sf_dir).localCheckpoint()
-    sh = doc_shingles(survivors, text_col="clean", hash_keys=False)
-    sum_df2 = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-               .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
-               .collect()[0]["s"]) or 0
-    return {"sum_df2": int(sum_df2), "cap": cap,
-            "lane": "exact" if sum_df2 <= cap else "lsh",
+    sh = doc_shingles(survivors.filter(F.col("doc_id") % subsample == 0),
+                      text_col="clean", hash_keys=False)
+    sub = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+           .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
+           .collect()[0]["s"]) or 0
+    est = int(sub) * subsample * subsample
+    return {"sum_df2": est, "cap": cap, "subsample": subsample,
+            "lane": "exact" if est <= cap else "lsh",
             "survivors": survivors}
 
 
 def _pipeline_auto_oracle(num_hashes: int = 16, bands: int = 4,
-                          cap: int = EXACT_NEARDUP_POSTING_CAP) -> str:
+                          cap: int = EXACT_NEARDUP_POSTING_CAP,
+                          subsample: int = PIPELINE_DECISION_SUBSAMPLE) -> str:
     """Oracle that DISPATCHES exactly like the Spark lane: shared
-    inject->redact->quality->exact-dedup CTEs, the same sum(df^2)
-    metric over the survivors' distinct shingles, then the exact-Jaccard
-    OR the MinHash+LSH near-dup branch chosen by the same cap — so the
-    oracle stays bit-exact at ANY sf, on either side of the crossover."""
+    inject->redact->quality->exact-dedup CTEs, the same k^2*sum(df^2)
+    estimate over the doc_id % k survivor subsample's distinct shingles,
+    then the exact-Jaccard OR the MinHash+LSH near-dup branch chosen by
+    the same cap — so the oracle stays bit-exact at ANY sf, on either
+    side of the crossover."""
     from ..operators.dedup import MINHASH_P, minhash_perm_coeffs
     rows = num_hashes // bands
     min_exprs = ",\n               ".join(
@@ -1254,8 +1269,10 @@ def _pipeline_auto_oracle(num_hashes: int = 16, bands: int = 4,
                    AS shingle
         FROM survivors),
     metric AS (
-        SELECT COALESCE(SUM(df * df), 0) AS sum_df2
-        FROM (SELECT COUNT(*) AS df FROM sh GROUP BY shingle)),
+        SELECT COALESCE(SUM(df * df), 0) * {subsample * subsample}
+            AS sum_df2
+        FROM (SELECT COUNT(*) AS df FROM sh
+              WHERE doc_id % {subsample} = 0 GROUP BY shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     exact_neardup_b AS (
         SELECT DISTINCT doc_b FROM (
