@@ -476,12 +476,29 @@ def _wait_for_idle(threshold: float, timeout: float,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Strict flag parsing (ADVICE r11): a typo'd flag must not silently
+    # run an unguarded measurement.
+    known_flags = {"--require-idle"}
+    unknown = [a for a in sys.argv[1:] if a not in known_flags]
+    if unknown:
+        print(f"bench: unknown argument(s) {unknown}; "
+              f"known flags: {sorted(known_flags)}", file=sys.stderr)
+        sys.exit(2)
+    require_idle = "--require-idle" in sys.argv[1:]
     # Idle-by-construction (VERDICT r10 task #5): wait out residual host
     # load before measuring. Default = bounded spin-wait (the driver
     # runs bench right after the correctness sweep, when load1 is still
     # draining); --require-idle REFUSES instead of proceeding when the
     # box never quiets; SPARK_GRAFT_BENCH_NO_IDLE_WAIT=1 skips entirely.
+    # The two directly conflict (ADVICE r11: no-wait left idle_wait None
+    # so the refuse branch could never fire) — refuse the combination.
     idle_wait = None
+    if require_idle and os.environ.get("SPARK_GRAFT_BENCH_NO_IDLE_WAIT"):
+        print("bench: --require-idle is incompatible with "
+              "SPARK_GRAFT_BENCH_NO_IDLE_WAIT=1 (the no-wait path never "
+              "evaluates load1, so the idle requirement would silently "
+              "not be enforced)", file=sys.stderr)
+        sys.exit(2)
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_IDLE_WAIT"):
         idle_wait = _wait_for_idle(
             threshold=float(os.environ.get(
@@ -491,7 +508,7 @@ def main() -> None:
         if idle_wait.get("waited_sec", 0) > 0 and \
                 os.environ.get("SPARK_GRAFT_BENCH_PROGRESS"):
             print(f"bench: idle wait {idle_wait}", file=sys.stderr)
-        if "--require-idle" in sys.argv and not idle_wait["satisfied"]:
+        if require_idle and not idle_wait["satisfied"]:
             print(f"bench: REFUSING to measure under load: {idle_wait}",
                   file=sys.stderr)
             sys.exit(3)

@@ -420,11 +420,18 @@ def auto_n_planes(n_rows: int, target_bucket_size: int = 1024,
     quadratic in bucket size, so a FIXED B melts as the corpus grows
     (16 buckets over 10^9 docs = 10^15 comparisons per bucket-pair
     round). Scaling B with n keeps every bucket's quadratic term bounded
-    by ~target_bucket_size^2 while total work stays ~n * target."""
-    import math
+    by ~target_bucket_size^2 while total work stays ~n * target.
+
+    Computed with INTEGER arithmetic, not libm log2 (ADVICE r11): the
+    oracle mirrors this derivation in SQL, and two libms could round a
+    within-1-ulp log2 to opposite sides of an integer, producing a
+    different B and disjoint bucket sets. ceil(log2(ceil(n/t))) ==
+    bit_length(ceil(n/t) - 1) exactly, for any t (2^b >= n/t iff
+    2^b >= ceil(n/t) because 2^b is an integer)."""
     if n_rows <= target_bucket_size:
         return min_planes
-    b = math.ceil(math.log2(n_rows / target_bucket_size))
+    m = -(-n_rows // target_bucket_size)
+    b = (m - 1).bit_length()
     return max(min_planes, min(max_planes, b))
 
 

@@ -1408,11 +1408,12 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    nb AS (SELECT CASE WHEN COUNT(*) <= 1024 THEN 4
-                  ELSE GREATEST(4, LEAST(48,
-                      CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE) / 1024.0))
-                           AS INT))) END AS b
-           FROM e),
+    nb AS (SELECT CASE WHEN n <= 1024 THEN 4
+                  ELSE GREATEST(4, LEAST(48, (
+                      SELECT MIN(t.b)
+                      FROM (SELECT unnest(range(54)) AS b) t
+                      WHERE ((n + 1023) // 1024 - 1) >> t.b = 0))) END AS b
+           FROM (SELECT COUNT(*) AS n FROM e)),
     pl AS (SELECT p,
                   list_transform(range(64),
                       j -> CAST(((p * 31 + j * 17) % 13) - 6 AS DOUBLE))

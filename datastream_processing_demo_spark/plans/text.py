@@ -1191,48 +1191,77 @@ EXACT_NEARDUP_POSTING_CAP = 1_000_000
 # the SAME integer arithmetic in the oracle, so the engines still agree
 # at the cap boundary at every sf — the dispatch stays exact even
 # though the metric is now an estimator of the posting-join bound.
+#
+# KNOWN ESTIMATOR FAILURE MODE (ADVICE r11): the 1/k id-slice is an
+# unbiased estimator of sum(df^2) only when duplicate text is spread
+# across id residues. An id-CLUSTERED duplicate corpus (e.g. a crawl
+# that assigns consecutive ids per host, with one host's boilerplate
+# repeated millions of times) can park its hot shingles outside the
+# doc_id % k == 0 slice, under-estimate the posting bound, and route a
+# just-over-cap corpus to the exact lane the cap exists to avoid. The
+# engines still AGREE (the oracle mirrors the same integer), so this is
+# a performance cliff, never a cross-engine split. The secondary guard
+# below bounds the cliff: past PIPELINE_EXACT_MAX_SURVIVORS survivors
+# the dispatch forces the LSH lane unconditionally — the survivor count
+# is a true COUNT(*), not an estimate, so no corpus shape can dodge it,
+# and the exact lane's worst case stays bounded by
+# (max_survivors x max-doc-shingles) posting rows regardless of how the
+# subsample lands.
 PIPELINE_DECISION_SUBSAMPLE = 8
+PIPELINE_EXACT_MAX_SURVIVORS = 200_000
 
 
 def text_pipeline_lane_decision(
         spark: SparkSession, sf_dir: str,
         cap: int = EXACT_NEARDUP_POSTING_CAP,
-        subsample: int = PIPELINE_DECISION_SUBSAMPLE) -> dict:
+        subsample: int = PIPELINE_DECISION_SUBSAMPLE,
+        max_survivors: int = PIPELINE_EXACT_MAX_SURVIVORS) -> dict:
     """The exact-vs-LSH pick as EXECUTABLE code (the
     string_distance_lane_decision pattern): ONE metadata-scale aggregate
     over a deterministic 1/k subsample of the survivors' shingle
-    inverted index decides. String shingle keys, not xxhash64, and a
-    doc_id % k subsample rather than any sampling primitive — the
-    oracle recomputes the identical integer, so the two engines can
-    never disagree at the cap boundary.
+    inverted index decides, with a survivor-COUNT(*) ceiling as the
+    estimator-proof secondary guard (ADVICE r11 — see the
+    PIPELINE_EXACT_MAX_SURVIVORS note). String shingle keys, not
+    xxhash64, and a doc_id % k subsample rather than any sampling
+    primitive — the oracle recomputes the identical integers, so the
+    two engines can never disagree at either boundary.
 
-    The survivors frame is localCheckpointed here and returned in the
-    dict so the chosen lane reuses the materialized front half instead
-    of rebuilding redact -> quality -> exact-dedup a second time
-    (ADVICE r10: the rebuild roughly doubled the shared work per
-    headline run)."""
+    The survivors frame is persist()ed here and returned in the dict so
+    the chosen lane reuses the materialized front half instead of
+    rebuilding redact -> quality -> exact-dedup a second time (ADVICE
+    r10: the rebuild roughly doubled the shared work per headline run).
+    The CALLER owns the release: text_pipeline_full_auto materializes
+    its (tiny, grouped) result and then unpersists — direct callers of
+    this function must do the same or the cached blocks accumulate
+    across invocations (ADVICE r11: the previous localCheckpoint leaked
+    exactly so)."""
     from ..operators.dedup import doc_shingles
-    survivors = _pipeline_survivors(spark, sf_dir).localCheckpoint()
+    survivors = _pipeline_survivors(spark, sf_dir).persist()
+    n_surv = survivors.count()
     sh = doc_shingles(survivors.filter(F.col("doc_id") % subsample == 0),
                       text_col="clean", hash_keys=False)
     sub = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
            .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
            .collect()[0]["s"]) or 0
     est = int(sub) * subsample * subsample
+    lane = "lsh" if (est > cap or n_surv > max_survivors) else "exact"
     return {"sum_df2": est, "cap": cap, "subsample": subsample,
-            "lane": "exact" if est <= cap else "lsh",
-            "survivors": survivors}
+            "n_survivors": n_surv, "max_survivors": max_survivors,
+            "lane": lane, "survivors": survivors}
 
 
 def _pipeline_auto_oracle(num_hashes: int = 16, bands: int = 4,
                           cap: int = EXACT_NEARDUP_POSTING_CAP,
-                          subsample: int = PIPELINE_DECISION_SUBSAMPLE) -> str:
+                          subsample: int = PIPELINE_DECISION_SUBSAMPLE,
+                          max_survivors: int =
+                          PIPELINE_EXACT_MAX_SURVIVORS) -> str:
     """Oracle that DISPATCHES exactly like the Spark lane: shared
     inject->redact->quality->exact-dedup CTEs, the same k^2*sum(df^2)
-    estimate over the doc_id % k survivor subsample's distinct shingles,
-    then the exact-Jaccard OR the MinHash+LSH near-dup branch chosen by
-    the same cap — so the oracle stays bit-exact at ANY sf, on either
-    side of the crossover."""
+    estimate over the doc_id % k survivor subsample's distinct shingles
+    AND the same survivor-COUNT(*) ceiling (the estimator-proof guard,
+    ADVICE r11), then the exact-Jaccard OR the MinHash+LSH near-dup
+    branch chosen by the same cap — so the oracle stays bit-exact at
+    ANY sf, on either side of either boundary."""
     from ..operators.dedup import MINHASH_P, minhash_perm_coeffs
     rows = num_hashes // bands
     min_exprs = ",\n               ".join(
@@ -1304,12 +1333,15 @@ def _pipeline_auto_oracle(num_hashes: int = 16, bands: int = 4,
         FROM banded a
         JOIN banded c ON a.band = c.band AND a.key = c.key
                      AND a.doc_id < c.doc_id),
+    nsurv AS (SELECT COUNT(*) AS n FROM survivors),
     neardup_b AS (
         SELECT doc_b FROM exact_neardup_b
         WHERE (SELECT sum_df2 FROM metric) <= {cap}
+          AND (SELECT n FROM nsurv) <= {max_survivors}
         UNION ALL
         SELECT doc_b FROM lsh_neardup_b
-        WHERE (SELECT sum_df2 FROM metric) > {cap}),
+        WHERE (SELECT sum_df2 FROM metric) > {cap}
+           OR (SELECT n FROM nsurv) > {max_survivors}),
     final AS (
         SELECT s.*,
                CASE WHEN substr(md5(clean), 1, 2) < 'cc' THEN 'train'
@@ -1341,10 +1373,18 @@ def _pipeline_auto_oracle(num_hashes: int = 16, bands: int = 4,
 )
 def text_pipeline_full_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision = text_pipeline_lane_decision(spark, sf_dir)
-    # reuse the decision's checkpointed survivors — the shared front
-    # half (redact -> quality -> exact-dedup) runs once, not twice
-    if decision["lane"] == "exact":
-        return text_pipeline_full(spark, sf_dir,
-                                  survivors=decision["survivors"])
-    return text_pipeline_full_lsh(spark, sf_dir,
-                                  survivors=decision["survivors"])
+    # reuse the decision's persisted survivors — the shared front half
+    # (redact -> quality -> exact-dedup) runs once, not twice
+    try:
+        if decision["lane"] == "exact":
+            out = text_pipeline_full(spark, sf_dir,
+                                     survivors=decision["survivors"])
+        else:
+            out = text_pipeline_full_lsh(spark, sf_dir,
+                                         survivors=decision["survivors"])
+        # materialize the (tiny, grouped) result now, then release the
+        # cached survivors — repeated invocations in one session must
+        # not accumulate storage (ADVICE r11)
+        return out.localCheckpoint(eager=True)
+    finally:
+        decision["survivors"].unpersist()

@@ -169,3 +169,32 @@ def test_slim_line_survives_idle_wait_stamp():
     line = bench.slim_line(out)
     assert len(line) <= bench.TAIL_BUDGET
     assert json.loads(line)["host_load"] == [0.5, 0.7]
+
+
+def test_unknown_flag_refused_before_measuring():
+    """ADVICE r11: a typo'd flag (e.g. --require-idel) used to be
+    silently ignored via the raw `in sys.argv` match — it must exit 2
+    before any Spark work."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--require-idel"],
+        capture_output=True, text=True, timeout=60)
+    assert p.returncode == 2
+    assert "unknown argument" in p.stderr
+
+
+def test_require_idle_conflicts_with_no_wait_env():
+    """ADVICE r11: SPARK_GRAFT_BENCH_NO_IDLE_WAIT=1 leaves idle_wait
+    None, so --require-idle was a silent no-op. The combination must
+    refuse instead."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_BENCH_NO_IDLE_WAIT="1")
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--require-idle"],
+        capture_output=True, text=True, timeout=60, env=env)
+    assert p.returncode == 2
+    assert "incompatible" in p.stderr

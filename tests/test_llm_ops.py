@@ -1162,13 +1162,35 @@ def test_near_dup_auto_oracle_mirrors_engine_blocking(oracle_con):
         _hyperplane,
         auto_n_planes,
     )
-    for n in (1, 1000, 1024, 1025, 2048, 200_000, 1_048_576, 10**9, 10**12):
-        sql_b = oracle_con.execute(f"""
+    # the B derivation is integer-exact on BOTH sides (ADVICE r11: the
+    # previous CEIL(LOG2(...)) oracle spelling left room for the two
+    # libms to round a within-1-ulp log2 to opposite integers). The SQL
+    # below is the registered oracle's nb expression verbatim.
+    def sql_b_expr(n: int) -> str:
+        return f"""
             SELECT CASE WHEN {n} <= 1024 THEN 4
-                   ELSE GREATEST(4, LEAST(48,
-                       CAST(CEIL(LOG2(CAST({n} AS DOUBLE) / 1024.0))
-                            AS INT))) END""").fetchone()[0]
+                   ELSE GREATEST(4, LEAST(48, (
+                       SELECT MIN(t.b)
+                       FROM (SELECT unnest(range(54)) AS b) t
+                       WHERE (({n} + 1023) // 1024 - 1) >> t.b = 0))) END"""
+    for n in (1, 1000, 1024, 1025, 2048, 200_000, 1_048_576, 10**9, 10**12,
+              # exact power-of-two boundaries and their neighbours — the
+              # cases where libm derivations could disagree
+              2**20 * 1024, 2**20 * 1024 - 1, 2**20 * 1024 + 1):
+        sql_b = oracle_con.execute(sql_b_expr(n)).fetchone()[0]
         assert sql_b == auto_n_planes(n), n
+    # dense sweep in one set-based query: every n in [1, 300k] step 977
+    # (prime stride crosses many 1024-multiples and 2^k*1024 boundaries)
+    rows = oracle_con.execute("""
+        SELECT n, CASE WHEN n <= 1024 THEN 4
+               ELSE GREATEST(4, LEAST(48, (
+                   SELECT MIN(t.b)
+                   FROM (SELECT unnest(range(54)) AS b) t
+                   WHERE ((n + 1023) // 1024 - 1) >> t.b = 0))) END
+        FROM (SELECT unnest(range(1, 300000, 977)) AS n)
+        ORDER BY n""").fetchall()
+    for n, sql_b in rows:
+        assert sql_b == auto_n_planes(int(n)), n
     planes = oracle_con.execute("""
         SELECT p, list_transform(range(64),
                    j -> CAST(((p * 31 + j * 17) % 13) - 6 AS DOUBLE))
