@@ -124,20 +124,26 @@ def _hyperplane(plane: int, dim: int = 64) -> list[float]:
 
 
 def lsh_bucket_col(vec_col: Column | str, n_planes: int = 12,
-                   dim: int = 64) -> Column:
-    """Sign-LSH bucket code: bit p = 1 iff dot(vec, plane_p) > 0.
+                   dim: int = 64, plane_offset: int = 0) -> Column:
+    """Sign-LSH bucket code: bit p = 1 iff dot(vec, plane_{p+offset}) > 0.
+
+    ``plane_offset`` selects an INDEPENDENT band of hyperplanes from the
+    same deterministic family (band r of width B passes offset r*B) —
+    the OR-amplification primitive `embedding_near_dup_pairs_banded`
+    builds on. Bit positions stay 0..n_planes-1 regardless of offset,
+    so every band's code lands in the same [0, 2^B) space.
 
     Built as one SQL string (same rationale as _sorted_cell_structs:
     n_planes x dim F.lit py4j round-trips cost ~1 s of driver time per
     build; the JVM parses the text form in milliseconds). Bucket codes
     are exact integers, pinned equal to the Column spelling by a test."""
     if not isinstance(vec_col, str):
-        return _lsh_bucket_col_columns(vec_col, n_planes, dim)
+        return _lsh_bucket_col_columns(vec_col, n_planes, dim, plane_offset)
     vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     bits = []
     for p in range(n_planes):
         plane = "transform(array({}), x -> CAST(x AS DOUBLE))".format(
-            ", ".join(f"{c!r}D" for c in _hyperplane(p, dim)))
+            ", ".join(f"{c!r}D" for c in _hyperplane(p + plane_offset, dim)))
         dot = (f"aggregate(zip_with({vd}, {plane}, (x, y) -> x * y), "
                f"0.0D, (acc, x) -> acc + x)")
         bits.append(f"(CASE WHEN {dot} > 0 THEN "
@@ -146,12 +152,13 @@ def lsh_bucket_col(vec_col: Column | str, n_planes: int = 12,
 
 
 def _lsh_bucket_col_columns(vec_col: Column | str, n_planes: int = 12,
-                            dim: int = 64) -> Column:
+                            dim: int = 64, plane_offset: int = 0) -> Column:
     """Column-API twin of `lsh_bucket_col`, kept for Column-typed
     inputs and as the equality reference the tests compare against."""
     code = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
+        plane = F.array(*[F.lit(c) for c in _hyperplane(p + plane_offset,
+                                                        dim)])
         bit = F.when(dot_col(vec_col, plane) > 0,
                      F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
         code = code + bit
@@ -478,6 +485,66 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def embedding_near_dup_pairs_banded(corpus: DataFrame,
+                                    threshold: float = 0.9,
+                                    n_bands: int = 4,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding",
+                                    round_to: int = 6,
+                                    n_planes: int | None = None,
+                                    dim: int = 64,
+                                    target_bucket_size: int = 1024
+                                    ) -> DataFrame:
+    """Embedding-cosine near-dup pairs with corpus-sized, OR-amplified
+    sign-LSH blocking — the production geometry (VERDICT r11 task #3).
+
+    Two dials, both scale-safe:
+    - B = `auto_n_planes(count)` planes per band (corpus-sized, so
+      per-bucket quadratic work stays ~target_bucket_size^2 at ANY
+      corpus — no fixed geometry to melt), derived from one COUNT(*)
+      when ``n_planes`` is None;
+    - ``n_bands`` INDEPENDENT bands of planes (band r uses plane
+      indices r*B..r*B+B-1 of the same deterministic family), a true
+      pair is a candidate if it collides in ANY band — the banded
+      MinHash OR-amplification applied to sign-LSH. Single-band recall
+      for a pair at angle θ is p^B with p = 1 - θ/π; n_bands bands lift
+      it to 1 - (1-p^B)^R while total work grows only linearly in R.
+
+    Plan shape for 100 TB: candidate generation shuffles ONLY
+    (id, band, bucket) integer rows — vectors never ride the band
+    explosion; the cross-band DISTINCT dedups candidates before the
+    exact-cosine verify, which fetches each side's vector by id
+    equi-join. Deterministic end to end (integer hyperplanes, integer B
+    derivation), so an ANSI oracle mirrors it exactly."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count(), target_bucket_size)
+    e = spread(corpus).select(F.col(id_col), F.col(vec_col))
+    bands = e.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).cast("int").alias("band"),
+                     lsh_bucket_col(vec_col, n_planes, dim,
+                                    plane_offset=r * n_planes)
+                     .alias("bucket"))
+            for r in range(n_bands)])).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    va = e.select(F.col(id_col).alias("doc_a"),
+                  F.col(vec_col).alias("vec_a"))
+    vb = e.select(F.col(id_col).alias("doc_b"),
+                  F.col(vec_col).alias("vec_b"))
+    return (cand.join(va, "doc_a").join(vb, "doc_b")
+            .withColumn("cosine",
+                        F.round(cosine_col("vec_a", "vec_b"), round_to))
+            .filter(F.col("cosine") >= threshold)
+            .select("doc_a", "doc_b", "cosine"))
 
 
 def semdedup_candidates(corpus: DataFrame, threshold: float = 0.35,

@@ -205,25 +205,63 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_embedding_near_dup", "similarity",
-    oracle=f"""
+    # Re-specced at the PRODUCTION geometry (VERDICT r12 / r11 task
+    # list: "no registered lane with a data-melting fixed geometry").
+    # The original fixed 4-plane blocking measurably melted at the sf10
+    # sweep — 16 buckets x ~12.5k members ran a ~65-minute single-task
+    # hot-bucket straggler (BASELINE.md r11). The contract now ships
+    # with BOTH production dials: B = auto_n_planes(COUNT(*)) planes
+    # per band (corpus-sized — per-bucket quadratic work stays bounded
+    # at any scale) and 4 independent bands OR-amplifying recall
+    # (collide in ANY band => candidate; 1-(1-p^B)^4 vs p^B single-
+    # band). The old 4-plane boundary stays regression-pinned in
+    # tests/test_llm_ops.py. The oracle derives the same integer B from
+    # the same COUNT(*), builds the same formula hyperplanes (global
+    # plane index q, band q // B, bit q % B), and verifies the same
+    # rounded cosine — bit-exact at every sf.
+    oracle="""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-         b AS (SELECT vec_id, v, {_bucket_sql(4)} AS bucket FROM e)
-    SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
-           ROUND(list_dot_product(a.v, c.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE ROUND(list_dot_product(a.v, c.v)
-                / (sqrt(list_dot_product(a.v, a.v))
-                   * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35
+    nb AS (SELECT CASE WHEN n <= 1024 THEN 4
+                  ELSE GREATEST(4, LEAST(48, (
+                      SELECT MIN(t.b)
+                      FROM (SELECT unnest(range(54)) AS b) t
+                      WHERE ((n + 1023) // 1024 - 1) >> t.b = 0))) END AS b
+           FROM (SELECT COUNT(*) AS n FROM e)),
+    pl AS (SELECT q,
+                  list_transform(range(64),
+                      j -> CAST(((q * 31 + j * 17) % 13) - 6 AS DOUBLE))
+                      AS plane
+           FROM (SELECT unnest(range(4 * CAST((SELECT b FROM nb) AS BIGINT)))
+                 AS q)),
+    bk AS (SELECT e.vec_id,
+                  CAST(pl.q // (SELECT b FROM nb) AS INT) AS band,
+                  SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                           THEN (CAST(1 AS BIGINT)
+                                 << CAST(pl.q % (SELECT b FROM nb) AS INT))
+                           ELSE CAST(0 AS BIGINT) END) AS bucket
+           FROM e CROSS JOIN pl
+           GROUP BY e.vec_id, CAST(pl.q // (SELECT b FROM nb) AS INT)),
+    cand AS (SELECT DISTINCT a.vec_id AS doc_a, c.vec_id AS doc_b
+             FROM bk a JOIN bk c ON a.band = c.band AND a.bucket = c.bucket
+                                AND a.vec_id < c.vec_id)
+    SELECT cand.doc_a, cand.doc_b,
+           ROUND(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+    FROM cand JOIN e ea ON cand.doc_a = ea.vec_id
+              JOIN e eb ON cand.doc_b = eb.vec_id
+    WHERE ROUND(list_dot_product(ea.v, eb.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.35
     """,
-    description="embedding-cosine near-dup pairs, sign-LSH bucketed candidates",
+    description="embedding-cosine near-dup pairs: corpus-sized sign-LSH blocking OR-amplified across 4 independent bands (production geometry)",
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"),
-                                    threshold=0.35, n_planes=4)
+    from ..operators.similarity import embedding_near_dup_pairs_banded
+    return embedding_near_dup_pairs_banded(t(spark, sf_dir, "embeddings"),
+                                           threshold=0.35, n_bands=4)
 
 
 @query(

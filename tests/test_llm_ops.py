@@ -1197,3 +1197,81 @@ def test_near_dup_auto_oracle_mirrors_engine_blocking(oracle_con):
         FROM (SELECT unnest(range(48)) AS p) ORDER BY p""").fetchall()
     for p, plane in planes:
         assert plane == _hyperplane(p), p
+
+
+def test_fixed_four_plane_boundary_regression_pin(spark, sf_dir, oracle_con):
+    """r12: sim_embedding_near_dup was re-specced at the production
+    geometry (corpus-sized B x 4 OR-amplified bands) after the fixed
+    4-plane blocking's measured sf10 melt. The OLD geometry stays
+    pinned here — `embedding_near_dup_pairs(n_planes=4)` must keep
+    producing exactly the result its retired oracle certified, so the
+    re-spec can never silently change the primitive's fixed-B path."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from datastream_processing_demo_spark.plans.similarity import _bucket_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(map(tuple,
+                     embedding_near_dup_pairs(emb, threshold=0.35,
+                                              n_planes=4).collect()))
+    want = sorted(map(tuple, oracle_con.execute(f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS v
+                   FROM embeddings),
+             b AS (SELECT vec_id, v, {_bucket_sql(4)} AS bucket FROM e)
+        SELECT a.vec_id, c.vec_id,
+               ROUND(list_dot_product(a.v, c.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE ROUND(list_dot_product(a.v, c.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35
+        """).fetchall()))
+    assert got == want
+
+
+def test_banded_near_dup_superset_of_single_band(spark, sf_dir):
+    """Band 0 of the banded lane uses exactly the single-band lane's
+    planes (offset 0), so the banded result must contain every
+    single-band pair — OR-amplification only ADDS recall."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_banded,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    single = {tuple(r) for r in
+              embedding_near_dup_pairs(emb, threshold=0.35).collect()}
+    banded = {tuple(r) for r in
+              embedding_near_dup_pairs_banded(emb, threshold=0.35,
+                                              n_bands=4).collect()}
+    assert single <= banded
+    # and with ONE band they are identical (the amplification is the
+    # only difference)
+    one = {tuple(r) for r in
+           embedding_near_dup_pairs_banded(emb, threshold=0.35,
+                                           n_bands=1).collect()}
+    assert one == single
+
+
+def test_lsh_bucket_plane_offset_band_independence(spark, sf_dir):
+    """plane_offset=r*B must reproduce the Column-API spelling with the
+    same offset (string/Column parity extends to bands) and differ from
+    band 0 (the bands are genuinely independent hash tables)."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        _lsh_bucket_col_columns,
+        lsh_bucket_col,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        lsh_bucket_col("embedding", 6, plane_offset=12).alias("s"),
+        _lsh_bucket_col_columns(F.col("embedding"), 6,
+                                plane_offset=12).alias("c"),
+        lsh_bucket_col("embedding", 6).alias("b0"))
+    rows = df.collect()
+    assert all(r["s"] == r["c"] for r in rows)
+    assert any(r["s"] != r["b0"] for r in rows)
