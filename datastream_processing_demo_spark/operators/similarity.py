@@ -992,67 +992,181 @@ def pq_codebooks(corpus: DataFrame, m_sub: int = 4, k_codes: int = 16,
     return books
 
 
-def pq_codes(corpus: DataFrame, books: list, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """Encode: (id, c0..c{m-1}) byte codes via nearest-codeword per
-    subspace — a shuffle-free projection against literal codebooks,
-    exactly like the IVF cell assignment. Two selects so the sliced
-    subvectors are computed once below the assignment expressions
-    (the ivf_centroids projection-above-Generate lesson)."""
+def _pq_lut_expr(sub_col: str, cent: list) -> Column:
+    """String-built per-subspace ADC LUT — map(code_id -> dot(query_sub,
+    codeword)) — the `_sorted_cell_structs` py4j lesson applied to the
+    PQ serving path: the Column spelling costs k_codes x sub_len F.lit
+    round-trips per subspace (measured 80+ s of pure driver time for
+    the 8x256 production geometry) for an expression the JVM parses
+    from text in milliseconds. The dot is the same sequential
+    zip_with-product left fold as `dot_col`, and double literals use
+    repr() + the D suffix (shortest-repr round-trip), so the values are
+    bit-identical to the Column spelling and to the ANSI oracle's
+    list_dot_product."""
+    def d(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    vd = f"transform(`{sub_col}`, x -> CAST(x AS DOUBLE))"
+    entries = ", ".join(
+        "{cid}, aggregate(zip_with({vd}, transform(array({vec}), "
+        "x -> CAST(x AS DOUBLE)), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)".format(
+            cid=int(cid), vd=vd, vec=", ".join(d(x) for x in vec))
+        for cid, vec in cent)
+    return F.expr(f"map({entries})")
+
+
+# Total codebook entries (m_sub x k_codes) above which the PQ encode /
+# LUT expressions switch from literal expression trees to broadcast
+# data-join forms. The literal forms are shuffle-free and ideal for the
+# 4x16 demo geometry (64 entries), but a production 8x256 book (2048
+# entries) serializes to a multi-hundred-MB task closure that OOMs a
+# vanilla 1g driver (measured r12 on the driver-style session) — at
+# that size the codebook belongs in DATA, not in the plan. The switch
+# depends only on GEOMETRY, never on data, so a given lane always takes
+# the same form on both engines.
+PQ_LITERAL_ENTRY_CAP = 512
+
+
+def _codebook_df(spark, books: list) -> DataFrame:
+    """Codebooks as a small broadcastable table: (s, code_id, cw, cc)
+    with cc = dot(cw, cw) prefolded in Python — the same prefold the
+    literal `_sorted_cell_structs` path embeds, so the dot-form L2
+    computed against the data rows is bit-identical."""
+    rows = [(int(s), int(cid), [float(x) for x in vec],
+             float(_dot_py(vec, vec)))
+            for s, cent in books for cid, vec in cent]
+    return spark.createDataFrame(
+        rows, "s int, code_id int, cw array<double>, cc double")
+
+
+def _stacked_subvectors(df: DataFrame, books: list, id_col: str,
+                        vec_col: str, out_id: str, out_vec: str) -> DataFrame:
+    """(id, s, subvector) rows: slice once per subspace, then stack —
+    the row form both data-join paths (encode LUTs) consume."""
     sub_len = len(books[0][1][0][1])
-    sliced = corpus.select(
-        F.col(id_col),
+    sliced = df.select(
+        F.col(id_col).alias(out_id),
         *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
           .alias(f"_sv{s}") for s, _ in books])
-    return sliced.select(
-        F.col(id_col),
-        *[F.element_at(
-            _nearest_cells_expr(F.col(f"_sv{s}"), cent, 1), 1)
-          .alias(f"c{s}") for s, cent in books])
+    stack = "stack({}, {}) as (s, {})".format(
+        len(books), ", ".join(f"{s}, `_sv{s}`" for s, _ in books), out_vec)
+    return sliced.selectExpr(out_id, stack)
+
+
+def pq_codes(corpus: DataFrame, books: list, id_col: str = "vec_id",
+             vec_col: str = "embedding", form: str | None = None) -> DataFrame:
+    """Encode: (id, c0..c{m-1}) byte codes via nearest-codeword per
+    subspace.
+
+    Two forms, picked by codebook size (PQ_LITERAL_ENTRY_CAP):
+    - literal: a shuffle-free projection against literal codebooks,
+      exactly like the IVF cell assignment (two selects so the sliced
+      subvectors are computed once below the assignment expressions —
+      the ivf_centroids projection-above-Generate lesson);
+    - joined: subvectors stacked to (id, s, sv) rows, broadcast-joined
+      to the codebook TABLE, nearest codeword picked by
+      MIN(struct(l2, code_id)) — lexicographic struct MIN is the same
+      selection as the sorted-array head (ORDER BY l2, code_id), the
+      staged-oracle trick in Spark. One partial-aggregating shuffle on
+      (id, s) replaces an expression tree that would not fit a vanilla
+      driver heap at 8x256.
+    Both compute the identical dot-form L2 (dvv - 2*dvc + cc, cc
+    prefolded in Python), so the picked codes are bit-identical —
+    pinned by tests on the demo geometry."""
+    total = sum(len(cent) for _, cent in books)
+    if form is None:
+        form = "literal" if total <= PQ_LITERAL_ENTRY_CAP else "joined"
+    if form == "literal":
+        sub_len = len(books[0][1][0][1])
+        sliced = corpus.select(
+            F.col(id_col),
+            *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
+              .alias(f"_sv{s}") for s, _ in books])
+        return sliced.select(
+            F.col(id_col),
+            *[F.element_at(
+                _nearest_cells_expr(f"_sv{s}", cent, 1), 1)
+              .alias(f"c{s}") for s, cent in books])
+    cb = _codebook_df(corpus.sparkSession, books)
+    sub = _stacked_subvectors(corpus, books, id_col, vec_col,
+                              out_id=id_col, out_vec="sv")
+    picks = (
+        sub.join(F.broadcast(cb), "s")
+        .select(F.col(id_col), "s",
+                F.struct(
+                    (dot_col("sv", "sv")
+                     - F.lit(2.0) * dot_col("sv", "cw")
+                     + F.col("cc")).alias("l2"),
+                    F.col("code_id").alias("code_id")).alias("st"))
+        .groupBy(id_col, "s").agg(F.min("st").alias("m")))
+    return picks.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("s") == s, F.col("m")["code_id"]))
+          .alias(f"c{s}") for s, _ in books])
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, books: list, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            round_to: int = 6) -> DataFrame:
+            round_to: int = 6, form: str | None = None) -> DataFrame:
     """ADC approximate inner-product top-k over PQ codes.
 
-    Per-query LUTs (m_sub arrays of k_codes dots against the literal
-    codebooks) are computed ONCE on the tiny query side and broadcast;
-    the corpus side is a linear scan of codes paying m_sub element_at
-    lookups + adds per row — the PQ serving contract. The score is the
-    left-to-right sum of per-subspace lookups on the 1e-6 grid, so an
-    ANSI oracle spelling the same l0+l1+l2+l3 chain reproduces every
-    bit. `ivf_pq_topk` below composes this with the IVF cell filter for
-    the full pruning x compression stack."""
+    Per-query LUTs (m_sub tables of k_codes dots against the codebooks)
+    are computed ONCE on the tiny query side and broadcast; the corpus
+    side is a linear scan of codes paying m_sub lookups + adds per row
+    — the PQ serving contract. The score is the left-to-right sum of
+    per-subspace lookups on the 1e-6 grid, so an ANSI oracle spelling
+    the same l0+l1+l2+l3 chain reproduces every bit. `ivf_pq_topk`
+    below composes this with the IVF cell filter for the full
+    pruning x compression stack.
+
+    Like `pq_codes`, two geometry-dispatched forms
+    (PQ_LITERAL_ENTRY_CAP): literal map expressions for small demo
+    books; for production books (8x256) the LUT is DATA — per-subspace
+    (query_id, code_id, ip) rows broadcast into m_sub equi-joins
+    against the code columns, exactly the registered oracles' lut_joins
+    shape. Both forms are keyed by CODE ID, not array position: a Lloyd
+    round can empty a seed cell (duplicate-heavy Zipf corpora — the r10
+    sf1-zipf find), and id-keyed lookups are gap-safe."""
+    total = sum(len(cent) for _, cent in books)
+    if form is None:
+        form = "literal" if total <= PQ_LITERAL_ENTRY_CAP else "joined"
     sub_len = len(books[0][1][0][1])
-    codes = pq_codes(corpus, books, id_col, vec_col)
+    codes = pq_codes(corpus, books, id_col, vec_col, form=form)
     q_sliced = queries.select(
         F.col(id_col).alias("query_id"),
         *[F.slice(_as_double(vec_col), s * sub_len + 1, sub_len)
           .alias(f"_qs{s}") for s, _ in books])
-    # LUTs keyed by CODE ID, not array position: a Lloyd round can empty
-    # a seed cell (e.g. duplicate-heavy Zipf corpora put two identical
-    # seeds in one subspace — every member tiebreaks to the lower id and
-    # the upper codeword vanishes), leaving the codebook with gaps in
-    # its id space. Positional lut[c-1] indexing threw
-    # INVALID_ARRAY_INDEX exactly there (found by the r10 sf1-zipf
-    # oracle sweep); element_at on a literal-keyed map is gap-safe and
-    # produces the same doubles.
-    luts = q_sliced.select(
-        "query_id",
-        *[F.map_from_arrays(
-            F.array(*[F.lit(int(cid)) for cid, _ in cent]),
-            F.array(*[dot_col(F.col(f"_qs{s}"),
-                              F.array(*[F.lit(float(x)) for x in vec]))
-                      for _, vec in cent])).alias(f"lut{s}")
-          for s, cent in books])
-    score = F.element_at(F.col("lut0"), F.col("c0"))
-    for s, _ in books[1:]:
-        score = score + F.element_at(F.col(f"lut{s}"), F.col(f"c{s}"))
-    scored = (codes.withColumnRenamed(id_col, "neighbor_id")
-              .join(F.broadcast(luts),
-                    F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score", F.round(score, round_to)))
+    if form == "literal":
+        luts = q_sliced.select(
+            "query_id",
+            *[_pq_lut_expr(f"_qs{s}", cent).alias(f"lut{s}")
+              for s, cent in books])
+        score = F.element_at(F.col("lut0"), F.col("c0"))
+        for s, _ in books[1:]:
+            score = score + F.element_at(F.col(f"lut{s}"), F.col(f"c{s}"))
+        scored = (codes.withColumnRenamed(id_col, "neighbor_id")
+                  .join(F.broadcast(luts),
+                        F.col("query_id") != F.col("neighbor_id"))
+                  .withColumn("score", F.round(score, round_to)))
+    else:
+        cb = _codebook_df(corpus.sparkSession, books)
+        qsub = _stacked_subvectors(queries, books, id_col, vec_col,
+                                   out_id="query_id", out_vec="qs")
+        lut = (qsub.join(F.broadcast(cb.select("s", "code_id", "cw")), "s")
+               .select("query_id", "s", "code_id",
+                       dot_col("qs", "cw").alias("ip")))
+        scored = codes.withColumnRenamed(id_col, "neighbor_id")
+        for s, _ in books:
+            ls = (lut.filter(F.col("s") == s)
+                  .select("query_id", F.col("code_id").alias(f"c{s}"),
+                          F.col("ip").alias(f"_ip{s}")))
+            on = [f"c{s}"] if s == 0 else ["query_id", f"c{s}"]
+            scored = scored.join(F.broadcast(ls), on)
+        score = F.col("_ip0")
+        for s, _ in books[1:]:
+            score = score + F.col(f"_ip{s}")
+        scored = (scored.filter(F.col("query_id") != F.col("neighbor_id"))
+                  .withColumn("score", F.round(score, round_to)))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
                                           "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -1095,10 +1209,10 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
           .alias(f"_sv{s}") for s, _ in books])
     coded = sliced.select(
         F.col(id_col).alias("neighbor_id"),
-        F.element_at(_nearest_cells_expr(F.col("_v"), cent, 1), 1)
+        F.element_at(_nearest_cells_expr("_v", cent, 1), 1)
         .alias("cell_id"),
         *[F.element_at(
-            _nearest_cells_expr(F.col(f"_sv{s}"), cb, 1), 1)
+            _nearest_cells_expr(f"_sv{s}", cb, 1), 1)
           .alias(f"c{s}") for s, cb in books])
     q_sliced = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1108,14 +1222,10 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
           .alias(f"_qs{s}") for s, _ in books])
     luts = q_sliced.select(
         "query_id", "_cells",
-        *[F.map_from_arrays(
-            F.array(*[F.lit(int(cid)) for cid, _ in cb]),
-            F.array(*[dot_col(F.col(f"_qs{s}"),
-                              F.array(*[F.lit(float(x)) for x in vec]))
-                      for _, vec in cb])).alias(f"lut{s}")
+        *[_pq_lut_expr(f"_qs{s}", cb).alias(f"lut{s}")
           for s, cb in books])
     # LUTs are built once per query, THEN the probe list explodes — the
-    # map_from_arrays expressions never re-evaluate per probed cell
+    # LUT map expressions never re-evaluate per probed cell
     probes = luts.select(
         "query_id", F.explode("_cells").alias("cell_id"),
         *[f"lut{s}" for s, _ in books])
@@ -1153,9 +1263,9 @@ def ivf_pq_write_index(corpus: DataFrame, path: str, n_cells: int = 16,
           .alias(f"_sv{s}") for s, _ in books])
     coded = sliced.select(
         F.col(id_col),
-        F.element_at(_nearest_cells_expr(F.col("_v"), cent, 1), 1)
+        F.element_at(_nearest_cells_expr("_v", cent, 1), 1)
         .alias("cell_id"),
-        *[F.element_at(_nearest_cells_expr(F.col(f"_sv{s}"), cb, 1), 1)
+        *[F.element_at(_nearest_cells_expr(f"_sv{s}", cb, 1), 1)
           .alias(f"c{s}") for s, cb in books])
     coded.write.mode("overwrite").partitionBy("cell_id").parquet(path)
     return cent, books
@@ -1180,11 +1290,7 @@ def ivf_pq_topk_persisted(spark, path: str, cent: list, books: list,
           .alias(f"_qs{s}") for s, _ in books])
     luts = q_sliced.select(
         "query_id", "_cells",
-        *[F.map_from_arrays(
-            F.array(*[F.lit(int(cid)) for cid, _ in cb]),
-            F.array(*[dot_col(F.col(f"_qs{s}"),
-                              F.array(*[F.lit(float(x)) for x in vec]))
-                      for _, vec in cb])).alias(f"lut{s}")
+        *[_pq_lut_expr(f"_qs{s}", cb).alias(f"lut{s}")
           for s, cb in books])
     probes = luts.select(
         "query_id", F.explode("_cells").alias("cell_id"),

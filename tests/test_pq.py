@@ -191,3 +191,71 @@ def test_ivf_pq_persisted_index_prunes_partitions(spark, tmp_path):
     got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
            for r in got_df.collect()}
     assert got == want, "persisted IVF-PQ must match in-memory serving"
+
+
+def test_pq_literal_and_joined_forms_are_bit_identical(spark):
+    """r12 (sim_ann_pq_prod): the production 8x256 geometry cannot ride
+    literal expression trees (a vanilla 1g driver OOMs serializing the
+    2048-entry LUT/encode closures), so pq_codes/pq_topk gained
+    broadcast data-join forms. The two forms must pick identical codes
+    and identical top-k on the SAME books — the dot-form L2, the
+    MIN(struct) tiebreak, and the ADC score chain are the same IEEE
+    sequences either way."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = pq_codebooks(emb)           # demo geometry: runs both forms
+    lit_codes = sorted(map(tuple, pq_codes(emb, books,
+                                           form="literal").collect()))
+    jn_codes = sorted(map(tuple, pq_codes(emb, books,
+                                          form="joined").collect()))
+    assert lit_codes == jn_codes
+    lit = sorted(map(tuple, pq_topk(emb, q, books, k=5,
+                                    form="literal").collect()))
+    jn = sorted(map(tuple, pq_topk(emb, q, books, k=5,
+                                   form="joined").collect()))
+    assert lit == jn
+
+
+def test_pq_form_dispatch_is_geometry_only(spark):
+    """The literal/joined switch depends only on m_sub x k_codes, never
+    on data — the same lane must take the same form on every corpus."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        PQ_LITERAL_ENTRY_CAP,
+    )
+    demo = 4 * 16
+    prod = 8 * 256
+    assert demo <= PQ_LITERAL_ENTRY_CAP < prod
+
+
+def test_pq_prod_geometry_codes_and_recall(spark):
+    """The production geometry trains 8 books of (up to) 256 codes and
+    its ADC ranking must beat the demo geometry's recall@5 against the
+    exact inner-product ranking (the executable form of the 'most of
+    the recall back at 4x the code size' claim)."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def recall(books):
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in _exact_ip_topk(emb, q, 5).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in pq_topk(emb, q, books, k=5).collect()}
+        return len(exact & approx) / len(exact)
+
+    r_demo = recall(pq_codebooks(emb))
+    r_prod = recall(pq_codebooks(emb, m_sub=8, k_codes=256))
+    assert r_prod > r_demo, (r_demo, r_prod)
+
+
+def _exact_ip_topk(emb, queries, k):
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cv"))
+    scored = (c.join(F.broadcast(q),
+                     F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score", F.round(dot_col("qv", "cv"), 6)))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
