@@ -317,7 +317,12 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
         # exploded element — dim× the work (measured 32 s vs 0.4 s at
         # sf0.1). Splitting puts the Project below the Generate, so the
         # assignment is computed once per vector.
-        assigned = corpus.select(
+        # spread(): the assignment pass is the CPU-heavy stage (n_cells
+        # interpreted dot products per row) and a small parquet input
+        # scans as 1-2 partitions — the r12 sf1 run of the 256-code
+        # codebooks serialized training on 2 cores for 10 minutes.
+        # Safe on values: the means are order-independent integer sums.
+        assigned = spread(corpus).select(
             F.element_at(_nearest_cells_expr(vec_col, cent, 1), 1)
             .alias("cell_id"),
             _as_double(vec_col).alias("_v")
@@ -1089,7 +1094,10 @@ def pq_codes(corpus: DataFrame, books: list, id_col: str = "vec_id",
                 _nearest_cells_expr(f"_sv{s}", cent, 1), 1)
               .alias(f"c{s}") for s, cent in books])
     cb = _codebook_df(corpus.sparkSession, books)
-    sub = _stacked_subvectors(corpus, books, id_col, vec_col,
+    # spread(): the per-(row, subspace, codeword) distance computes
+    # below the broadcast join inherit the scan's width — 1-2 partitions
+    # on a small parquet file would serialize the encode on 2 cores
+    sub = _stacked_subvectors(spread(corpus), books, id_col, vec_col,
                               out_id=id_col, out_vec="sv")
     picks = (
         sub.join(F.broadcast(cb), "s")
@@ -1179,7 +1187,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 m_sub: int = 4, k_codes: int = 16,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int = 6, cent: list | None = None,
-                books: list | None = None) -> DataFrame:
+                books: list | None = None,
+                form: str | None = None) -> DataFrame:
     """Composed IVF-PQ serving — the full FAISS IndexIVFPQ shape
     (Jégou et al. 2011 §V): the coarse quantizer PRUNES (each query
     scores only its n_probe nearest cells' members, O(corpus x
@@ -1196,12 +1205,57 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     rows. Every stage inherits the deterministic discipline of its
     parts (lowest-id seeds, integer-grid Lloyd means, dot-form L2,
     gap-safe map-keyed LUTs, 1e-6 score grid, id tiebreaks), so the
-    composition has an exact ANSI mirror too."""
+    composition has an exact ANSI mirror too.
+
+    Like `pq_topk`, the PQ half is geometry-dispatched
+    (PQ_LITERAL_ENTRY_CAP): production books (8x256) ride the
+    broadcast data-join forms — joined codes, per-subspace LUT-row
+    equi-joins layered on the cell-probe join — because their literal
+    expression trees OOM a vanilla driver. The IVF half (16 literal
+    centroids) stays an expression either way."""
     if cent is None:
         cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
     if books is None:
         books = pq_codebooks(corpus, m_sub=m_sub, k_codes=k_codes,
                              id_col=id_col, vec_col=vec_col)
+    total = sum(len(cb) for _, cb in books)
+    if form is None:
+        form = "literal" if total <= PQ_LITERAL_ENTRY_CAP else "joined"
+    if form == "joined":
+        cells = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.element_at(
+                _nearest_cells_expr(_as_double(vec_col), cent, 1), 1)
+            .alias("cell_id"))
+        coded = cells.join(
+            pq_codes(corpus, books, id_col, vec_col, form="joined")
+            .withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_nearest_cells_expr(_as_double(vec_col), cent,
+                                          n_probe)).alias("cell_id"))
+        cb = _codebook_df(corpus.sparkSession, books)
+        qsub = _stacked_subvectors(queries, books, id_col, vec_col,
+                                   out_id="query_id", out_vec="qs")
+        lut = (qsub.join(F.broadcast(cb.select("s", "code_id", "cw")), "s")
+               .select("query_id", "s", "code_id",
+                       dot_col("qs", "cw").alias("ip")))
+        scored = coded.join(F.broadcast(probes), "cell_id")
+        for s, _ in books:
+            ls = (lut.filter(F.col("s") == s)
+                  .select("query_id", F.col("code_id").alias(f"c{s}"),
+                          F.col("ip").alias(f"_ip{s}")))
+            scored = scored.join(F.broadcast(ls), ["query_id", f"c{s}"])
+        score = F.col("_ip0")
+        for s, _ in books[1:]:
+            score = score + F.col(f"_ip{s}")
+        scored = (scored.filter(F.col("query_id") != F.col("neighbor_id"))
+                  .withColumn("score", F.round(score, round_to)))
+        w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                              "neighbor_id")
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "score", "rank"))
     sub_len = len(books[0][1][0][1])
     sliced = corpus.select(
         F.col(id_col), _as_double(vec_col).alias("_v"),

@@ -1354,6 +1354,24 @@ def sim_ann_pq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), books, k=5)
 
 
+@query(
+    "sim_ann_ivf_pq_prod", "similarity",
+    # The actual 100 TB serving shape: IVF pruning x PRODUCTION-geometry
+    # PQ compression (8x256 = 64-bit codes). Same composed plan as
+    # sim_ann_ivf_pq with the PQ half riding the broadcast data-join
+    # forms (the literal 2048-entry trees OOM a vanilla driver — see
+    # sim_ann_pq_prod); the oracle is the same parameterized mirror at
+    # the production geometry.
+    oracle=_ivf_pq_oracle(m_sub=8, k_codes=256, sub_len=8),
+    description="composed IVF-PQ ANN at the production PQ geometry (cell pruning + 8x256-code ADC top-5), exact SQL-mirrored end to end",
+)
+def sim_ann_ivf_pq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                       k=5, n_cells=16, n_probe=4, m_sub=8, k_codes=256)
+
+
 # Recall contract for EVERY approximate ANN path, composed from the
 # REGISTERED oracles of the exact and approximate queries themselves —
 # every component is deterministic, so recall@5 is a single exact
@@ -1371,6 +1389,7 @@ def _ann_recall_oracle() -> str:
         ("pq", "sim_ann_pq"),
         ("ivf_pq", "sim_ann_ivf_pq"),
         ("pq_prod", "sim_ann_pq_prod"),
+        ("ivf_pq_prod", "sim_ann_ivf_pq_prod"),
     ]}
     withs = ",\n         ".join(f"{m} AS ({sql})" for m, sql in parts.items())
     unions = "\n        UNION ALL\n".join(f"""
@@ -1435,6 +1454,8 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_pq": ivf_pq_topk(emb, queries, k=5, n_cells=16, n_probe=4,
                               books=books),
         "pq_prod": pq_topk(emb, queries, books_prod, k=5),
+        "ivf_pq_prod": ivf_pq_topk(emb, queries, k=5, n_cells=16,
+                                   n_probe=4, books=books_prod),
     }
     outs = []
     for method, df in approx.items():

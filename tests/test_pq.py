@@ -259,3 +259,17 @@ def _exact_ip_topk(emb, queries, k):
                                           "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def test_ivf_pq_literal_and_joined_forms_are_bit_identical(spark):
+    """r12 (sim_ann_ivf_pq_prod): the composed serving plan's joined
+    form (cell-probe join + per-subspace LUT-row joins) must reproduce
+    the literal form exactly on shared books."""
+    from datastream_processing_demo_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    lit = sorted(map(tuple, ivf_pq_topk(emb, q, form="literal").collect()))
+    jn = sorted(map(tuple, ivf_pq_topk(emb, q, form="joined").collect()))
+    assert lit == jn
