@@ -1416,7 +1416,8 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-plane recall@5 = 0.18 at Hamming-1 probes and 0.38 at Hamming-2
     (37 of 256 buckets probed); PQ (4x16 codes, full scan) = 0.30;
     composed IVF-PQ = 0.34 (r11); production-geometry PQ (8x256 codes)
-    = 0.60 (r12). The numbers say what the designs imply: IVF probes
+    = 0.60 and composed IVF x production-PQ = 0.58 (r12; 0.42 / 0.40
+    at sf0.1). The numbers say what the designs imply: IVF probes
     ~1/4 of the corpus and keeps most true neighbors; LSH shatters
     1000 vectors across 256 buckets — great for near-dup candidate
     pairs (high-cosine vectors collide), thin for general top-k. The
@@ -1433,8 +1434,13 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives that crowd the top-5, while most true neighbors sit in
     the probed quarter of the corpus — pruning and compression errors
     partially cancel, which is why IVF-PQ is the default 100 TB
-    serving shape, not just the cheap one. Raise n_probe / k_codes to
-    buy recall with the same plan."""
+    serving shape, not just the cheap one. At the PRODUCTION geometry
+    the composition is recall-NEUTRAL instead (0.58 vs 0.60): with
+    64-bit codes there are few ADC false positives left for the cell
+    filter to remove, so pruning only costs the stray out-of-probe
+    true neighbor — you pay ~2 recall points for scoring a quarter of
+    the corpus. Raise n_probe / k_codes to buy recall with the same
+    plan."""
     from ..operators.similarity import ivf_pq_topk, pq_codebooks, pq_topk
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
