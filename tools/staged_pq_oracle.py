@@ -95,13 +95,27 @@ def staged_pq_topk(con: duckdb.DuckDBPyConnection, m_sub: int, k_codes: int,
             FROM (SELECT vec_id FROM t_e ORDER BY vec_id LIMIT {k_codes}))
         SELECT su.s, si.code_id, su.sv
         FROM t_subs su JOIN seed_ids si USING (vec_id)""")
-    con.execute(f"""CREATE OR REPLACE TEMP TABLE t_a0 AS
-        SELECT su.vec_id, su.s,
-               MIN({{'l2': {_l2_dot_form('su.sv', 'sd.sv')},
-                     'cid': sd.code_id}}) AS m
-        FROM t_subs su JOIN t_seeds sd ON su.s = sd.s
-        GROUP BY su.vec_id, su.s""")
-    log("seed assignment done")
+    # assignment batched per (subspace, vec_id-residue): the unbatched
+    # MIN-struct still pipes a corpus x k_codes list-carrying join in
+    # one go, and DuckDB's memory accounting misses enough of those
+    # intermediates that the sf10 x 8x256 run blew past its
+    # memory_limit to a 100 GB OOM kill (measured r12). Batch keys
+    # align with the GROUP BY keys, so every group lives entirely in
+    # one INSERT and the union is the identical pick set.
+    n_rows = con.execute("SELECT COUNT(*) FROM t_e").fetchone()[0]
+    n_res = max(1, -(-n_rows // 25_000))
+    con.execute("CREATE OR REPLACE TEMP TABLE t_a0 "
+                "(vec_id BIGINT, s BIGINT, m STRUCT(l2 DOUBLE, cid BIGINT))")
+    for s in range(m_sub):
+        for r in range(n_res):
+            con.execute(f"""INSERT INTO t_a0
+                SELECT su.vec_id, su.s,
+                       MIN({{'l2': {_l2_dot_form('su.sv', 'sd.sv')},
+                             'cid': sd.code_id}}) AS m
+                FROM t_subs su JOIN t_seeds sd ON su.s = sd.s
+                WHERE su.s = {s} AND su.vec_id % {n_res} = {r}
+                GROUP BY su.vec_id, su.s""")
+    log(f"seed assignment done ({m_sub} x {n_res} batches)")
     con.execute("""CREATE OR REPLACE TEMP TABLE t_cvec AS
         WITH elem AS (
             SELECT su.s, a.m.cid AS code_id,
@@ -117,17 +131,24 @@ def staged_pq_topk(con: duckdb.DuckDBPyConnection, m_sub: int, k_codes: int,
         SELECT s, code_id, list(m ORDER BY pos) AS cm
         FROM cmean GROUP BY s, code_id""")
     log("codebooks done")
+    # encoding batched the same way as the seed assignment (same
+    # corpus x k_codes shape, same OOM failure mode unbatched)
+    con.execute("CREATE OR REPLACE TEMP TABLE t_enc "
+                "(vec_id BIGINT, s BIGINT, cid BIGINT)")
+    for s in range(m_sub):
+        for r in range(n_res):
+            con.execute(f"""INSERT INTO t_enc
+                SELECT su.vec_id, su.s,
+                       MIN({{'l2': {_l2_dot_form('su.sv', 'c.cm')},
+                             'cid': c.code_id}}).cid AS cid
+                FROM t_subs su JOIN t_cvec c ON su.s = c.s
+                WHERE su.s = {s} AND su.vec_id % {n_res} = {r}
+                GROUP BY su.vec_id, su.s""")
     c_cols = ", ".join(
         f"MAX(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m_sub))
     con.execute(f"""CREATE OR REPLACE TEMP TABLE t_codes AS
-        WITH enc AS (
-            SELECT su.vec_id, su.s,
-                   MIN({{'l2': {_l2_dot_form('su.sv', 'c.cm')},
-                         'cid': c.code_id}}).cid AS cid
-            FROM t_subs su JOIN t_cvec c ON su.s = c.s
-            GROUP BY su.vec_id, su.s)
-        SELECT vec_id, {c_cols} FROM enc GROUP BY vec_id""")
-    log("encoding done")
+        SELECT vec_id, {c_cols} FROM t_enc GROUP BY vec_id""")
+    log(f"encoding done ({m_sub} x {n_res} batches)")
     con.execute(f"""CREATE OR REPLACE TEMP TABLE t_lut AS
         SELECT su.vec_id AS query_id, su.s, c.code_id,
                list_dot_product(su.sv, c.cm) AS ip
