@@ -322,7 +322,7 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
         # scans as 1-2 partitions — the r12 sf1 run of the 256-code
         # codebooks serialized training on 2 cores for 10 minutes.
         # Safe on values: the means are order-independent integer sums.
-        assigned = spread(corpus).select(
+        assigned = spread(corpus, min_bytes=2 << 20).select(
             F.element_at(_nearest_cells_expr(vec_col, cent, 1), 1)
             .alias("cell_id"),
             _as_double(vec_col).alias("_v")
@@ -1097,7 +1097,8 @@ def pq_codes(corpus: DataFrame, books: list, id_col: str = "vec_id",
     # spread(): the per-(row, subspace, codeword) distance computes
     # below the broadcast join inherit the scan's width — 1-2 partitions
     # on a small parquet file would serialize the encode on 2 cores
-    sub = _stacked_subvectors(spread(corpus), books, id_col, vec_col,
+    sub = _stacked_subvectors(spread(corpus, min_bytes=2 << 20), books,
+                              id_col, vec_col,
                               out_id=id_col, out_vec="sv")
     picks = (
         sub.join(F.broadcast(cb), "s")

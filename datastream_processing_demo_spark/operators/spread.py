@@ -14,18 +14,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Repartition up to the session default parallelism iff the scan is
     narrower. Width is estimated from the file list (a few ms) — a
     `.rdd.getNumPartitions()` probe would cost ~1s of driver time per
     call; files larger than maxPartitionBytes already split into
     multiple partitions, so len(files) only underestimates width, never
-    triggers a shuffle on an already-wide scan."""
+    triggers a shuffle on an already-wide scan.
+
+    ``min_bytes`` gates the widening by TOTAL INPUT SIZE: below it the
+    frame stays narrow. Callers whose per-task cost is dominated by a
+    heavy interpreted expression (e.g. a 256-entry codebook assignment)
+    pass a threshold so tiny driver-gate inputs don't fan out into
+    32 concurrent expression-tree instantiations — measured r12: that
+    fan-out OOMs the vanilla 1 GB driver-gate JVM, while at the sizes
+    where widening actually pays (sf1+: 8 MB+) the heap is a rounding
+    error next to the data. Unknown sizes (non-local files) err toward
+    spreading — on a real cluster executors have real heaps."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        n = len(df.inputFiles())
+        files = df.inputFiles()
+        n = len(files)
     except Exception:
+        files = None
         n = df.rdd.getNumPartitions()
+    if min_bytes and files is not None:
+        import os
+        try:
+            total = sum(os.path.getsize(f.removeprefix("file:"))
+                        for f in files)
+            if total < min_bytes:
+                return df
+        except OSError:
+            pass  # non-local or vanished files: fall through and spread
     if n < target:
         return df.repartition(target)
     return df
