@@ -1237,14 +1237,21 @@ def text_pipeline_lane_decision(
     exactly so)."""
     from ..operators.dedup import doc_shingles
     survivors = _pipeline_survivors(spark, sf_dir).persist()
-    n_surv = survivors.count()
     sh = doc_shingles(survivors.filter(F.col("doc_id") % subsample == 0),
                       text_col="clean", hash_keys=False)
     sub = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
            .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
            .collect()[0]["s"]) or 0
     est = int(sub) * subsample * subsample
-    lane = "lsh" if (est > cap or n_surv > max_survivors) else "exact"
+    # the count guard only gates the EXACT branch, so don't pay its job
+    # when the metric already picked lsh (lane = lsh iff est > cap OR
+    # n > ceiling — short-circuiting the OR cannot change the pick, and
+    # the oracle's CASE evaluates the same boolean). n_survivors is
+    # None in that case.
+    n_surv = None
+    if est <= cap:
+        n_surv = survivors.count()
+    lane = "exact" if (est <= cap and n_surv <= max_survivors) else "lsh"
     return {"sum_df2": est, "cap": cap, "subsample": subsample,
             "n_survivors": n_surv, "max_survivors": max_survivors,
             "lane": lane, "survivors": survivors}
