@@ -103,8 +103,9 @@ def bruteforce_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cos = cosine_pandas_udf()
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
-                              F.col(vec_col).alias("c_vec"))
+    # width from input size (Arrow-UDF lane): see semdedup_fast note
+    c = spread(corpus, bytes_per_task=256 << 10).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cos("q_vec", "c_vec"), round_to))
@@ -762,8 +763,12 @@ def semdedup_fast(corpus: DataFrame, threshold: float = 0.35,
                 "v": list(V),
             })
 
-    src = spread(corpus).select(F.col(id_col).alias("_id"),
-                                _as_double(vec_col).alias("_v"))
+    # Arrow-batch lane: width from input size (256 KB/task), not the
+    # blanket core count — 32+ micro-tasks of ~30 vectors pay more in
+    # Python worker round-trips than in matmul (guide §4.2 batch-size
+    # rule). Width never affects values here (per-row map).
+    src = spread(corpus, bytes_per_task=256 << 10).select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
     member = src.mapInPandas(
         assign, schema="vec_id long, cell_id int, dist_r long, v array<double>")
 
@@ -926,7 +931,10 @@ def ivf_centroids_fast(corpus: DataFrame, n_cells: int = 16,
                 yield pd.DataFrame({"cell_id": _ids[best],
                                     "_v": pdf["_v"]})
 
-        assigned = (spread(corpus)
+        # width from input size: same 256 KB/task rule as semdedup_fast
+        # (Lloyd means are order-independent integer-grid sums, so
+        # width cannot change the trained centroids)
+        assigned = (spread(corpus, bytes_per_task=256 << 10)
                     .select(_as_double(vec_col).alias("_v"))
                     .mapInPandas(assign,
                                  schema="cell_id int, _v array<double>")

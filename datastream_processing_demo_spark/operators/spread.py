@@ -14,13 +14,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
+def spread(df: DataFrame, min_bytes: int = 0,
+           bytes_per_task: int = 0) -> DataFrame:
     """Repartition up to the session default parallelism iff the scan is
     narrower. Width is estimated from the file list (a few ms) — a
     `.rdd.getNumPartitions()` probe would cost ~1s of driver time per
     call; files larger than maxPartitionBytes already split into
     multiple partitions, so len(files) only underestimates width, never
     triggers a shuffle on an already-wide scan.
+
+    ``bytes_per_task`` makes the width SCALE-ADAPTIVE instead of
+    all-or-nothing: target = clamp(ceil(total / bytes_per_task), 1,
+    defaultParallelism). Callers whose per-task cost is dominated by
+    Python/Arrow round-trips (mapInPandas lanes) pass it so a tiny
+    corpus does not fan out into 32+ micro-tasks of ~30 rows whose
+    worker/serde overhead dwarfs the numpy work (measured r12-opt at
+    sf0.1: sim_semdedup's 2000 vectors across 64 tasks paid more in
+    per-task overhead than in matmul). At 100 TB total/bytes_per_task
+    >> parallelism, so the clamp makes this a no-op exactly where wide
+    is right; when the input size is unknown the full parallelism is
+    used, as before. Values are unaffected by width in every caller
+    (order-independent integer-grid sums / per-row maps).
 
     ``min_bytes`` gates the widening by TOTAL INPUT SIZE: below it the
     frame stays narrow. Callers whose per-task cost is dominated by a
@@ -38,13 +52,15 @@ def spread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     except Exception:
         files = None
         n = df.rdd.getNumPartitions()
-    if min_bytes and files is not None:
+    if (min_bytes or bytes_per_task) and files is not None:
         import os
         try:
             total = sum(os.path.getsize(f.removeprefix("file:"))
                         for f in files)
-            if total < min_bytes:
+            if min_bytes and total < min_bytes:
                 return df
+            if bytes_per_task:
+                target = max(1, min(target, -(-total // bytes_per_task)))
         except OSError:
             pass  # non-local or vanished files: fall through and spread
     if n < target:

@@ -590,6 +590,12 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     lanes: (doc_id, source, w, wt) with wt = tf * idf on the exact
     1e-3 integer grid."""
     d = t(spark, sf_dir, "documents")
+    # No spread() here: measured r12-opt (interleaved A/B at sf0.1) —
+    # widening the tokenize cost sim_hybrid_rrf 1.8x and the dense lane
+    # 1.5x, because the TF partial-agg is map-combinable and cheap (the
+    # 31-word vocab collapses it) while the repartition pays a full
+    # text shuffle. The token lanes that DO spread (text.py) carry
+    # per-row work heavy enough to amortize it; this one does not.
     tok = (d.select("doc_id", "source",
                     F.explode(F.split(F.lower("text"), " ")).alias("w"))
            .filter(F.col("w") != ""))

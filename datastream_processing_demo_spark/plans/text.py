@@ -526,6 +526,10 @@ def _pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate -> exact content dedup — used by both near-dup twins
     and by the lane decision, so the three build byte-identical
     survivor streams."""
+    # No spread() here: measured r12-opt (interleaved A/B at sf0.1) —
+    # widening the front half was a wash on text_pipeline_full_lsh and
+    # slightly negative on _auto; the regex/md5 map work is too cheap
+    # at this corpus size to amortize the repartition's text shuffle.
     d = t(spark, sf_dir, "documents")
     raw = F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
                    F.lit("@"), F.col("source"), F.lit(".example.com"))

@@ -87,6 +87,18 @@ def get_session(config: EngineConfig | None = None) -> SparkSession:
     )
     for k, v in cfg.extra_conf.items():
         builder = builder.config(k, str(v))
+    # Deployment/experiment overrides without code edits (the guide's
+    # "keep scale-dependent settings parameterised" rule): semicolon-
+    # separated k=v pairs, applied last so they win over the defaults
+    # above and over EngineConfig.extra_conf. Empty/None-valued entries
+    # are ignored. Example:
+    #   SPARK_GRAFT_EXTRA_CONF="spark.sql.shuffle.partitions=4096;\
+    #       spark.sql.adaptive.advisoryPartitionSizeInBytes=256m"
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        pair = pair.strip()
+        if pair and "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
