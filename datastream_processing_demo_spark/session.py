@@ -55,6 +55,15 @@ def get_session(config: EngineConfig | None = None) -> SparkSession:
     cfg = config or EngineConfig()
     cpus = _cpus()
     master = cfg.master or f"local[{cpus}]"
+    # 2x cores, measured as the right LOCAL granularity trade (r12-opt):
+    # 1x cores cut the 8 heaviest lanes ~26% (less task-slot
+    # oversubscription on CPU-bound tiny-shuffle stages) but cost the
+    # many short lanes ~15-40% each — with tasks == slots one stolen
+    # vCPU stalls a whole stage, while 2x tasks let the scheduler fill
+    # the gaps — and the full suite came out a wash. Kept at 2x so
+    # per-query medians stay comparable across rounds; on a real
+    # cluster `parallelism` / SPARK_GRAFT_EXTRA_CONF size this by data
+    # (~128 MB-1 GB post-shuffle, guide §2.2) and AQE coalesces.
     shuffle_parts = cfg.parallelism or max(2 * cpus, 8)
 
     # local-mode executors live INSIDE the driver JVM, so the driver heap
