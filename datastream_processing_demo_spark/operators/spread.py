@@ -43,8 +43,17 @@ def spread(df: DataFrame, min_bytes: int = 0,
     32 concurrent expression-tree instantiations — measured r12: that
     fan-out OOMs the vanilla 1 GB driver-gate JVM, while at the sizes
     where widening actually pays (sf1+: 8 MB+) the heap is a rounding
-    error next to the data. Unknown sizes (non-local files) err toward
-    spreading — on a real cluster executors have real heaps."""
+    error next to the data. Unknown sizes (non-local files, or a frame
+    with no file inputs at all, e.g. createDataFrame) err toward
+    spreading — on a real cluster executors have real heaps (ADVICE
+    r12: an empty inputFiles() list used to clamp such frames DOWN to
+    one partition through total=0).
+
+    A multi-file input that is already wider than the bytes_per_task
+    target is narrowed with coalesce() (no shuffle): the Python-worker
+    round-trip overhead the parameter exists to amortize is the same
+    whether the micro-tasks come from a repartition or from many small
+    files (ADVICE r12)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
@@ -52,17 +61,25 @@ def spread(df: DataFrame, min_bytes: int = 0,
     except Exception:
         files = None
         n = df.rdd.getNumPartitions()
-    if (min_bytes or bytes_per_task) and files is not None:
+    if (min_bytes or bytes_per_task) and files:
         import os
         try:
             total = sum(os.path.getsize(f.removeprefix("file:"))
                         for f in files)
+        except OSError:
+            total = 0  # non-local or vanished files: size unknown
+        # total == 0 (unreadable or all-empty input) = unknown size:
+        # skip both gates and keep the err-toward-spreading default
+        if total > 0:
             if min_bytes and total < min_bytes:
                 return df
             if bytes_per_task:
                 target = max(1, min(target, -(-total // bytes_per_task)))
-        except OSError:
-            pass  # non-local or vanished files: fall through and spread
+                if n > target:
+                    # fewer Python/Arrow round-trips, no shuffle; the
+                    # downstream values are width-independent in every
+                    # caller (per-row maps / order-independent sums)
+                    return df.coalesce(target)
     if n < target:
         return df.repartition(target)
     return df

@@ -123,6 +123,64 @@ def test_emit_writes_full_artifact(tmp_path, monkeypatch):
     assert on_disk["errors"]["q_broken_0"].startswith("AnalysisException")
 
 
+def test_emit_per_run_filenames(tmp_path, monkeypatch):
+    """r13: probes and scaling runs must not clobber the canonical
+    artifact (the r12 BENCH_LOCAL.json was silently overwritten by the
+    driver's 8-core run). Subset runs and non-full-width runs land in
+    BENCH_LOCAL_<cpus>c[_subset].json only."""
+    full = tmp_path / "BENCH_LOCAL.json"
+    monkeypatch.setattr(bench, "FULL_OUT", str(full))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT", raising=False)
+    out = _worst_case_out()
+
+    # full-width full-suite run -> canonical + per-run
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", str(os.cpu_count()))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ONLY", raising=False)
+    bench.emit(out)
+    assert full.exists()
+    assert (tmp_path / f"BENCH_LOCAL_{os.cpu_count()}c.json").exists()
+
+    # subset probe -> per-run only, canonical untouched
+    full.unlink()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", "q1_pricing_summary")
+    bench.emit(out)
+    assert not full.exists()
+    assert (tmp_path /
+            f"BENCH_LOCAL_{os.cpu_count()}c_subset.json").exists()
+
+    # scaling run at a different width -> per-run only
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ONLY", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    bench.emit(out)
+    assert not full.exists()
+    assert (tmp_path / "BENCH_LOCAL_8c.json").exists()
+
+    # explicit SPARK_GRAFT_BENCH_OUT wins exactly (tool contract):
+    # FULL_OUT is derived from it at import, and no extra files appear
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(tmp_path / "x.json"))
+    monkeypatch.setattr(bench, "FULL_OUT", str(tmp_path / "x.json"))
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "16")
+    bench.emit(out)
+    assert (tmp_path / "x.json").exists()
+    assert not (tmp_path / "BENCH_LOCAL_16c.json").exists()
+    assert not full.exists()
+
+
+def test_query_meta_rides_file_not_tail():
+    """r13: per-query {runs, spread, load1_before} stamps make a
+    contended sample distinguishable from a regression — in the FULL
+    artifact only; the slim tail keeps its exact legacy keys."""
+    out = _worst_case_out()
+    out["query_meta"] = {n: {"load1_before": 0.5, "n": 3,
+                             "runs": [12.3, 12.4, 12.5], "spread": 0.2}
+                         for n in bench.HEADLINE}
+    line = bench.slim_line(out)
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    assert "query_meta" not in parsed
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
 def test_budget_degrade_is_monotonic():
     """Even an absurdly wide artifact (simulated 200-query registry dump)
     still emits a parseable line inside budget via the drop-fastest

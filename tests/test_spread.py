@@ -58,3 +58,30 @@ def test_bytes_per_task_values_unchanged(spark, sf_dir):
     b = sorted(r["doc_id"]
                for r in spread(docs, bytes_per_task=256 << 10).collect())
     assert a == b
+
+
+def test_no_file_inputs_keep_full_parallelism(spark):
+    # ADVICE r12: a non-file-backed frame has inputFiles() == [] (no
+    # exception), and the old total=0 clamp collapsed it to width 1.
+    # Unknown size must err toward spreading for every gate flavor.
+    df = spark.range(0, 10_000, 1, 64).selectExpr("id AS doc_id")
+    para = spark.sparkContext.defaultParallelism
+    assert spread(df, bytes_per_task=256 << 10).rdd.getNumPartitions() >= para
+    assert spread(df, min_bytes=2 << 20).rdd.getNumPartitions() >= para
+
+
+def test_bytes_per_task_narrows_many_small_files(spark, sf_dir, tmp_path):
+    # ADVICE r12: the clamp used to only cap WIDENING, so a tiny corpus
+    # stored as many small files kept its micro-task fan-out. It now
+    # coalesces (shuffle-free) down to the byte-budget width.
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "many_files")
+    docs.repartition(8).write.mode("overwrite").parquet(out)
+    many = spark.read.parquet(out)
+    assert len(many.inputFiles()) >= 8
+    total = _input_bytes(many)
+    narrowed = spread(many, bytes_per_task=total * 10)
+    assert narrowed.rdd.getNumPartitions() == 1
+    # and the rows are untouched
+    assert sorted(r["doc_id"] for r in narrowed.collect()) == \
+        sorted(r["doc_id"] for r in docs.collect())
